@@ -1,0 +1,213 @@
+"""Deterministic synthetic token-sequence corpus (FIXTURES.md).
+
+Generates the engine's primary input table — the exact ``input_hint`` shape
+
+    (doc_id: string, tokens: list<int32>, n_tok: int32, source: string)
+
+plus the stable ordering key ``event_seq`` and the derived ingestion
+timestamp ``ts`` (FIXTURES.md §2), and the as-of request ``spine`` table
+(FIXTURES.md §3). Everything is a pure function of ``(seed, doc_id,
+event_seq)`` through :mod:`featureengineer_ray.hashing`, so the generator, the
+oracle and the engine agree bit-for-bit at any scale and any parallelism.
+
+This plays the role of the reference's corpus + IdMap spine construction
+(``PrepareData.py:262-269``, ``FeaGet.py:90-110``): keyed variable-length
+sequences with Zipf-skewed entity sizes (hot-key axis) and a relational spine
+of (entity, boundary) feature-request points (``IVector.py:796-800``'s
+``start:stop`` cut made explicit as ``as_of_ts``).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .hashing import hash_str_array, mix64, splitmix64, uniform_from_hash
+
+# --- fixed constants (FIXTURES.md §2) ------------------------------------
+EPOCH_US = np.int64(1_704_067_200_000_000)  # 2024-01-01T00:00:00Z in µs
+DELTA_US = np.int64(60_000_000)  # Δ = 60 s between events of one entity
+JITTER_US = 55_000_000  # jitter in [0, 55 s) — keeps ts strictly increasing
+SESSION_GAP_US = np.int64(90_000_000)  # 90 s: ~10% of consecutive pairs exceed it
+VOCAB = 50_257
+SOURCES = np.array(["web", "books", "code", "chat"], dtype=object)
+SOURCE_WEIGHTS = np.array([0.55, 0.25, 0.12, 0.08])
+
+TOKEN_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("event_seq", pa.int64()),
+        ("ts", pa.timestamp("us")),
+        ("tokens", pa.list_(pa.int32())),
+        ("n_tok", pa.int32()),
+        ("source", pa.string()),
+    ]
+)
+
+SPINE_SCHEMA = pa.schema(
+    [("doc_id", pa.string()), ("as_of_ts", pa.timestamp("us")), ("spine_id", pa.int64())]
+)
+
+
+@dataclass
+class GenSpec:
+    n_rows: int = 2_000
+    n_entities: int = 50
+    zipf_a: float = 1.2
+    seed: int = 42
+    min_len: int = 4
+    max_len: int = 512
+    n_spine: int | None = None  # default: n_rows // 2
+    spine_absent_frac: float = 0.02
+    extra: dict = field(default_factory=dict)
+
+
+def _entity_counts(spec: GenSpec) -> np.ndarray:
+    """Deterministic per-entity row counts from Zipf(a) weights; ≥1 each."""
+    ranks = np.arange(1, spec.n_entities + 1, dtype=np.float64)
+    w = ranks ** (-spec.zipf_a)
+    w /= w.sum()
+    counts = np.maximum(1, np.floor(w * spec.n_rows).astype(np.int64))
+    # ~2% of entities (≥1) get exactly one event: the no-lag-history edge
+    n_single = max(1, spec.n_entities // 50)
+    counts[-n_single:] = 1
+    # adjust the head entity so the total is exactly n_rows
+    diff = spec.n_rows - counts.sum()
+    counts[0] = max(1, counts[0] + diff)
+    return counts
+
+
+def _doc_ids(spec: GenSpec) -> np.ndarray:
+    return np.array([f"doc{k:06d}" for k in range(spec.n_entities)], dtype=object)
+
+
+def _ts_us(doc_hash: np.ndarray, seq: np.ndarray) -> np.ndarray:
+    """ts = EPOCH + seq*Δ + hash(doc, seq) % J  — per-row computable,
+    strictly increasing per entity (J < Δ guarantees monotonicity)."""
+    jitter = uniform_from_hash(mix64(doc_hash, seq.astype(np.uint64), 0x75), JITTER_US)
+    return EPOCH_US + seq * DELTA_US + jitter
+
+
+def generate_events(spec: GenSpec) -> pa.Table:
+    """The token event table, rows in shuffled (ingestion) order."""
+    counts = _entity_counts(spec)
+    docs = _doc_ids(spec)
+    n = int(counts.sum())
+
+    doc_col = np.repeat(docs, counts)
+    seq = np.concatenate([np.arange(c, dtype=np.int64) for c in counts])
+    doc_hash = np.repeat(
+        hash_str_array(docs, seed=spec.seed), counts
+    )  # one blake2 per unique doc
+
+    ts = _ts_us(doc_hash, seq)
+
+    # variable token lengths in [min_len, max_len]
+    span = spec.max_len - spec.min_len + 1
+    lens = spec.min_len + uniform_from_hash(
+        mix64(doc_hash, seq.astype(np.uint64), 0x4C), span
+    )
+
+    # tokens[i] = hash(doc, seq, i) % VOCAB, fully vectorized over the flat layout
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    total = int(offsets[-1])
+    row_of_tok = np.repeat(np.arange(n, dtype=np.int64), lens)
+    tok_idx = np.arange(total, dtype=np.int64) - offsets[row_of_tok]
+    flat = uniform_from_hash(
+        mix64(doc_hash[row_of_tok], seq[row_of_tok].astype(np.uint64),
+              tok_idx.astype(np.uint64)),
+        VOCAB,
+    ).astype(np.int32)
+
+    # Zipf-weighted source per row (hot source bucket)
+    cum = np.cumsum(SOURCE_WEIGHTS)
+    u = uniform_from_hash(mix64(doc_hash, seq.astype(np.uint64), 0x53), 1_000_000)
+    src = SOURCES[np.searchsorted(cum * 1_000_000, u, side="right")]
+
+    # deterministic global shuffle = ingestion order
+    order = np.argsort(mix64(doc_hash, seq.astype(np.uint64), 0x5F), kind="stable")
+
+    tokens = pa.ListArray.from_arrays(
+        pa.array(offsets, type=pa.int32()), pa.array(flat, type=pa.int32())
+    )
+    tbl = pa.Table.from_arrays(
+        [
+            pa.array(doc_col, type=pa.string()),
+            pa.array(seq, type=pa.int64()),
+            pa.array(ts, type=pa.timestamp("us")),
+            tokens,
+            pa.array(lens.astype(np.int32), type=pa.int32()),
+            pa.array(src, type=pa.string()),
+        ],
+        schema=TOKEN_SCHEMA,
+    )
+    return tbl.take(pa.array(order, type=pa.int64()))
+
+
+def generate_spine(spec: GenSpec) -> pa.Table:
+    """As-of request points: exact-ts / mid-gap / before-first / after-last,
+    plus ~2% entity ids absent from the events table."""
+    counts = _entity_counts(spec)
+    docs = _doc_ids(spec)
+    n_spine = spec.n_spine or spec.n_rows // 2
+    sid = np.arange(n_spine, dtype=np.int64)
+    h = mix64(np.uint64(spec.seed), sid.astype(np.uint64), 0xA5)
+
+    n_absent = max(1, int(n_spine * spec.spine_absent_frac))
+    absent = sid < n_absent  # deterministic slice; shuffled later
+    ent = uniform_from_hash(mix64(h, 0x01), spec.n_entities)
+    doc_col = docs[ent].copy()
+    doc_col[absent.nonzero()[0]] = np.array(
+        [f"ghost{int(i):06d}" for i in range(n_absent)], dtype=object
+    )
+
+    doc_hash = hash_str_array(doc_col, seed=spec.seed)
+    n_ev = counts[ent]
+    pick = uniform_from_hash(mix64(h, 0x02), 1 << 30) % np.maximum(n_ev, 1)
+    base_ts = _ts_us(doc_hash, pick)
+
+    kind = uniform_from_hash(mix64(h, 0x03), 4)
+    as_of = base_ts.copy()
+    as_of[kind == 1] = base_ts[kind == 1] + 45_000_000  # mid-gap
+    first_ts = _ts_us(doc_hash, np.zeros(n_spine, dtype=np.int64))
+    before = kind == 2
+    as_of[before] = first_ts[before] - 1 - uniform_from_hash(
+        mix64(h, 0x04), 3_600_000_000
+    )[before]  # strictly before first event
+    last_ts = _ts_us(doc_hash, np.maximum(n_ev - 1, 0))
+    after = kind == 3
+    as_of[after] = last_ts[after] + uniform_from_hash(mix64(h, 0x05), 7_200_000_000)[after]
+
+    order = np.argsort(mix64(h, 0x06), kind="stable")
+    tbl = pa.Table.from_arrays(
+        [
+            pa.array(doc_col, type=pa.string()),
+            pa.array(as_of, type=pa.timestamp("us")),
+            pa.array(sid, type=pa.int64()),
+        ],
+        schema=SPINE_SCHEMA,
+    )
+    return tbl.take(pa.array(order, type=pa.int64()))
+
+
+def write_corpus(out_dir: str, spec: GenSpec, n_files: int = 4) -> dict[str, str]:
+    """Write events (sharded — parallel read source) + spine parquet."""
+    os.makedirs(out_dir, exist_ok=True)
+    ev = generate_events(spec)
+    ev_dir = os.path.join(out_dir, "events")
+    os.makedirs(ev_dir, exist_ok=True)
+    n = ev.num_rows
+    bounds = np.linspace(0, n, n_files + 1).astype(int)
+    for i in range(n_files):
+        pq.write_table(
+            ev.slice(bounds[i], bounds[i + 1] - bounds[i]),
+            os.path.join(ev_dir, f"part-{i:04d}.parquet"),
+        )
+    sp_path = os.path.join(out_dir, "spine.parquet")
+    pq.write_table(generate_spine(spec), sp_path)
+    return {"events": ev_dir, "spine": sp_path}

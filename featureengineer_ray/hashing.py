@@ -1,0 +1,79 @@
+"""Stable, vectorized 64-bit hashing.
+
+Every piece of derived randomness in the engine (synthetic data generation,
+derived timestamps, hash partitioning, MinHash/SimHash, salting) flows through
+these functions so that the engine, the row-at-a-time oracle, and re-runs at
+different parallelism levels always agree bit-for-bit.
+
+Two layers:
+
+- ``splitmix64`` / ``mix64``: pure-numpy avalanche mixing over uint64 arrays
+  (the SplitMix64 finalizer, public domain constants). Fully vectorized; used
+  wherever the inputs are already integers.
+- ``hash_str`` / ``hash_str_array``: BLAKE2b-based 64-bit digests of strings.
+  Python-level per unique value; callers dictionary-encode first so cost is
+  O(unique), not O(rows).
+
+Reference parity note: the reference keys everything on opaque utterance
+strings (``FeaGet.py:90-101``); our string hash plays the same "stable key
+identity" role, made explicit and collision-checked at 64 bits.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+_U64 = np.uint64
+
+_C1 = _U64(0xBF58476D1CE4E5B9)
+_C2 = _U64(0x94D049BB133111EB)
+_GOLDEN = _U64(0x9E3779B97F4A7C15)
+
+
+def splitmix64(x: np.ndarray | int) -> np.ndarray:
+    """SplitMix64 finalizer over a uint64 array (or scalar). Vectorized."""
+    z = np.asarray(x, dtype=_U64)
+    with np.errstate(over="ignore"):
+        z = (z + _GOLDEN) & _U64(0xFFFFFFFFFFFFFFFF)
+        z = (z ^ (z >> _U64(30))) * _C1
+        z = (z ^ (z >> _U64(27))) * _C2
+        z = z ^ (z >> _U64(31))
+    return z
+
+
+def mix64(*parts: np.ndarray | int) -> np.ndarray:
+    """Combine several uint64 arrays/scalars into one stable hash stream."""
+    acc = splitmix64(np.asarray(parts[0], dtype=_U64))
+    for p in parts[1:]:
+        with np.errstate(over="ignore"):
+            acc = splitmix64(acc ^ (np.asarray(p, dtype=_U64) + _GOLDEN))
+    return acc
+
+
+def hash_str(s: str, seed: int = 0) -> int:
+    """Stable 64-bit hash of one string (BLAKE2b-8 with seed in the person)."""
+    h = hashlib.blake2b(
+        s.encode("utf-8"), digest_size=8, person=seed.to_bytes(8, "little")
+    )
+    return int.from_bytes(h.digest(), "little")
+
+
+def hash_str_array(values: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Stable uint64 hash per element of a string array.
+
+    Dictionary-encodes first: only unique strings are hashed in Python, then
+    scattered back — O(unique) Python work, O(n) numpy work.
+    """
+    arr = np.asarray(values, dtype=object)
+    uniq, inv = np.unique(arr, return_inverse=True)
+    hu = np.fromiter(
+        (hash_str(u, seed) for u in uniq), dtype=_U64, count=len(uniq)
+    )
+    return hu[inv]
+
+
+def uniform_from_hash(h: np.ndarray, mod: int) -> np.ndarray:
+    """Map uint64 hashes into [0, mod) as int64 (deterministic 'randint')."""
+    return (h % _U64(mod)).astype(np.int64)
