@@ -1,0 +1,402 @@
+"""Dataset-level operators: the Ray-Data-native windowed feature engine.
+
+Composition (SURVEY.md §7.3): ONE explicit range-partition shuffle
+(:mod:`partition`) co-locates complete entities (or time-contiguous
+sub-ranges of hot entities), then every windowed / point-in-time operator
+runs inside a single vectorized per-partition kernel (:mod:`kernels`) over
+zero-copy Arrow — `groupby(__part).map_groups(kernel, batch_format="pyarrow")`.
+
+Operators:
+
+- :func:`window_features` — lag/lead, rolling (rows + time), ffill/bfill,
+  sessionize, per-entity z-score, exact dedup, in one pass (reference
+  analogs: delta ±context ``FeaGet.py:287-290``, sliding CMVN
+  ``IVector.py:348,508-514``, VAD segmentation ``FeaGet.py:292-297``,
+  dedup ``PrepareData.py:647-658``).
+- :func:`asof_join` — point-in-time backward join of a spine of
+  ``(key, as_of_ts)`` request rows against the event table (reference
+  analog: the ``cep[start:stop]`` cut, ``IVector.py:796-800``; IdMap spine,
+  ``PrepareData.py:262-269``). Zero temporal leakage by construction: only
+  events with ``ts <= as_of_ts`` are reachable.
+- :func:`feature_stack` — windows + as-of fused into the same single
+  shuffle: spine rows receive the windowed features of their matched event.
+
+Skew: hot keys get dedicated partitions from the plan; when the plan
+sub-splits a hot entity into time ranges, kernels consume boundary state
+(context rows, session offsets, fill carries, entity moments) computed
+exactly by :mod:`splitstate`'s cheap narrow pre-pass + driver fold.
+
+Nothing here calls ray.init(); Datasets are built lazily and stream.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from . import kernels
+from .partition import PartitionPlan, assign_partition_ids, plan_partitions
+
+PART_COL = "__part"
+SIDE_COL = "__side"
+
+
+# --------------------------------------------------------------------------
+# spec
+# --------------------------------------------------------------------------
+
+@dataclass
+class WindowSpec:
+    """What the windowed feature stack computes.
+
+    All per-entity, ordered by ``(ts, tiebreak)``. Output column names:
+    ``{col}_lag_{k}``, ``{col}_lead_{k}``, ``{col}_roll_{stat}_{w}``,
+    ``{col}_troll_{stat}``, ``{col}_ffill``, ``{col}_bfill``, ``{col}_z``,
+    ``session_idx``, ``session_event_idx``, ``session_len``.
+    """
+
+    key: str
+    ts: str
+    tiebreak: str | None = None
+    lags: dict[str, list[int]] = field(default_factory=dict)
+    leads: dict[str, list[int]] = field(default_factory=dict)
+    rolling: dict[str, list[int]] = field(default_factory=dict)
+    rolling_stats: tuple[str, ...] = ("sum", "mean", "min", "max", "std", "count")
+    rolling_time: dict[str, list[int]] = field(default_factory=dict)  # µs
+    ffill: list[str] = field(default_factory=list)
+    bfill: list[str] = field(default_factory=list)
+    session_gap_us: int | None = None
+    zscore: list[str] = field(default_factory=list)
+    dedup: bool = False
+
+    @property
+    def context_rows(self) -> int:
+        """Trailing rows a sub-split boundary must carry for exactness."""
+        c = 1
+        for ks in self.lags.values():
+            c = max(c, max(ks, default=0))
+        for ks in self.leads.values():
+            c = max(c, max(ks, default=0))
+        for ws in self.rolling.values():
+            c = max(c, max(ws, default=1) - 1)
+        return c
+
+    def numeric_cols(self) -> list[str]:
+        cols = set()
+        for d in (self.lags, self.leads, self.rolling, self.rolling_time):
+            cols.update(d.keys())
+        cols.update(self.ffill)
+        cols.update(self.bfill)
+        cols.update(self.zscore)
+        return sorted(cols)
+
+
+# --------------------------------------------------------------------------
+# per-partition kernels (run inside map_groups)
+# --------------------------------------------------------------------------
+
+def _float_col(tbl: pa.Table, name: str) -> np.ndarray:
+    return tbl.column(name).cast(pa.float64()).to_numpy(zero_copy_only=False)
+
+
+def _compute_window_columns(
+    part: kernels.SortedPartition, spec: WindowSpec
+) -> dict[str, pa.Array]:
+    """All windowed feature columns for one sorted partition."""
+    out: dict[str, pa.Array] = {}
+    tbl = part.table
+    for col, ks in spec.lags.items():
+        src = tbl.column(col)
+        for k in ks:
+            idx, valid = kernels.lag_indices(part, k)
+            out[f"{col}_lag_{k}"] = kernels.take_with_mask(src, idx, valid)
+    for col, ks in spec.leads.items():
+        src = tbl.column(col)
+        for k in ks:
+            idx, valid = kernels.lead_indices(part, k)
+            out[f"{col}_lead_{k}"] = kernels.take_with_mask(src, idx, valid)
+    for col, ws in spec.rolling.items():
+        x = _float_col(tbl, col)
+        for w in ws:
+            stats = kernels.rolling_rows(part, x, w)
+            for s in spec.rolling_stats:
+                out[f"{col}_roll_{s}_{w}"] = pa.array(stats[s], from_pandas=True)
+    for col, wins in spec.rolling_time.items():
+        x = _float_col(tbl, col)
+        for w in wins:
+            stats = kernels.rolling_time(part, x, w)
+            out[f"{col}_troll_sum_{w}"] = pa.array(stats["sum"], from_pandas=True)
+            out[f"{col}_troll_count_{w}"] = pa.array(
+                stats["count"].astype(np.int64))
+    for col in spec.ffill:
+        x = _float_col(tbl, col)
+        idx, ok = kernels.ffill_indices(part, ~np.isnan(x))
+        out[f"{col}_ffill"] = kernels.take_with_mask(tbl.column(col), idx, ok)
+    for col in spec.bfill:
+        x = _float_col(tbl, col)
+        idx, ok = kernels.bfill_indices(part, ~np.isnan(x))
+        out[f"{col}_bfill"] = kernels.take_with_mask(tbl.column(col), idx, ok)
+    if spec.session_gap_us is not None:
+        sess = kernels.sessionize(part, spec.session_gap_us)
+        out["session_idx"] = pa.array(sess["session_idx"])
+        out["session_event_idx"] = pa.array(sess["session_event_idx"])
+        out["session_len"] = pa.array(sess["session_len"])
+    for col in spec.zscore:
+        x = _float_col(tbl, col)
+        out[f"{col}_z"] = pa.array(kernels.zscore(part, x), from_pandas=True)
+    return out
+
+
+class _WindowKernel:
+    """map_groups callable: one partition in → feature rows out."""
+
+    def __init__(self, spec: WindowSpec):
+        self.spec = spec
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        spec = self.spec
+        if PART_COL in group.column_names:
+            group = group.drop_columns([PART_COL])
+        part = kernels.sort_partition(group, spec.key, spec.ts, spec.tiebreak)
+        if spec.dedup:
+            keep = kernels.dedup_first_mask(part)
+            if not keep.all():
+                filtered = part.table.filter(pa.array(keep))
+                part = kernels.sort_partition(
+                    filtered, spec.key, spec.ts, spec.tiebreak)
+        feats = _compute_window_columns(part, spec)
+        tbl = part.table
+        for name, arr in feats.items():
+            tbl = tbl.append_column(name, arr)
+        return tbl
+
+
+class _AsofKernel:
+    """map_groups callable over the tagged union of events + spine rows.
+
+    Emits one row per spine row: spine columns + matched event value
+    columns (+ windowed features of the matched event when `spec` given).
+    """
+
+    def __init__(
+        self,
+        key: str,
+        ts: str,
+        tiebreak: str | None,
+        value_cols: list[str],
+        spine_cols: list[str],
+        tolerance_us: int | None = None,
+        spec: WindowSpec | None = None,
+        dedup: bool = False,
+    ):
+        self.key, self.ts, self.tiebreak = key, ts, tiebreak
+        self.value_cols = value_cols
+        self.spine_cols = spine_cols
+        self.tolerance_us = tolerance_us
+        self.spec = spec
+        self.dedup = dedup
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        side = group.column(SIDE_COL).to_numpy(zero_copy_only=False)
+        drop = [c for c in (PART_COL, SIDE_COL) if c in group.column_names]
+        ev_tbl = group.filter(pa.array(side == 0)).drop_columns(drop)
+        sp_tbl = group.filter(pa.array(side == 1)).drop_columns(drop)
+
+        part = kernels.sort_partition(ev_tbl, self.key, self.ts, self.tiebreak)
+        if self.dedup:
+            keep = kernels.dedup_first_mask(part)
+            if not keep.all():
+                part = kernels.sort_partition(
+                    part.table.filter(pa.array(keep)), self.key, self.ts,
+                    self.tiebreak)
+
+        feats: dict[str, pa.Array] = {}
+        feat_tbl = part.table
+        if self.spec is not None:
+            feats = _compute_window_columns(part, self.spec)
+            for name, arr in feats.items():
+                feat_tbl = feat_tbl.append_column(name, arr)
+
+        # shared code space: spine keys mapped into the partition's encoding
+        sp_keys = sp_tbl.column(self.key).to_numpy(zero_copy_only=False)
+        sp_codes = np.searchsorted(part.uniques, sp_keys)
+        if len(part.uniques):
+            sp_codes = np.clip(sp_codes, 0, len(part.uniques) - 1)
+            present = part.uniques[sp_codes] == sp_keys
+        else:
+            sp_codes = np.zeros(len(sp_keys), dtype=np.int64)
+            present = np.zeros(len(sp_keys), dtype=bool)
+        sp_ts = sp_tbl.column(self.ts).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        idx, valid = kernels.asof_merge(
+            part.codes, part.ts, sp_codes.astype(np.int64), sp_ts,
+            self.tolerance_us)
+        valid &= present
+
+        out = sp_tbl.select(self.spine_cols)
+        out = out.rename_columns(
+            [c if c != self.ts else "as_of_ts" for c in self.spine_cols])
+        emit = list(self.value_cols) + list(feats.keys())
+        for c in emit:
+            out = out.append_column(
+                f"matched_{c}" if c == self.ts else c,
+                kernels.take_with_mask(feat_tbl.column(c), idx, valid))
+        return out
+
+
+# --------------------------------------------------------------------------
+# public operators
+# --------------------------------------------------------------------------
+
+def _ensure_plan(ds, key, ts, plan, **plan_kwargs) -> PartitionPlan:
+    if plan is None:
+        plan = plan_partitions(ds, key, ts, **plan_kwargs)
+    return plan
+
+
+class _AssignPart:
+    def __init__(self, plan: PartitionPlan, ts: str | None):
+        self.plan, self.ts = plan, ts
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch.column(self.plan.key).to_numpy(zero_copy_only=False)
+        tsv = None
+        if self.ts is not None and self.plan.hot_splits:
+            tsv = batch.column(self.ts).cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+        pid = assign_partition_ids(keys, self.plan, tsv)
+        return batch.append_column(PART_COL, pa.array(pid, type=pa.int32()))
+
+
+def window_features(
+    ds,
+    spec: WindowSpec,
+    *,
+    plan: PartitionPlan | None = None,
+    **plan_kwargs,
+):
+    """The windowed feature stack as one shuffle + one vectorized kernel."""
+    plan = _ensure_plan(ds, spec.key, spec.ts, plan, **plan_kwargs)
+    tagged = ds.map_batches(
+        _AssignPart(plan, spec.ts), batch_format="pyarrow",
+        zero_copy_batch=True)
+    kern = _WindowKernel(spec)
+
+    def window_kernel(group: pa.Table) -> pa.Table:
+        return kern(group)
+
+    return tagged.groupby(PART_COL).map_groups(
+        window_kernel, batch_format="pyarrow")
+
+
+def _harmonize(ds, schema: pa.Schema, side: int):
+    """Project a dataset onto a common schema (missing cols → nulls)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        arrays = []
+        for f in schema:
+            if f.name == SIDE_COL:
+                arrays.append(pa.array(
+                    np.full(batch.num_rows, side, dtype=np.int8)))
+            elif f.name in batch.column_names:
+                col = batch.column(f.name)
+                arrays.append(col.cast(f.type) if col.type != f.type else col)
+            else:
+                arrays.append(pa.nulls(batch.num_rows, type=f.type))
+        return pa.Table.from_arrays(arrays, schema=schema)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _union_schema(ev_schema: pa.Schema, sp_schema: pa.Schema,
+                  key: str, ts: str, spine_ts: str) -> pa.Schema:
+    fields = list(ev_schema)
+    names = {f.name for f in fields}
+    for f in sp_schema:
+        name = ts if f.name == spine_ts else f.name
+        if name not in names:
+            fields.append(pa.field(name, f.type))
+            names.add(name)
+    fields.append(pa.field(SIDE_COL, pa.int8()))
+    return pa.schema(fields)
+
+
+def asof_join(
+    events,
+    spine,
+    *,
+    key: str,
+    ts: str,
+    spine_ts: str = "as_of_ts",
+    value_cols: list[str],
+    tolerance_us: int | None = None,
+    tiebreak: str | None = None,
+    dedup: bool = False,
+    spec: WindowSpec | None = None,
+    plan: PartitionPlan | None = None,
+    **plan_kwargs,
+):
+    """Point-in-time backward as-of join (optionally fused with windows).
+
+    Both sides are tagged with the SAME partition plan and unioned, so the
+    whole operator costs exactly one all-to-all exchange; the per-partition
+    kernel separates sides and runs the galloping binary-search merge.
+    """
+    ev_schema = events.schema().base_schema
+    sp_schema = spine.schema().base_schema
+    schema = _union_schema(ev_schema, sp_schema, key, ts, spine_ts)
+
+    # spine's ts column is renamed into the event ts slot for the union
+    def rename_spine(batch: pa.Table) -> pa.Table:
+        names = [ts if c == spine_ts else c for c in batch.column_names]
+        return batch.rename_columns(names)
+
+    spine_r = spine.map_batches(rename_spine, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    plan = _ensure_plan(events, key, ts, plan, **plan_kwargs)
+    ev_u = _harmonize(events, schema, side=0)
+    sp_u = _harmonize(spine_r, schema, side=1)
+    both = ev_u.union(sp_u)
+    tagged = both.map_batches(
+        _AssignPart(plan, ts), batch_format="pyarrow", zero_copy_batch=True)
+    spine_cols = [ts if c == spine_ts else c for c in sp_schema.names]
+    kern = _AsofKernel(
+        key, ts, tiebreak, value_cols=value_cols, spine_cols=spine_cols,
+        tolerance_us=tolerance_us, spec=spec, dedup=dedup)
+
+    def asof_kernel(group: pa.Table) -> pa.Table:
+        return kern(group)
+
+    return tagged.groupby(PART_COL).map_groups(
+        asof_kernel, batch_format="pyarrow")
+
+
+def feature_stack(
+    events,
+    spine,
+    spec: WindowSpec,
+    *,
+    value_cols: list[str],
+    tolerance_us: int | None = None,
+    dedup: bool = True,
+    plan: PartitionPlan | None = None,
+    **plan_kwargs,
+):
+    """The flagship: dedup + windowed features + as-of, one shuffle.
+
+    Each spine row gets the matched event's payload and its windowed
+    features. Lead/bfill columns read the future and are therefore
+    excluded from as-of outputs (leakage rule, FIXTURES.md §5): they're
+    rejected here.
+    """
+    if spec.leads or spec.bfill:
+        raise ValueError(
+            "lead/bfill features read past the as-of boundary and cannot "
+            "be emitted from feature_stack (zero-temporal-leakage rule)")
+    return asof_join(
+        events, spine, key=spec.key, ts=spec.ts, value_cols=value_cols,
+        tolerance_us=tolerance_us, tiebreak=spec.tiebreak, dedup=dedup,
+        spec=spec, plan=plan, **plan_kwargs)

@@ -1,0 +1,215 @@
+"""Range-partition planning with explicit skew handling.
+
+The engine's wide operators (as-of join, windowed feature stack, grouped
+aggregates) all reuse ONE partitioning: entities are assigned to partitions
+by quantile ranges of their 64-bit key hash, so each partition holds complete
+entities and partitions are load-balanced even under Zipf-skewed keys
+(SURVEY.md §4 "skew/stragglers — needs design"; the reference's static
+``array_split`` sharding, ``mpiIV.py:403-405``, silently assumes uniform
+cost).
+
+Plan construction is a single sampling pass over the key (+ts) columns:
+
+1. ``map_batches`` samples rows deterministically (``mix64(key_hash, ts) %
+   M < p·M``) and pre-aggregates per-batch ``(key, count, min_ts, max_ts)``
+   partials — entities ≪ rows, so partials are tiny.
+2. The driver combines partials (they are small by construction), estimates
+   total rows, picks the partition count, computes weighted quantile
+   boundaries over hash space, and isolates **hot keys** (estimated row share
+   > ``hot_factor`` × the per-partition budget) into dedicated partitions.
+3. Optionally, hot entities larger than one partition budget are
+   **sub-split into time-contiguous ranges** by sampled ts quantiles; the
+   windowed kernels then receive ``C`` rows of trailing context per
+   sub-boundary (see engine.py) so per-entity window semantics survive the
+   split.
+
+The plan is a small, JSON-serializable object: it is broadcast into the
+assignment ``map_batches`` closure and recorded in the lineage manifest so a
+resumed run reuses the identical partitioning (lineage, SURVEY.md §7.3
+step 7).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+
+from .hashing import hash_str_array, mix64
+
+_MOD = np.uint64(1 << 32)
+
+
+@dataclass
+class PartitionPlan:
+    key: str
+    n_parts: int                       # total partitions incl. hot/sub parts
+    boundaries: list[int]              # sorted upper bounds in hash space (len n_range-1)
+    n_range: int                       # number of range partitions [0..n_range)
+    hot: dict[str, int] = field(default_factory=dict)      # key -> partition id
+    hot_splits: dict[str, list[int]] = field(default_factory=dict)
+    # key -> ts quantile bounds (µs, len = n_subparts-1); sub-partition ids are
+    # contiguous starting at hot[key]
+    est_rows: int = 0
+    sample_rate: float = 1.0
+    seed: int = 0
+
+    def to_json(self) -> dict:
+        return {
+            "key": self.key, "n_parts": self.n_parts,
+            "boundaries": [int(b) for b in self.boundaries],
+            "n_range": self.n_range, "hot": self.hot,
+            "hot_splits": {k: [int(v) for v in vs] for k, vs in self.hot_splits.items()},
+            "est_rows": int(self.est_rows), "sample_rate": self.sample_rate,
+            "seed": self.seed,
+        }
+
+    @classmethod
+    def from_json(cls, d: dict) -> "PartitionPlan":
+        return cls(
+            key=d["key"], n_parts=d["n_parts"], boundaries=d["boundaries"],
+            n_range=d["n_range"], hot=dict(d["hot"]),
+            hot_splits={k: list(v) for k, v in d["hot_splits"].items()},
+            est_rows=d["est_rows"], sample_rate=d["sample_rate"],
+            seed=d.get("seed", 0),
+        )
+
+
+class _SamplePartials:
+    """Per-batch deterministic row sample → (key, n, ts_lo, ts_hi) partials."""
+
+    def __init__(self, key: str, ts: str | None, rate: float, seed: int):
+        self.key, self.ts, self.rate, self.seed = key, ts, rate, seed
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch.column(self.key).to_numpy(zero_copy_only=False)
+        kh = hash_str_array(keys, seed=self.seed)
+        if self.ts is not None:
+            tsv = batch.column(self.ts).cast(pa.int64()).to_numpy(zero_copy_only=False)
+            h = mix64(kh, tsv.astype(np.uint64), 0x5A)
+        else:
+            h = mix64(kh, np.arange(len(keys), dtype=np.uint64), 0x5A)
+            # (no stable ts: per-batch index sampling — plan quality only)
+        take = (h % _MOD) < np.uint64(int(self.rate * float(_MOD)))
+        keys = keys[take]
+        if self.ts is not None:
+            tsv = tsv[take]
+        else:
+            tsv = np.zeros(int(take.sum()), dtype=np.int64)
+        uniq, inv = np.unique(keys, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        lo = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
+        hi = np.full(len(uniq), np.iinfo(np.int64).min, dtype=np.int64)
+        np.minimum.at(lo, inv, tsv)
+        np.maximum.at(hi, inv, tsv)
+        return pa.table({
+            "key": pa.array(uniq, type=pa.string()),
+            "n": pa.array(n), "ts_lo": pa.array(lo), "ts_hi": pa.array(hi),
+        })
+
+
+def plan_partitions(
+    ds,
+    key: str,
+    ts: str | None = None,
+    *,
+    target_rows_per_part: int = 100_000,
+    min_parts: int = 4,
+    max_parts: int = 4096,
+    sample_rate: float = 0.05,
+    hot_factor: float = 1.0,
+    split_hot_keys: bool = False,
+    seed: int = 0,
+) -> PartitionPlan:
+    """One sampling pass over (key, ts) → a PartitionPlan."""
+    cols = [key] + ([ts] if ts else [])
+    sample = (
+        ds.select_columns(cols)
+        .map_batches(
+            _SamplePartials(key, ts, sample_rate, seed),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    if len(sample) == 0:
+        return PartitionPlan(key=key, n_parts=1, boundaries=[], n_range=1,
+                             est_rows=0, sample_rate=sample_rate, seed=seed)
+    agg = sample.groupby("key", sort=False).agg(
+        n=("n", "sum"), ts_lo=("ts_lo", "min"), ts_hi=("ts_hi", "max")
+    ).reset_index()
+    est_rows = int(agg["n"].sum() / sample_rate)
+    n_parts = int(np.clip(int(np.ceil(est_rows / target_rows_per_part)),
+                          min_parts, max_parts))
+    per_part_budget = max(1, est_rows // n_parts)
+
+    est_key_rows = (agg["n"] / sample_rate).astype(int)
+    hot_mask = est_key_rows > hot_factor * per_part_budget
+    hot_keys = agg[hot_mask]
+    cold = agg[~hot_mask]
+
+    # range boundaries over hash space from the cold sample, count-weighted
+    kh = hash_str_array(cold["key"].to_numpy(), seed=seed) if len(cold) else np.array([], dtype=np.uint64)
+    n_hot_parts_est = int(
+        sum(max(1, int(np.ceil(r / per_part_budget))) if split_hot_keys else 1
+            for r in est_key_rows[hot_mask])
+    )
+    n_range = max(1, n_parts - n_hot_parts_est)
+    if len(cold) and n_range > 1:
+        order = np.argsort(kh)
+        w = cold["n"].to_numpy()[order].astype(np.float64)
+        cw = np.cumsum(w)
+        targets = cw[-1] * np.arange(1, n_range) / n_range
+        cut_idx = np.searchsorted(cw, targets)
+        boundaries = sorted(set(int(kh[order][min(i, len(order) - 1)]) for i in cut_idx))
+        n_range = len(boundaries) + 1
+    else:
+        boundaries = []
+        n_range = 1
+
+    hot: dict[str, int] = {}
+    hot_splits: dict[str, list[int]] = {}
+    next_pid = n_range
+    for _, row in hot_keys.sort_values("key").iterrows():
+        k = row["key"]
+        est = int(row["n"] / sample_rate)
+        n_sub = max(1, int(np.ceil(est / per_part_budget))) if split_hot_keys else 1
+        hot[k] = next_pid
+        if n_sub > 1:
+            # ts quantile bounds from the sampled rows of this key
+            ksample = sample[sample["key"] == k]
+            tvals = np.sort(
+                np.concatenate([ksample["ts_lo"].to_numpy(), ksample["ts_hi"].to_numpy()])
+            )
+            qs = np.quantile(tvals, np.arange(1, n_sub) / n_sub).astype(np.int64)
+            hot_splits[k] = sorted(set(int(q) for q in qs))
+            n_sub = len(hot_splits[k]) + 1
+        next_pid += n_sub
+    return PartitionPlan(
+        key=key, n_parts=next_pid, boundaries=boundaries, n_range=n_range,
+        hot=hot, hot_splits=hot_splits, est_rows=est_rows,
+        sample_rate=sample_rate, seed=seed,
+    )
+
+
+def assign_partition_ids(
+    keys: np.ndarray, plan: PartitionPlan, ts: np.ndarray | None = None
+) -> np.ndarray:
+    """Vectorized key (+ts for sub-split hot keys) → partition id."""
+    kh = hash_str_array(keys, seed=plan.seed)
+    bounds = np.asarray(plan.boundaries, dtype=np.uint64)
+    pid = np.searchsorted(bounds, kh, side="left").astype(np.int64)
+    if plan.hot:
+        uniq, inv = np.unique(keys, return_inverse=True)
+        base = np.array([plan.hot.get(u, -1) for u in uniq], dtype=np.int64)
+        hot_base = base[inv]
+        is_hot = hot_base >= 0
+        pid = np.where(is_hot, hot_base, pid)
+        if plan.hot_splits and ts is not None:
+            for k, bnds in plan.hot_splits.items():
+                m = keys == k
+                if m.any():
+                    sub = np.searchsorted(np.asarray(bnds, dtype=np.int64),
+                                          ts[m], side="left")
+                    pid[m] = plan.hot[k] + sub
+    return pid

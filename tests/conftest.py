@@ -21,6 +21,8 @@ def ray_session():
         ctx = DataContext.get_current()
         ctx.enable_progress_bars = False
         ctx.execution_options.verbose_progress = False
+        # ragged list<int32> token columns must stay plain Arrow lists
+        ctx.enable_tensor_extension_casting = False
     except Exception:
         pass
     yield
