@@ -66,10 +66,11 @@ def hash_str_array(values: np.ndarray, seed: int = 0) -> np.ndarray:
     Dictionary-encodes first: only unique strings are hashed in Python, then
     scattered back — O(unique) Python work, O(n) numpy work.
     """
-    arr = np.asarray(values, dtype=object)
+    arr = np.asarray(values)
     uniq, inv = np.unique(arr, return_inverse=True)
     hu = np.fromiter(
-        (hash_str(u, seed) for u in uniq), dtype=_U64, count=len(uniq)
+        (hash_str(u if isinstance(u, str) else str(u), seed) for u in uniq),
+        dtype=_U64, count=len(uniq),
     )
     return hu[inv]
 

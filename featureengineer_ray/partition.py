@@ -104,7 +104,7 @@ class _SamplePartials:
         np.minimum.at(lo, inv, tsv)
         np.maximum.at(hi, inv, tsv)
         return pa.table({
-            "key": pa.array(uniq, type=pa.string()),
+            "key": pa.array(uniq),
             "n": pa.array(n), "ts_lo": pa.array(lo), "ts_hi": pa.array(hi),
         })
 

@@ -1,0 +1,922 @@
+"""Driver-contract queries: one entry per implemented operator/pipeline
+(SURVEY.md §2), each paired with ANSI-SQL the DuckDB oracle runs on the same
+parquet tables. Column names and types match the SQL exactly; float columns
+that accumulate differently-ordered sums are rounded identically on both
+sides (numpy/pyarrow banker's rounding ↔ DuckDB ROUND_EVEN).
+
+Ray is initialised by the caller; nothing here calls ray.init().
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from . import dedup as dd
+from . import engine, knn, multimodal, relational, text
+
+HOUR_US = 3_600_000_000
+MIN30_US = 1_800_000_000
+
+
+def _rd():
+    import ray.data as rd
+
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_tensor_extension_casting = False
+    return rd
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    return _rd().read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _np_round(col, d: int) -> pa.Array:
+    """Banker's rounding, bitwise-matching DuckDB ROUND_EVEN (pc.round is
+    one ulp off on some inputs — verified empirically)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    x = col.cast(pa.float64()).to_numpy(zero_copy_only=False)
+    return pa.array(np.round(x, d), from_pandas=True)
+
+
+def _round_cols(ds, digits: dict[str, int]):
+    def fn(batch: pa.Table) -> pa.Table:
+        for col, d in digits.items():
+            if col in batch.column_names:
+                i = batch.column_names.index(col)
+                batch = batch.set_column(i, col, _np_round(batch.column(col), d))
+        return batch
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _select(ds, cols):
+    return ds.select_columns(cols)
+
+
+# --------------------------------------------------------------------------
+# events: as-of joins
+# --------------------------------------------------------------------------
+
+def _purchase_spine(sf_dir):
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def mk(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch.column("event_type"), "purchase"))
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "as_of_ts": b.column("ts"),
+            "spine_event_id": b.column("event_id"),
+        })
+
+    return ev.map_batches(mk, batch_format="pyarrow")
+
+
+def _click_events(sf_dir):
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type",
+                                  "value"])
+
+    def mk(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch.column("event_type"), "click"))
+        return b.drop_columns(["event_type"])
+
+    return ev.map_batches(mk, batch_format="pyarrow")
+
+
+def q_asof_purchase_click(sf_dir: str):
+    out = engine.asof_join(
+        _click_events(sf_dir), _purchase_spine(sf_dir),
+        key="user_id", ts="ts", value_cols=["value", "ts"],
+        tiebreak="event_id")
+    return _select(out, ["user_id", "as_of_ts", "spine_event_id", "value",
+                         "matched_ts"])
+
+
+SQL_ASOF = """
+SELECT p.user_id, p.ts AS as_of_ts, p.event_id AS spine_event_id,
+       c.value AS value, c.ts AS matched_ts
+FROM (SELECT user_id, ts, event_id FROM events WHERE event_type='purchase') p
+ASOF LEFT JOIN
+     (SELECT user_id, ts, value FROM events WHERE event_type='click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def q_asof_tolerance_1h(sf_dir: str):
+    out = engine.asof_join(
+        _click_events(sf_dir), _purchase_spine(sf_dir),
+        key="user_id", ts="ts", value_cols=["value", "ts"],
+        tolerance_us=HOUR_US, tiebreak="event_id")
+    return _select(out, ["user_id", "as_of_ts", "spine_event_id", "value",
+                         "matched_ts"])
+
+
+SQL_ASOF_TOL = """
+SELECT user_id, as_of_ts, spine_event_id,
+       CASE WHEN matched_ts IS NOT NULL
+                 AND as_of_ts - matched_ts <= INTERVAL 1 HOUR
+            THEN value END AS value,
+       CASE WHEN matched_ts IS NOT NULL
+                 AND as_of_ts - matched_ts <= INTERVAL 1 HOUR
+            THEN matched_ts END AS matched_ts
+FROM (
+  SELECT p.user_id, p.ts AS as_of_ts, p.event_id AS spine_event_id,
+         c.value AS value, c.ts AS matched_ts
+  FROM (SELECT user_id, ts, event_id FROM events WHERE event_type='purchase') p
+  ASOF LEFT JOIN
+       (SELECT user_id, ts, value FROM events WHERE event_type='click') c
+    ON p.user_id = c.user_id AND p.ts >= c.ts)
+"""
+
+
+# --------------------------------------------------------------------------
+# events: windowed feature stack
+# --------------------------------------------------------------------------
+
+def _events(sf_dir, cols=("event_id", "ts", "user_id", "event_type", "value")):
+    return _read(sf_dir, "events", list(cols))
+
+
+def q_window_lag_lead(sf_dir: str):
+    spec = engine.WindowSpec(
+        key="user_id", ts="ts", tiebreak="event_id",
+        lags={"value": [1, 2]}, leads={"value": [1]})
+    out = engine.window_features(_events(sf_dir), spec)
+    return _select(out, ["event_id", "user_id", "ts", "value",
+                         "value_lag_1", "value_lag_2", "value_lead_1"])
+
+
+SQL_LAG_LEAD = """
+SELECT event_id, user_id, ts, value,
+       lag(value, 1) OVER w AS value_lag_1,
+       lag(value, 2) OVER w AS value_lag_2,
+       lead(value, 1) OVER w AS value_lead_1
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_window_rolling5(sf_dir: str):
+    spec = engine.WindowSpec(
+        key="user_id", ts="ts", tiebreak="event_id",
+        rolling={"value": [5]})
+    out = engine.window_features(_events(sf_dir), spec)
+
+    def cast_count(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("value_roll_count_5")
+        return batch.set_column(
+            i, "value_roll_count_5",
+            batch.column("value_roll_count_5").cast(pa.int64()))
+
+    out = out.map_batches(cast_count, batch_format="pyarrow")
+    out = _round_cols(out, {"value_roll_sum_5": 6, "value_roll_mean_5": 6,
+                            "value_roll_std_5": 6})
+    return _select(out, ["event_id", "user_id", "ts",
+                         "value_roll_sum_5", "value_roll_mean_5",
+                         "value_roll_min_5", "value_roll_max_5",
+                         "value_roll_std_5", "value_roll_count_5"])
+
+
+SQL_ROLLING5 = """
+SELECT event_id, user_id, ts,
+       ROUND_EVEN(sum(value) OVER w, 6) AS value_roll_sum_5,
+       ROUND_EVEN(avg(value) OVER w, 6) AS value_roll_mean_5,
+       min(value) OVER w AS value_roll_min_5,
+       max(value) OVER w AS value_roll_max_5,
+       ROUND_EVEN(stddev_samp(value) OVER w, 6) AS value_roll_std_5,
+       count(value) OVER w AS value_roll_count_5
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_window_rolling_time_1h(sf_dir: str):
+    spec = engine.WindowSpec(
+        key="user_id", ts="ts", tiebreak="event_id",
+        rolling_time={"value": [HOUR_US]})
+    out = engine.window_features(_events(sf_dir), spec)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        names = [c.replace(f"_troll_sum_{HOUR_US}", "_troll_sum_1h")
+                 .replace(f"_troll_count_{HOUR_US}", "_troll_count_1h")
+                 for c in batch.column_names]
+        return batch.rename_columns(names)
+
+    out = out.map_batches(rename, batch_format="pyarrow")
+    out = _round_cols(out, {"value_troll_sum_1h": 6})
+    return _select(out, ["event_id", "user_id", "ts",
+                         "value_troll_sum_1h", "value_troll_count_1h"])
+
+
+SQL_ROLLING_TIME = """
+SELECT event_id, user_id, ts,
+       ROUND_EVEN(sum(value) OVER w, 6) AS value_troll_sum_1h,
+       count(value) OVER w AS value_troll_count_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_window_fill(sf_dir: str):
+    ev = _events(sf_dir)
+
+    def nullify(batch: pa.Table) -> pa.Table:
+        mask = pc.equal(batch.column("event_type"), "error")
+        v = pc.if_else(mask, pa.nulls(batch.num_rows, pa.float64()),
+                       batch.column("value"))
+        return batch.append_column("value_n", v)
+
+    ev = ev.map_batches(nullify, batch_format="pyarrow")
+    spec = engine.WindowSpec(
+        key="user_id", ts="ts", tiebreak="event_id",
+        ffill=["value_n"], bfill=["value_n"])
+    out = engine.window_features(ev, spec)
+    return _select(out, ["event_id", "user_id", "ts", "value_n",
+                         "value_n_ffill", "value_n_bfill"])
+
+
+SQL_FILL = """
+SELECT event_id, user_id, ts,
+       CASE WHEN event_type='error' THEN NULL ELSE value END AS value_n,
+       last_value(CASE WHEN event_type='error' THEN NULL ELSE value END
+                  IGNORE NULLS) OVER
+         (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_n_ffill,
+       first_value(CASE WHEN event_type='error' THEN NULL ELSE value END
+                   IGNORE NULLS) OVER
+         (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS value_n_bfill
+FROM events
+"""
+
+
+def q_sessionize_30m(sf_dir: str):
+    spec = engine.WindowSpec(
+        key="user_id", ts="ts", tiebreak="event_id",
+        session_gap_us=MIN30_US)
+    out = engine.window_features(_events(sf_dir), spec)
+    return _select(out, ["event_id", "user_id", "ts", "session_idx",
+                         "session_event_idx", "session_len"])
+
+
+SQL_SESSIONIZE = """
+WITH g AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT event_id, user_id, ts,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+  FROM g
+)
+SELECT event_id, user_id, ts, session_idx,
+       row_number() OVER (PARTITION BY user_id, session_idx
+                          ORDER BY ts, event_id) AS session_event_idx,
+       count(*) OVER (PARTITION BY user_id, session_idx) AS session_len
+FROM s
+"""
+
+
+def q_session_stats(sf_dir: str):
+    spec = engine.WindowSpec(
+        key="user_id", ts="ts", tiebreak="event_id",
+        session_gap_us=MIN30_US)
+    sess = engine.window_features(_events(sf_dir), spec)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "ts_us", batch.column("ts").cast(pa.int64()))
+
+    sess = sess.map_batches(prep, batch_format="pyarrow")
+    agg = relational.grouped_agg(
+        sess, ["user_id", "session_idx"],
+        {"value_sum": ("value", "sum"), "ts_first_us": ("ts_us", "min"),
+         "ts_last_us": ("ts_us", "max")},
+        count_alias="n_events")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        out = pa.table({
+            "user_id": batch.column("user_id"),
+            "session_idx": batch.column("session_idx"),
+            "n_events": batch.column("n_events").cast(pa.int64()),
+            "value_sum": _np_round(batch.column("value_sum"), 6),
+            "ts_first": batch.column("ts_first_us").cast(pa.timestamp("us")),
+            "ts_last": batch.column("ts_last_us").cast(pa.timestamp("us")),
+        })
+        return out
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_SESSION_STATS = """
+WITH g AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, value,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+  FROM g
+)
+SELECT user_id, session_idx, count(*) AS n_events,
+       ROUND_EVEN(sum(value), 6) AS value_sum,
+       min(ts) AS ts_first, max(ts) AS ts_last
+FROM s GROUP BY user_id, session_idx
+"""
+
+
+def q_dedup_first_event(sf_dir: str):
+    out = dd.exact_dedup(_events(sf_dir), keys=["user_id", "event_type"],
+                         order=["ts", "event_id"])
+    return _select(out, ["event_id", "user_id", "event_type", "ts", "value"])
+
+
+SQL_DEDUP_FIRST = """
+SELECT event_id, user_id, event_type, ts, value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) = 1
+"""
+
+
+def q_zscore_per_user(sf_dir: str):
+    spec = engine.WindowSpec(key="user_id", ts="ts", tiebreak="event_id",
+                             zscore=["value"])
+    out = engine.window_features(_events(sf_dir), spec)
+    out = _round_cols(out, {"value_z": 6})
+    return _select(out, ["event_id", "user_id", "ts", "value", "value_z"])
+
+
+SQL_ZSCORE = """
+SELECT event_id, user_id, ts, value,
+       ROUND_EVEN((value - avg(value) OVER (PARTITION BY user_id))
+             / NULLIF(stddev_samp(value) OVER (PARTITION BY user_id), 0),
+             6) AS value_z
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H-ish relational coverage
+# --------------------------------------------------------------------------
+
+def q_q1_pricing(sf_dir: str):
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount", "l_tax", "l_shipdate"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        b = batch.filter(
+            pc.less_equal(batch.column("l_shipdate"),
+                          pa.scalar(pd.Timestamp("1998-09-02"))))
+        disc_price = pc.multiply(
+            b.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), b.column("l_discount")))
+        charge = pc.multiply(disc_price,
+                             pc.add(pa.scalar(1.0), b.column("l_tax")))
+        b = b.append_column("disc_price", disc_price)
+        b = b.append_column("charge", charge)
+        return b
+
+    pre = li.map_batches(prep, batch_format="pyarrow")
+    agg = relational.grouped_agg(
+        pre, ["l_returnflag", "l_linestatus"],
+        {"sum_qty": ("l_quantity", "sum"),
+         "sum_base_price": ("l_extendedprice", "sum"),
+         "sum_disc_price": ("disc_price", "sum"),
+         "sum_charge": ("charge", "sum"),
+         "avg_qty": ("l_quantity", "mean"),
+         "avg_price": ("l_extendedprice", "mean"),
+         "avg_disc": ("l_discount", "mean")},
+        count_alias="count_order")
+    agg = _round_cols(agg, {"sum_qty": 2, "sum_base_price": 2,
+                            "sum_disc_price": 2, "sum_charge": 2,
+                            "avg_qty": 6, "avg_price": 6, "avg_disc": 6})
+
+    def cast_cnt(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("count_order")
+        return batch.set_column(i, "count_order",
+                                batch.column("count_order").cast(pa.int64()))
+
+    agg = agg.map_batches(cast_cnt, batch_format="pyarrow")
+    return _select(agg, ["l_returnflag", "l_linestatus", "sum_qty",
+                         "sum_base_price", "sum_disc_price", "sum_charge",
+                         "avg_qty", "avg_price", "avg_disc", "count_order"])
+
+
+SQL_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       ROUND_EVEN(sum(l_quantity), 2) AS sum_qty,
+       ROUND_EVEN(sum(l_extendedprice), 2) AS sum_base_price,
+       ROUND_EVEN(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND_EVEN(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+         AS sum_charge,
+       ROUND_EVEN(avg(l_quantity), 6) AS avg_qty,
+       ROUND_EVEN(avg(l_extendedprice), 6) AS avg_price,
+       ROUND_EVEN(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _dim_pdf(sf_dir: str, table: str, cols):
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{sf_dir}/{table}.parquet", columns=cols).to_pandas()
+
+
+def q_revenue_by_nation(sf_dir: str):
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _dim_pdf(sf_dir, "customer", ["c_custkey", "c_nationkey"]).rename(
+        columns={"c_custkey": "o_custkey"})
+    nation = _dim_pdf(sf_dir, "nation", ["n_nationkey", "n_name"]).rename(
+        columns={"n_nationkey": "c_nationkey"})
+    dim = cust.merge(nation, on="c_nationkey", how="inner")
+    joined = relational.broadcast_join(orders, dim, on="o_custkey",
+                                       how="inner")
+    agg = relational.grouped_agg(
+        joined, ["n_name"], {"revenue": ("o_totalprice", "sum")},
+        count_alias="n_orders")
+    agg = _round_cols(agg, {"revenue": 2})
+
+    def cast_cnt(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("n_orders")
+        return batch.set_column(i, "n_orders",
+                                batch.column("n_orders").cast(pa.int64()))
+
+    return _select(agg.map_batches(cast_cnt, batch_format="pyarrow"),
+                   ["n_name", "revenue", "n_orders"])
+
+
+SQL_REVENUE_NATION = """
+SELECT n_name, ROUND_EVEN(sum(o_totalprice), 2) AS revenue,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_top10_orders(sf_dir: str):
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"])
+    top = relational.top_k(orders, 10, by=["o_totalprice", "o_orderkey"],
+                           descending=[True, False])
+    cust = _dim_pdf(sf_dir, "customer", ["c_custkey", "c_name"]).rename(
+        columns={"c_custkey": "o_custkey"})
+    out = relational.broadcast_join(top, cust, on="o_custkey", how="left")
+    return _select(out, ["o_orderkey", "o_custkey", "o_totalprice", "c_name"])
+
+
+SQL_TOP10 = """
+SELECT o_orderkey, o_custkey, o_totalprice, c_name
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def _order_custkeys(sf_dir: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey"]).column(
+        "o_custkey").to_numpy(zero_copy_only=False)
+
+
+def q_semi_join_customers(sf_dir: str):
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_name", "c_mktsegment", "c_acctbal"])
+    out = relational.semi_join(cust, _order_custkeys(sf_dir), on="c_custkey")
+    return _select(out, ["c_custkey", "c_name", "c_mktsegment", "c_acctbal"])
+
+
+SQL_SEMI = """
+SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q_anti_join_customers(sf_dir: str):
+    """Customers with no URGENT order (anti semi-join, J6/D4)."""
+    import pyarrow.parquet as pq
+
+    ot = pq.read_table(f"{sf_dir}/orders.parquet",
+                       columns=["o_custkey", "o_orderpriority"])
+    urgent = ot.filter(
+        pc.equal(ot.column("o_orderpriority"), "1-URGENT")).column(
+        "o_custkey").to_numpy(zero_copy_only=False)
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_name", "c_mktsegment", "c_acctbal"])
+    out = relational.semi_join(cust, urgent, on="c_custkey", anti=True)
+    return _select(out, ["c_custkey", "c_name", "c_mktsegment", "c_acctbal"])
+
+
+SQL_ANTI = """
+SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT')
+"""
+
+
+def q_distinct_users_per_type(sf_dir: str):
+    ev = _read(sf_dir, "events", ["event_type", "user_id", "ts", "event_id"])
+    dedup = dd.exact_dedup(ev, keys=["event_type", "user_id"],
+                           order=["ts", "event_id"])
+    agg = relational.grouped_agg(dedup, ["event_type"], {},
+                                 count_alias="n_users")
+
+    def cast_cnt(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("n_users")
+        return batch.set_column(i, "n_users",
+                                batch.column("n_users").cast(pa.int64()))
+
+    return _select(agg.map_batches(cast_cnt, batch_format="pyarrow"),
+                   ["event_type", "n_users"])
+
+
+SQL_DISTINCT_USERS = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+def q_string_ops_part(sf_dir: str):
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_name", "p_type"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        brand = batch.column("p_brand")
+        upper = pc.utf8_upper(batch.column("p_type"))
+        num = pc.extract_regex(brand, r"(?P<num>[0-9]+)")
+        brand_num = pc.struct_field(num, "num").cast(pa.int64())
+        first_word = pc.list_element(
+            pc.split_pattern(batch.column("p_name"), " "), 0)
+        name_len = pc.utf8_length(batch.column("p_name")).cast(pa.int64())
+        tagged = pc.binary_join_element_wise(
+            brand, pc.cast(batch.column("p_partkey"), pa.string()), "#")
+        return pa.table({
+            "p_partkey": batch.column("p_partkey"),
+            "type_upper": upper,
+            "brand_num": brand_num,
+            "first_word": first_word,
+            "name_len": name_len,
+            "brand_key": tagged,
+        })
+
+    return part.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_STRING_OPS = """
+SELECT p_partkey,
+       upper(p_type) AS type_upper,
+       CAST(regexp_extract(p_brand, '[0-9]+') AS BIGINT) AS brand_num,
+       split_part(p_name, ' ', 1) AS first_word,
+       length(p_name) AS name_len,
+       p_brand || '#' || CAST(p_partkey AS VARCHAR) AS brand_key
+FROM part
+"""
+
+
+def q_json_props(sf_dir: str):
+    ev = _read(sf_dir, "events", ["event_type", "props"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        num = pc.extract_regex(batch.column("props"), r"(?P<k>[0-9]+)")
+        k = pc.struct_field(num, "k").cast(pa.int64())
+        return pa.table({"event_type": batch.column("event_type"), "k": k})
+
+    pre = ev.map_batches(fn, batch_format="pyarrow")
+    agg = relational.grouped_agg(pre, ["event_type"],
+                                 {"k_sum": ("k", "sum"),
+                                  "k_mean": ("k", "mean")},
+                                 count_alias="n")
+    agg = _round_cols(agg, {"k_mean": 6})
+
+    def cast_cols(batch: pa.Table) -> pa.Table:
+        out = batch.set_column(batch.column_names.index("n"), "n",
+                               batch.column("n").cast(pa.int64()))
+        return out.set_column(out.column_names.index("k_sum"), "k_sum",
+                              out.column("k_sum").cast(pa.int64()))
+
+    return _select(agg.map_batches(cast_cols, batch_format="pyarrow"),
+                   ["event_type", "k_sum", "k_mean", "n"])
+
+
+SQL_JSON_PROPS = """
+SELECT event_type,
+       CAST(sum(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT)
+         AS k_sum,
+       ROUND_EVEN(avg(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)), 6)
+         AS k_mean,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# documents: text analysis + dedup
+# --------------------------------------------------------------------------
+
+def q_doc_stats(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = docs.map_batches(text.doc_stats_batch, batch_format="pyarrow")
+    return _select(out, ["doc_id", "token_count", "n_chars_computed",
+                         "n_spaces"])
+
+
+SQL_DOC_STATS = """
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS token_count,
+       length(text) AS n_chars_computed,
+       length(text) - length(replace(text, ' ', '')) AS n_spaces
+FROM documents
+"""
+
+
+def q_dedup_docs(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    out = dd.exact_dedup(docs, keys=["text"], order=["doc_id"])
+    return _select(out, ["doc_id", "n_chars"])
+
+
+SQL_DEDUP_DOCS = """
+SELECT doc_id, n_chars
+FROM documents
+QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+"""
+
+
+def q_docs_by_lang(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
+    agg = relational.grouped_agg(
+        docs, ["lang", "source"],
+        {"avg_chars": ("n_chars", "mean"), "max_chars": ("n_chars", "max")},
+        count_alias="n_docs")
+    agg = _round_cols(agg, {"avg_chars": 6})
+
+    def cast_cols(batch: pa.Table) -> pa.Table:
+        out = batch.set_column(batch.column_names.index("n_docs"), "n_docs",
+                               batch.column("n_docs").cast(pa.int64()))
+        return out.set_column(
+            out.column_names.index("max_chars"), "max_chars",
+            out.column("max_chars").cast(pa.int64()))
+
+    return _select(agg.map_batches(cast_cols, batch_format="pyarrow"),
+                   ["lang", "source", "n_docs", "avg_chars", "max_chars"])
+
+
+SQL_DOCS_BY_LANG = """
+SELECT lang, source, count(*) AS n_docs,
+       ROUND_EVEN(avg(n_chars), 6) AS avg_chars, max(n_chars) AS max_chars
+FROM documents GROUP BY lang, source
+"""
+
+
+def q_multimodal_meta(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = multimodal.media_pipeline(docs)
+    return _select(out, ["media_id", "n_bytes"])
+
+
+SQL_MULTIMODAL_META = """
+SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# embeddings: similarity search
+# --------------------------------------------------------------------------
+
+def q_knn_cosine(sf_dir: str):
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    import pyarrow.parquet as pq
+
+    qdf = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]).to_pandas()
+    queries = qdf[qdf["vec_id"] < 10].reset_index(drop=True)
+
+    def corpus_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch.column("vec_id"), 10))
+
+    corpus = emb.map_batches(corpus_only, batch_format="pyarrow")
+    df = knn.brute_force_topk(corpus, queries, id_col="vec_id",
+                              vec_col="embedding", k=5)
+    df["cosine"] = np.round(df["cosine"].astype(float), 6)
+    df["rank"] = df["rank"].astype("int64")
+    return df[["query_id", "neighbor_id", "cosine", "rank"]]
+
+
+SQL_KNN = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+           WHERE vec_id < 10),
+     c AS (SELECT vec_id AS nid, embedding AS ne FROM embeddings
+           WHERE vec_id >= 10),
+     s AS (SELECT qid, nid,
+                  list_cosine_similarity(CAST(qe AS DOUBLE[]),
+                                         CAST(ne AS DOUBLE[])) AS cos
+           FROM q CROSS JOIN c)
+SELECT qid AS query_id, nid AS neighbor_id,
+       ROUND_EVEN(cos, 6) AS cosine, rn AS rank
+FROM (SELECT qid, nid, cos,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos DESC, nid) AS rn
+      FROM s)
+WHERE rn <= 5
+"""
+
+
+def q_embedding_norms(sf_dir: str):
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        vecs = np.stack(batch.column("embedding").to_pandas().to_numpy()).astype(np.float64)
+        l2 = np.round(np.sqrt((vecs * vecs).sum(axis=1)), 6)
+        dim = np.full(len(vecs), vecs.shape[1], dtype=np.int64)
+        return pa.table({
+            "vec_id": batch.column("vec_id"),
+            "label": batch.column("label").cast(pa.int64()),
+            "dim": pa.array(dim),
+            "l2_norm": pa.array(l2),
+        })
+
+    return emb.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_EMB_NORMS = """
+SELECT vec_id, CAST(label AS BIGINT) AS label,
+       len(embedding) AS dim,
+       ROUND_EVEN(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                        CAST(embedding AS DOUBLE[]))), 6)
+         AS l2_norm
+FROM embeddings
+"""
+
+
+# --------------------------------------------------------------------------
+# rows-only (non-SQL-expressible) pipelines
+# --------------------------------------------------------------------------
+
+def q_minhash_near_dup(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    cand = dd.minhash_candidate_pairs(docs, id_col="doc_id", text_col="text")
+    cand_df = cand.to_pandas()
+    import pyarrow.parquet as pq
+
+    docs_df = pq.read_table(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"]).to_pandas()
+    return dd.verify_jaccard_pairs(cand_df, docs_df, id_col="doc_id",
+                                   text_col="text", threshold=0.5)
+
+
+def q_simhash_fingerprints(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_numpy(zero_copy_only=False)
+        fp = dd.simhash64(texts)
+        out = pa.table({"doc_id": batch.column("doc_id"),
+                        "simhash": pa.array(fp.astype(np.int64))})
+        return out
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def q_lang_id_quality(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    out = docs.map_batches(text.LangIdQuality, batch_format="pyarrow",
+                           concurrency=(1, 4))
+    return _select(out, ["doc_id", "lang", "lang_pred", "quality"])
+
+
+def q_doc_fingerprint(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = docs.map_batches(text.fingerprint_batch, batch_format="pyarrow")
+    return _select(out, ["doc_id", "fingerprint"])
+
+
+def q_multimodal_decode_stub(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = multimodal.media_pipeline(docs)
+    return _select(out, ["media_id", "n_bytes", "px_mean", "px_std",
+                         "height", "width"])
+
+
+def q_knn_ivf(sf_dir: str):
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    import pyarrow.parquet as pq
+
+    qdf = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]).to_pandas()
+    queries = qdf[qdf["vec_id"] < 10].reset_index(drop=True)
+
+    def corpus_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch.column("vec_id"), 10))
+
+    corpus = emb.map_batches(corpus_only, batch_format="pyarrow")
+    return knn.ivf_topk(corpus, queries, id_col="vec_id",
+                        vec_col="embedding", k=5)
+
+
+def q_embedding_near_dup(sf_dir: str):
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = dd.embedding_near_dup_pairs(emb, id_col="vec_id",
+                                      vec_col="embedding", threshold=0.9)
+    return out
+
+
+def flagship_token_stack(sf_dir: str):
+    """The flagship pipeline over the input_hint token-table shape:
+    documents → deterministic tokenize → chunk into per-doc event sequences
+    with derived ts → windowed feature stack + as-of join (one shuffle)."""
+    from .pipelines import token_feature_stack
+
+    return token_feature_stack(sf_dir)
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES = {
+    "asof_purchase_click": q_asof_purchase_click,
+    "asof_tolerance_1h": q_asof_tolerance_1h,
+    "window_lag_lead": q_window_lag_lead,
+    "window_rolling5": q_window_rolling5,
+    "window_rolling_time_1h": q_window_rolling_time_1h,
+    "window_fill": q_window_fill,
+    "sessionize_30m": q_sessionize_30m,
+    "session_stats": q_session_stats,
+    "dedup_first_event": q_dedup_first_event,
+    "zscore_per_user": q_zscore_per_user,
+    "q1_pricing": q_q1_pricing,
+    "revenue_by_nation": q_revenue_by_nation,
+    "top10_orders": q_top10_orders,
+    "semi_join_customers": q_semi_join_customers,
+    "anti_join_customers": q_anti_join_customers,
+    "distinct_users_per_type": q_distinct_users_per_type,
+    "string_ops_part": q_string_ops_part,
+    "json_props": q_json_props,
+    "doc_stats": q_doc_stats,
+    "dedup_docs": q_dedup_docs,
+    "docs_by_lang": q_docs_by_lang,
+    "multimodal_meta": q_multimodal_meta,
+    "knn_cosine": q_knn_cosine,
+    "embedding_norms": q_embedding_norms,
+    # rows-only (no SQL oracle)
+    "minhash_near_dup": q_minhash_near_dup,
+    "simhash_fingerprints": q_simhash_fingerprints,
+    "lang_id_quality": q_lang_id_quality,
+    "doc_fingerprint": q_doc_fingerprint,
+    "multimodal_decode_stub": q_multimodal_decode_stub,
+    "knn_ivf": q_knn_ivf,
+    "embedding_near_dup": q_embedding_near_dup,
+    "flagship_token_stack": flagship_token_stack,
+}
+
+ORACLE_SQL = {
+    "asof_purchase_click": SQL_ASOF,
+    "asof_tolerance_1h": SQL_ASOF_TOL,
+    "window_lag_lead": SQL_LAG_LEAD,
+    "window_rolling5": SQL_ROLLING5,
+    "window_rolling_time_1h": SQL_ROLLING_TIME,
+    "window_fill": SQL_FILL,
+    "sessionize_30m": SQL_SESSIONIZE,
+    "session_stats": SQL_SESSION_STATS,
+    "dedup_first_event": SQL_DEDUP_FIRST,
+    "zscore_per_user": SQL_ZSCORE,
+    "q1_pricing": SQL_Q1,
+    "revenue_by_nation": SQL_REVENUE_NATION,
+    "top10_orders": SQL_TOP10,
+    "semi_join_customers": SQL_SEMI,
+    "anti_join_customers": SQL_ANTI,
+    "distinct_users_per_type": SQL_DISTINCT_USERS,
+    "string_ops_part": SQL_STRING_OPS,
+    "json_props": SQL_JSON_PROPS,
+    "doc_stats": SQL_DOC_STATS,
+    "dedup_docs": SQL_DEDUP_DOCS,
+    "docs_by_lang": SQL_DOCS_BY_LANG,
+    "multimodal_meta": SQL_MULTIMODAL_META,
+    "knn_cosine": SQL_KNN,
+    "embedding_norms": SQL_EMB_NORMS,
+}

@@ -1,0 +1,158 @@
+"""Relational operators: broadcast joins, semi/anti joins, partial-agg
+groupby, top-k — the engine's counterparts of the reference's metadata-spine
+relational work (SURVEY.md §2.4/§2.5/§2.6).
+
+Design rules (scale-first):
+
+- **Small side is broadcast**, never shuffled: the dimension table is read
+  once, `ray.put` into the object store, and probed with a vectorized pandas
+  merge / numpy ``searchsorted`` inside ``map_batches`` — the reference's
+  dict-probe joins (``PrepareData.py:252-260,486-487``) done right.
+- **Grouped aggregates pre-aggregate per batch** (map-side combine) so the
+  all-to-all ``groupby`` only moves one row per (batch × key) — the
+  reference's MPI ``Reduce`` partial+final shape (``mpiIV.py:469-496``).
+- **Top-k** computes per-batch candidates before the global sort+limit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def broadcast_join(
+    ds,
+    small: pd.DataFrame,
+    *,
+    on: list[str] | str,
+    how: str = "inner",
+    suffix: str = "_r",
+):
+    """Join a Dataset against a small in-memory table (broadcast hash join).
+
+    ``small`` is shipped once via the object store (Ray serializes the
+    closure's ``ObjectRef``), not re-pickled per batch. ``how`` in
+    {'inner','left'}.
+    """
+    import ray
+
+    if isinstance(on, str):
+        on = [on]
+    ref = ray.put(small)
+
+    class _Probe:
+        def __init__(self):
+            self.small = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            left = batch.to_pandas()
+            out = left.merge(self.small, on=on, how=how,
+                             suffixes=("", suffix))
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+    return ds.map_batches(_Probe, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def semi_join(ds, keys: set | np.ndarray | pd.Series, *, on: str,
+              anti: bool = False):
+    """Keep rows whose `on` value is (not) in the broadcast key set."""
+    import ray
+
+    arr = np.asarray(list(keys) if isinstance(keys, set) else keys)
+    ref = ray.put(np.unique(arr))
+
+    class _Filter:
+        def __init__(self):
+            self.keys = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vals = batch.column(on).to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(self.keys, vals)
+            pos = np.clip(pos, 0, max(len(self.keys) - 1, 0))
+            hit = (self.keys[pos] == vals) if len(self.keys) else np.zeros(
+                len(vals), dtype=bool)
+            return batch.filter(pa.array(~hit if anti else hit))
+
+    return ds.map_batches(_Filter, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def grouped_agg(
+    ds,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    *,
+    count_alias: str | None = None,
+):
+    """Grouped aggregation with map-side combine.
+
+    ``aggs``: output_name -> (input_col, fn) with fn in
+    {'sum','min','max','count','mean'}; 'mean' is decomposed into
+    sum+count partials and finalized after the shuffle. ``count_alias``
+    adds a plain row count.
+    """
+    partial_specs: list[tuple[str, str, str]] = []  # (pname, col, fn)
+    finals: list[tuple[str, str]] = []
+    for out_name, (col, fn) in aggs.items():
+        if fn == "mean":
+            partial_specs.append((f"__s_{out_name}", col, "sum"))
+            partial_specs.append((f"__c_{out_name}", col, "count"))
+            finals.append((out_name, "mean"))
+        else:
+            partial_specs.append((out_name, col, fn))
+            finals.append((out_name, fn))
+    if count_alias:
+        partial_specs.append((count_alias, None, "size"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(keys, sort=False)
+        out = {}
+        for pname, col, fn in partial_specs:
+            if fn == "size":
+                out[pname] = g.size()
+            elif fn == "count":
+                out[pname] = g[col].count()
+            else:
+                out[pname] = getattr(g[col], fn)()
+        res = pd.DataFrame(out).reset_index()
+        return pa.Table.from_pandas(res, preserve_index=False)
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    combine = []
+    for pname, col, fn in partial_specs:
+        if fn in ("sum", "count", "size"):
+            combine.append(Sum(pname, alias_name=pname))
+        elif fn == "min":
+            combine.append(Min(pname, alias_name=pname))
+        elif fn == "max":
+            combine.append(Max(pname, alias_name=pname))
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    merged = partials.groupby(keys).aggregate(*combine)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        for out_name, fn in finals:
+            if fn == "mean":
+                df[out_name] = df[f"__s_{out_name}"] / df[f"__c_{out_name}"]
+                df = df.drop(columns=[f"__s_{out_name}", f"__c_{out_name}"])
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return merged.map_batches(finalize, batch_format="pyarrow")
+
+
+def top_k(ds, k: int, *, by: list[str], descending: list[bool]):
+    """Global top-k: per-batch truncation, then one small sort+limit."""
+
+    def local(batch: pa.Table) -> pa.Table:
+        if batch.num_rows <= k:
+            return batch
+        order = [(c, "descending" if d else "ascending")
+                 for c, d in zip(by, descending)]
+        idx = pc.sort_indices(batch, sort_keys=order)[:k]
+        return batch.take(idx)
+
+    pruned = ds.map_batches(local, batch_format="pyarrow")
+    return pruned.sort(by, descending=descending).limit(k)
