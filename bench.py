@@ -1,0 +1,164 @@
+"""Benchmark harness.
+
+Runs the headline pipelines and prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "headline_rows": R, "headline_rows_per_sec": X}
+
+- input tables: $GRAFT_SF_DIR (default /root/testdata/sf0.1)
+- headline: the flagship token feature stack (dedup + windowed features +
+  as-of join, one shuffle) over a deterministically synthesized token-event
+  corpus (datagen, seed-stable; cached parquet under /tmp)
+- `--scaling`: runs the headline in TWO fresh processes at num_cpus=8 and 32
+  on the same input and reports both throughputs + scaling efficiency
+  (T8/T32/4 in rows/sec terms). Evidence for the N→4N criterion.
+
+This script OWNS its Ray session (init/shutdown); library code never does.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+BENCH_ROWS = int(os.environ.get("FE_BENCH_ROWS", 1_000_000))
+BENCH_ENTITIES = int(os.environ.get("FE_BENCH_ENTITIES", 5_000))
+CORPUS_DIR = f"/tmp/fe_bench_corpus_r{BENCH_ROWS}_e{BENCH_ENTITIES}"
+
+
+def ensure_corpus() -> dict:
+    import pyarrow.dataset as pds
+
+    from featureengineer_ray.datagen import GenSpec, write_corpus
+
+    marker = os.path.join(CORPUS_DIR, "_DONE")
+    if os.path.exists(marker):
+        return {"events": os.path.join(CORPUS_DIR, "events"),
+                "spine": os.path.join(CORPUS_DIR, "spine.parquet")}
+    spec = GenSpec(n_rows=BENCH_ROWS, n_entities=BENCH_ENTITIES,
+                   zipf_a=1.1, seed=42, max_len=256,
+                   n_spine=BENCH_ROWS // 4)
+    paths = write_corpus(CORPUS_DIR, spec, n_files=32)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return paths
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data as rd
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+    ctx.enable_tensor_extension_casting = False
+
+    import pyarrow as pa
+
+    from featureengineer_ray import engine, queries as Q
+    from featureengineer_ray.pipelines import run_token_stack
+
+    paths = ensure_corpus()
+
+    def consume(ds) -> int:
+        n = 0
+        for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            n += b.num_rows
+        return n
+
+    # warm the OS page cache (untimed)
+    rd.read_parquet(paths["events"]).count()
+
+    results: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    t0 = time.time()
+    ev = rd.read_parquet(paths["events"])
+    sp = rd.read_parquet(paths["spine"])
+    n_out = consume(run_token_stack(ev, sp))
+    dt = time.time() - t0
+    results["flagship_token_stack"] = round(dt, 3)
+    extras["headline_rows"] = n_out
+    extras["headline_rows_per_sec"] = round(n_out / dt, 1)
+
+    t0 = time.time()
+    spec = engine.WindowSpec(
+        key="user_id", ts="ts", tiebreak="event_id",
+        lags={"value": [1, 2]}, rolling={"value": [5]},
+        rolling_time={"value": [3_600_000_000]},
+        session_gap_us=1_800_000_000, zscore=["value"])
+    consume(engine.window_features(
+        rd.read_parquet(f"{sf_dir}/events.parquet"), spec))
+    results["events_window_stack"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    Q.q_q1_pricing(sf_dir).to_pandas()
+    results["q1_pricing"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    Q.q_revenue_by_nation(sf_dir).to_pandas()
+    results["revenue_by_nation"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    Q.q_minhash_near_dup(sf_dir)
+    results["minhash_near_dup"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    Q.q_knn_cosine(sf_dir)
+    results["knn_cosine"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    consume(Q.q_doc_stats(sf_dir))
+    results["doc_stats"] = round(time.time() - t0, 3)
+
+    ray.shutdown()
+    out = {
+        "metric": "feature_rows_per_sec (flagship token stack) + suite wall",
+        "value": round(sum(results.values()), 3),
+        "unit": "sec",
+        "queries": results,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+    }
+    out.update(extras)
+    return out
+
+
+def run_subprocess(ncpu: int) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    p = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                       capture_output=True, text=True, check=True)
+    return json.loads(p.stdout.strip().splitlines()[-1])
+
+
+def main():
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if "--scaling" in sys.argv:
+        lo, hi = 8, 32
+        r_lo = run_subprocess(lo)
+        r_hi = run_subprocess(hi)
+        tput_lo = r_lo["headline_rows_per_sec"]
+        tput_hi = r_hi["headline_rows_per_sec"]
+        eff = (tput_hi / tput_lo) / (hi / lo)
+        print(json.dumps({
+            "headline_rows": r_lo["headline_rows"],
+            "rows_per_sec_8": tput_lo,
+            "rows_per_sec_32": tput_hi,
+            "sec_8": r_lo["queries"]["flagship_token_stack"],
+            "sec_32": r_hi["queries"]["flagship_token_stack"],
+            "scaling_efficiency": round(eff, 3),
+        }))
+        return
+    print(json.dumps(run_bench(sf_dir, num_cpus)))
+
+
+if __name__ == "__main__":
+    main()

@@ -37,8 +37,9 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from . import kernels
+from . import kernels, splitstate
 from .partition import PartitionPlan, assign_partition_ids, plan_partitions
+from .splitstate import CTX_COL, SubCorrection
 
 PART_COL = "__part"
 SIDE_COL = "__side"
@@ -150,27 +151,182 @@ def _compute_window_columns(
     return out
 
 
+def _split_sessionize(
+    part: kernels.SortedPartition, n_ctx: int, gap_us: int,
+    corr: SubCorrection,
+) -> dict[str, np.ndarray]:
+    """Session columns for a split sub: exact via fold corrections.
+
+    Sized over ALL rows (ctx + local). Only local rows and the LAST ctx row
+    carry exact values (the last ctx row is the only ctx row an as-of merge
+    can ever match — it is the latest event before the sub's range)."""
+    n_all = part.n
+    n_loc = n_all - n_ctx
+    sidx = np.zeros(n_all, dtype=np.int64)
+    seidx = np.zeros(n_all, dtype=np.int64)
+    slen = np.zeros(n_all, dtype=np.int64)
+    if n_loc > 0:
+        tsl = part.ts[n_ctx:]
+        new = np.empty(n_loc, dtype=bool)
+        new[0] = True
+        if n_loc > 1:
+            new[1:] = np.diff(tsl) > gap_us
+        sl = np.cumsum(new.astype(np.int64))          # local session idx
+        starts = np.flatnonzero(new)
+        se = np.arange(n_loc, dtype=np.int64) - starts[sl - 1] + 1
+        lens = np.diff(np.concatenate((starts, [n_loc])))
+        ln = lens[sl - 1].copy()
+        first = sl == 1
+        last = sl == sl[-1]
+        if corr.merge:
+            se[first] += corr.prior_rows
+            if corr.first_total is not None:
+                ln[first] = corr.first_total
+        if corr.last_total is not None:
+            ln[last] = corr.last_total
+        sidx[n_ctx:] = sl + corr.session_offset - (1 if corr.merge else 0)
+        seidx[n_ctx:] = se
+        slen[n_ctx:] = ln
+    if n_ctx > 0:
+        # only the last ctx row needs exact values (see docstring)
+        sidx[:n_ctx] = max(corr.session_offset, 1)
+        if corr.merge:
+            seidx[n_ctx - 1] = corr.prior_rows
+            slen[n_ctx - 1] = (corr.first_total
+                               if corr.first_total is not None
+                               else (corr.prior_rows
+                                     + (slen[n_ctx] if n_loc else 0)))
+            if n_loc and corr.first_total is None:
+                slen[n_ctx - 1] = slen[n_ctx]
+        else:
+            seidx[n_ctx - 1] = corr.prev_last_seidx
+            slen[n_ctx - 1] = corr.prev_last_slen
+    return {"session_idx": sidx, "session_event_idx": seidx,
+            "session_len": slen}
+
+
+def _compute_split_columns(
+    part: kernels.SortedPartition, n_ctx: int, spec: WindowSpec,
+    corr: SubCorrection,
+) -> dict[str, pa.Array]:
+    """Feature columns for one hot-entity sub (ctx rows included in input)."""
+    out: dict[str, pa.Array] = {}
+    tbl = part.table
+    for col, ks in spec.lags.items():
+        src = tbl.column(col)
+        for k in ks:
+            idx, valid = kernels.lag_indices(part, k)
+            out[f"{col}_lag_{k}"] = kernels.take_with_mask(src, idx, valid)
+    for col, ks in spec.leads.items():
+        src = tbl.column(col)
+        for k in ks:
+            idx, valid = kernels.lead_indices(part, k)
+            out[f"{col}_lead_{k}"] = kernels.take_with_mask(src, idx, valid)
+    for col, ws in spec.rolling.items():
+        x = _float_col(tbl, col)
+        for w in ws:
+            stats = kernels.rolling_rows(part, x, w)
+            for s in spec.rolling_stats:
+                out[f"{col}_roll_{s}_{w}"] = pa.array(stats[s],
+                                                      from_pandas=True)
+    for col, wins in spec.rolling_time.items():
+        x = _float_col(tbl, col)
+        for w in wins:
+            stats = kernels.rolling_time(part, x, w)
+            out[f"{col}_troll_sum_{w}"] = pa.array(stats["sum"],
+                                                   from_pandas=True)
+            out[f"{col}_troll_count_{w}"] = pa.array(
+                stats["count"].astype(np.int64))
+    for col in spec.ffill:
+        x = _float_col(tbl, col)
+        idx, ok = kernels.ffill_indices(part, ~np.isnan(x))
+        taken = kernels.take_with_mask(tbl.column(col), idx, ok)
+        carry = corr.ffill_carry.get(col, np.nan)
+        if not (isinstance(carry, float) and np.isnan(carry)):
+            fallback = pa.scalar(float(carry), type=pa.float64()).cast(
+                taken.type)
+            taken = pc.if_else(pa.array(ok), taken, fallback)
+        out[f"{col}_ffill"] = taken
+    for col in spec.bfill:
+        # bfill across a FORWARD boundary would need future state; split
+        # subs only support bfill within the sub (leads rejected upstream
+        # for as-of outputs; window_features validates this).
+        x = _float_col(tbl, col)
+        idx, ok = kernels.bfill_indices(part, ~np.isnan(x))
+        out[f"{col}_bfill"] = kernels.take_with_mask(tbl.column(col), idx, ok)
+    if spec.session_gap_us is not None:
+        sess = _split_sessionize(part, n_ctx, spec.session_gap_us, corr)
+        out["session_idx"] = pa.array(sess["session_idx"])
+        out["session_event_idx"] = pa.array(sess["session_event_idx"])
+        out["session_len"] = pa.array(sess["session_len"])
+    for col in spec.zscore:
+        x = _float_col(tbl, col)
+        cnt, s, ssq = corr.moments.get(col, (0.0, 0.0, 0.0))
+        if cnt >= 2:
+            mean = s / cnt
+            var = max(ssq - s * s / cnt, 0.0) / (cnt - 1)
+            std = float(np.sqrt(var))
+        else:
+            std = 0.0
+        z = np.full(part.n, np.nan)
+        if std > 0.0:
+            z = (x - (s / cnt)) / std
+            z[np.isnan(x)] = np.nan
+        out[f"{col}_z"] = pa.array(z, from_pandas=True)
+    return out
+
+
 class _WindowKernel:
     """map_groups callable: one partition in → feature rows out."""
 
-    def __init__(self, spec: WindowSpec):
+    def __init__(self, spec: WindowSpec,
+                 corrections: dict[int, SubCorrection] | None = None):
         self.spec = spec
+        self.corrections = corrections or {}
 
     def __call__(self, group: pa.Table) -> pa.Table:
         spec = self.spec
-        if PART_COL in group.column_names:
-            group = group.drop_columns([PART_COL])
+        pid = (group.column(PART_COL)[0].as_py()
+               if PART_COL in group.column_names and group.num_rows else None)
+        drop = [c for c in (PART_COL,) if c in group.column_names]
+        if drop:
+            group = group.drop_columns(drop)
+        corr = self.corrections.get(pid)
+        has_ctx = CTX_COL in group.column_names
+        if corr is None:
+            if has_ctx:
+                group = group.drop_columns([CTX_COL])
+            part = kernels.sort_partition(group, spec.key, spec.ts,
+                                          spec.tiebreak)
+            if spec.dedup:
+                keep = kernels.dedup_first_mask(part)
+                if not keep.all():
+                    part = kernels.sort_partition(
+                        part.table.filter(pa.array(keep)), spec.key, spec.ts,
+                        spec.tiebreak)
+            feats = _compute_window_columns(part, spec)
+            tbl = part.table
+            for name, arr in feats.items():
+                tbl = tbl.append_column(name, arr)
+            return tbl
+        # split-sub path: ctx rows participate in windows, then are dropped
         part = kernels.sort_partition(group, spec.key, spec.ts, spec.tiebreak)
         if spec.dedup:
             keep = kernels.dedup_first_mask(part)
             if not keep.all():
-                filtered = part.table.filter(pa.array(keep))
                 part = kernels.sort_partition(
-                    filtered, spec.key, spec.ts, spec.tiebreak)
-        feats = _compute_window_columns(part, spec)
+                    part.table.filter(pa.array(keep)), spec.key, spec.ts,
+                    spec.tiebreak)
+        ctx_flags = (part.table.column(CTX_COL).to_numpy(zero_copy_only=False)
+                     if has_ctx else np.zeros(part.n, dtype=np.int8))
+        n_ctx = int((ctx_flags == 1).sum())
+        feats = _compute_split_columns(part, n_ctx, spec, corr)
         tbl = part.table
         for name, arr in feats.items():
             tbl = tbl.append_column(name, arr)
+        tbl = tbl.filter(pa.array(ctx_flags == 0))
+        if has_ctx:
+            tbl = tbl.drop_columns([CTX_COL])
         return tbl
 
 
@@ -191,6 +347,7 @@ class _AsofKernel:
         tolerance_us: int | None = None,
         spec: WindowSpec | None = None,
         dedup: bool = False,
+        corrections: dict[int, SubCorrection] | None = None,
     ):
         self.key, self.ts, self.tiebreak = key, ts, tiebreak
         self.value_cols = value_cols
@@ -198,10 +355,16 @@ class _AsofKernel:
         self.tolerance_us = tolerance_us
         self.spec = spec
         self.dedup = dedup
+        self.corrections = corrections or {}
 
     def __call__(self, group: pa.Table) -> pa.Table:
         side = group.column(SIDE_COL).to_numpy(zero_copy_only=False)
+        pid = (group.column(PART_COL)[0].as_py()
+               if PART_COL in group.column_names and group.num_rows else None)
+        corr = self.corrections.get(pid)
         drop = [c for c in (PART_COL, SIDE_COL) if c in group.column_names]
+        if corr is None and CTX_COL in group.column_names:
+            drop.append(CTX_COL)
         ev_tbl = group.filter(pa.array(side == 0)).drop_columns(drop)
         sp_tbl = group.filter(pa.array(side == 1)).drop_columns(drop)
 
@@ -215,7 +378,22 @@ class _AsofKernel:
 
         feats: dict[str, pa.Array] = {}
         feat_tbl = part.table
-        if self.spec is not None:
+        if corr is not None:
+            # split sub: ctx rows are real prior events with full payload —
+            # valid as-of candidates AND window context; features computed
+            # with fold corrections (sessions, ffill carry, moments).
+            ctx_flags = (
+                part.table.column(CTX_COL).to_numpy(zero_copy_only=False)
+                if CTX_COL in part.table.column_names
+                else np.zeros(part.n, dtype=np.int8))
+            n_ctx = int((ctx_flags == 1).sum())
+            if self.spec is not None:
+                feats = _compute_split_columns(part, n_ctx, self.spec, corr)
+                for name, arr in feats.items():
+                    feat_tbl = feat_tbl.append_column(name, arr)
+            if CTX_COL in feat_tbl.column_names:
+                feat_tbl = feat_tbl.drop_columns([CTX_COL])
+        elif self.spec is not None:
             feats = _compute_window_columns(part, self.spec)
             for name, arr in feats.items():
                 feat_tbl = feat_tbl.append_column(name, arr)
@@ -258,8 +436,12 @@ def _ensure_plan(ds, key, ts, plan, **plan_kwargs) -> PartitionPlan:
 
 
 class _AssignPart:
-    def __init__(self, plan: PartitionPlan, ts: str | None):
-        self.plan, self.ts = plan, ts
+    """Adds __part; with a ctx_map also duplicates the boundary-context
+    rows of split hot entities into their next sub, flagged __ctx=1 (full
+    payload — these are the as-of / lag / rolling context carriers)."""
+
+    def __init__(self, plan: PartitionPlan, ts: str | None, ctx_map=None):
+        self.plan, self.ts, self.ctx_map = plan, ts, ctx_map
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         keys = batch.column(self.plan.key).to_numpy(zero_copy_only=False)
@@ -268,7 +450,68 @@ class _AssignPart:
             tsv = batch.column(self.ts).cast(pa.int64()).to_numpy(
                 zero_copy_only=False)
         pid = assign_partition_ids(keys, self.plan, tsv)
-        return batch.append_column(PART_COL, pa.array(pid, type=pa.int32()))
+        out = batch.append_column(PART_COL, pa.array(pid, type=pa.int32()))
+        if not self.ctx_map:
+            return out
+        side = (batch.column(SIDE_COL).to_numpy(zero_copy_only=False)
+                if SIDE_COL in batch.column_names else None)
+        out = out.append_column(
+            CTX_COL, pa.array(np.zeros(batch.num_rows, dtype=np.int8)))
+        dup_rows: list[int] = []
+        dup_pids: list[int] = []
+        for k, (cts, cpids) in self.ctx_map.items():
+            m = keys == k
+            if side is not None:
+                m &= side == 0  # only event rows carry context
+            if not m.any():
+                continue
+            rows = np.flatnonzero(m)
+            rts = tsv[rows]
+            lo = np.searchsorted(cts, rts, side="left")
+            hi = np.searchsorted(cts, rts, side="right")
+            hit = np.flatnonzero(hi > lo)
+            for r in hit:
+                for j in range(lo[r], hi[r]):
+                    dup_rows.append(int(rows[r]))
+                    dup_pids.append(int(cpids[j]))
+        if not dup_rows:
+            return out
+        dup = batch.take(pa.array(dup_rows, type=pa.int64()))
+        dup = dup.append_column(
+            PART_COL, pa.array(np.asarray(dup_pids, dtype=np.int32)))
+        dup = dup.append_column(
+            CTX_COL, pa.array(np.ones(len(dup_rows), dtype=np.int8)))
+        return pa.concat_tables([out, dup])
+
+
+def _split_state(ds, plan: PartitionPlan, spec: WindowSpec | None,
+                 key: str, ts: str, tiebreak: str | None,
+                 fused_asof: bool = False):
+    """Narrow pre-pass + driver fold when the plan sub-splits hot keys."""
+    if not plan.hot_splits:
+        return None, None
+    if spec is not None:
+        numeric = spec.numeric_cols()
+        gap = spec.session_gap_us
+        # fused as-of: the last ctx row is itself a matchable event whose
+        # windowed features must be exact → it needs its own C predecessors
+        ctx_rows = spec.context_rows + (spec.context_rows if fused_asof else 0)
+        twins = [w for ws in spec.rolling_time.values() for w in ws]
+        if spec.leads or spec.bfill:
+            # forward context for split entities is not carried; reject
+            # rather than silently emit wrong leads/bfill at boundaries.
+            raise ValueError(
+                "lead/bfill are not supported on sub-split hot entities; "
+                "disable split_hot_keys or drop leads/bfill")
+    else:
+        numeric, gap, ctx_rows, twins = [], None, 1, []
+    summaries = splitstate.presummarize(
+        ds, plan, key=key, ts=ts, tiebreak=tiebreak, numeric_cols=numeric,
+        gap_us=gap)
+    corr = splitstate.fold_corrections(
+        summaries, plan, context_rows=ctx_rows, gap_us=gap,
+        time_windows_us=twins)
+    return corr, splitstate.build_ctx_map(corr)
 
 
 def window_features(
@@ -280,10 +523,12 @@ def window_features(
 ):
     """The windowed feature stack as one shuffle + one vectorized kernel."""
     plan = _ensure_plan(ds, spec.key, spec.ts, plan, **plan_kwargs)
+    corrections, ctx_map = _split_state(ds, plan, spec, spec.key, spec.ts,
+                                        spec.tiebreak)
     tagged = ds.map_batches(
-        _AssignPart(plan, spec.ts), batch_format="pyarrow",
+        _AssignPart(plan, spec.ts, ctx_map), batch_format="pyarrow",
         zero_copy_batch=True)
-    kern = _WindowKernel(spec)
+    kern = _WindowKernel(spec, corrections)
 
     def window_kernel(group: pa.Table) -> pa.Table:
         return kern(group)
@@ -309,6 +554,27 @@ def _harmonize(ds, schema: pa.Schema, side: int):
         return pa.Table.from_arrays(arrays, schema=schema)
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _pa_schema(ds) -> pa.Schema:
+    """Arrow schema of a Dataset, robust to pandas-block datasets."""
+    s = ds.schema()
+    base = getattr(s, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base
+    fields = []
+    for n, t in zip(s.names, s.types):
+        if isinstance(t, pa.DataType):
+            fields.append(pa.field(n, t))
+        else:
+            dt = np.dtype(t)
+            if dt.kind == "M":
+                fields.append(pa.field(n, pa.timestamp("us")))
+            elif dt.kind == "O":
+                fields.append(pa.field(n, pa.string()))
+            else:
+                fields.append(pa.field(n, pa.from_numpy_dtype(dt)))
+    return pa.schema(fields)
 
 
 def _union_schema(ev_schema: pa.Schema, sp_schema: pa.Schema,
@@ -345,8 +611,8 @@ def asof_join(
     whole operator costs exactly one all-to-all exchange; the per-partition
     kernel separates sides and runs the galloping binary-search merge.
     """
-    ev_schema = events.schema().base_schema
-    sp_schema = spine.schema().base_schema
+    ev_schema = _pa_schema(events)
+    sp_schema = _pa_schema(spine)
     schema = _union_schema(ev_schema, sp_schema, key, ts, spine_ts)
 
     # spine's ts column is renamed into the event ts slot for the union
@@ -357,15 +623,19 @@ def asof_join(
     spine_r = spine.map_batches(rename_spine, batch_format="pyarrow",
                                 zero_copy_batch=True)
     plan = _ensure_plan(events, key, ts, plan, **plan_kwargs)
+    corrections, ctx_map = _split_state(events, plan, spec, key, ts, tiebreak,
+                                        fused_asof=True)
     ev_u = _harmonize(events, schema, side=0)
     sp_u = _harmonize(spine_r, schema, side=1)
     both = ev_u.union(sp_u)
     tagged = both.map_batches(
-        _AssignPart(plan, ts), batch_format="pyarrow", zero_copy_batch=True)
+        _AssignPart(plan, ts, ctx_map), batch_format="pyarrow",
+        zero_copy_batch=True)
     spine_cols = [ts if c == spine_ts else c for c in sp_schema.names]
     kern = _AsofKernel(
         key, ts, tiebreak, value_cols=value_cols, spine_cols=spine_cols,
-        tolerance_us=tolerance_us, spec=spec, dedup=dedup)
+        tolerance_us=tolerance_us, spec=spec, dedup=dedup,
+        corrections=corrections)
 
     def asof_kernel(group: pa.Table) -> pa.Table:
         return kern(group)

@@ -118,9 +118,14 @@ def default_spec() -> engine.WindowSpec:
 
 def run_token_stack(events_ds, spine_ds=None, spec: engine.WindowSpec | None = None,
                     **plan_kwargs):
-    """dedup + windowed features + as-of join, one shuffle (the flagship)."""
+    """dedup + windowed features + as-of join, one shuffle (the flagship).
+
+    Hot entities are sub-split into time-contiguous ranges by default
+    (exact via splitstate's boundary corrections) — the Zipf head entity
+    would otherwise serialize the whole pipeline on one partition."""
     spec = spec or default_spec()
     spine_ds = spine_ds if spine_ds is not None else last_chunk_spine(events_ds)
+    plan_kwargs.setdefault("split_hot_keys", True)
     return engine.feature_stack(
         events_ds, spine_ds, spec,
         value_cols=["tokens", "n_tok", "event_seq"], dedup=True,
