@@ -22,18 +22,42 @@ import pyarrow as pa
 from .hashing import hash_str_array, mix64, splitmix64
 
 
+def _n_parts(default: int = 32) -> int:
+    try:
+        import ray
+
+        return max(8, 2 * int(ray.cluster_resources().get("CPU", 4)))
+    except Exception:
+        return default
+
+
 def exact_dedup(ds, keys: list[str], order: list[str]):
     """Keep the first row per `keys` combination, ordered by `order`.
 
     Reference semantics: first occurrence wins (PrepareData.py:649).
-    One hash shuffle on the key columns.
-    """
+    One hash-partition shuffle on the key columns; each partition then
+    dedups ALL of its key groups in one vectorized pass (per-key
+    map_groups calls would pay Python overhead per group — the key
+    cardinality can approach the row count)."""
+    import pyarrow as pa
 
-    def first_per_group(g: pd.DataFrame) -> pd.DataFrame:
+    P = _n_parts()
+
+    def assign(batch: pa.Table) -> pa.Table:
+        h = np.zeros(batch.num_rows, dtype=np.uint64)
+        for k in keys:
+            vals = batch.column(k).to_numpy(zero_copy_only=False)
+            h = mix64(h, hash_str_array(vals))
+        return batch.append_column(
+            "__part", pa.array((h % np.uint64(P)).astype(np.int32)))
+
+    def dedup_part(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(order, kind="stable")
-        return g.drop_duplicates(subset=keys, keep="first")
+        g = g.drop_duplicates(subset=keys, keep="first")
+        return g.drop(columns=["__part"])
 
-    return ds.groupby(keys).map_groups(first_per_group, batch_format="pandas")
+    return ds.map_batches(assign, batch_format="pyarrow").groupby(
+        "__part").map_groups(dedup_part, batch_format="pandas")
 
 
 # --------------------------------------------------------------------------
@@ -121,25 +145,59 @@ def minhash_candidate_pairs(
     ds, *, id_col: str, text_col: str, num_perm: int = 64, bands: int = 16,
     k: int = 5, seed: int = 1,
 ):
-    """LSH candidate pairs: (id_a < id_b, n_shared_bands). One shuffle of
-    signature rows only."""
+    """LSH candidate pairs with shared-band counts (pandas DataFrame).
 
-    def explode(batch: pa.Table) -> pa.Table:
-        return minhash_explode(batch, id_col=id_col, text_col=text_col,
-                               num_perm=num_perm, bands=bands, k=k, seed=seed)
+    One shuffle of the tiny signature rows only — documents never move.
+    Each hash partition generates the pairs of ALL its (band, hash)
+    buckets in one vectorized pass (triu per bucket segment); the final
+    shared-band count is a driver-side reduce over the (small) candidate
+    pair set."""
+    P = _n_parts()
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].to_numpy())
-        if len(ids) < 2:
+    def explode_assign(batch: pa.Table) -> pa.Table:
+        sig = minhash_explode(batch, id_col=id_col, text_col=text_col,
+                              num_perm=num_perm, bands=bands, k=k, seed=seed)
+        h = mix64(sig.column("band_id").to_numpy(zero_copy_only=False)
+                  .astype(np.uint64),
+                  sig.column("band_hash").to_numpy(zero_copy_only=False)
+                  .view(np.uint64))
+        return sig.append_column(
+            "__part", pa.array((h % np.uint64(P)).astype(np.int32)))
+
+    def pairs_vec(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["band_id", "band_hash", "doc_id"], kind="stable")
+        bid = g["band_id"].to_numpy()
+        bh = g["band_hash"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        n = len(g)
+        if n == 0:
             return pd.DataFrame({"id_a": [], "id_b": []})
-        a, b = np.triu_indices(len(ids), 1)
-        return pd.DataFrame({"id_a": ids[a], "id_b": ids[b]})
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = (np.diff(bid) != 0) | (np.diff(bh) != 0)
+        starts = np.flatnonzero(new)
+        ends = np.concatenate((starts[1:], [n]))
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            a, b = np.triu_indices(m, 1)
+            out_a.append(ids[s + a])
+            out_b.append(ids[s + b])
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b)})
 
-    sig_rows = ds.map_batches(explode, batch_format="pyarrow")
-    cand = sig_rows.groupby(["band_id", "band_hash"]).map_groups(
-        pairs, batch_format="pandas")
-    # count shared bands per pair (small table by construction)
-    return cand.groupby(["id_a", "id_b"]).count()
+    cand = ds.map_batches(explode_assign, batch_format="pyarrow").groupby(
+        "__part").map_groups(pairs_vec, batch_format="pandas")
+    pdf = cand.to_pandas()  # candidate pairs ≪ corpus by construction
+    if len(pdf) == 0:
+        return pd.DataFrame(columns=["id_a", "id_b", "n_bands"])
+    out = pdf.groupby(["id_a", "id_b"], sort=True).size().reset_index(
+        name="n_bands")
+    return out
 
 
 def verify_jaccard_pairs(

@@ -99,56 +99,89 @@ class WindowSpec:
 # per-partition kernels (run inside map_groups)
 # --------------------------------------------------------------------------
 
-def _float_col(tbl: pa.Table, name: str) -> np.ndarray:
-    return tbl.column(name).cast(pa.float64()).to_numpy(zero_copy_only=False)
+def _num_sorted(part: kernels.SortedPartition, name: str) -> np.ndarray:
+    """float64 values of a column in SORTED order (numpy gather, no Arrow
+    take of payloads)."""
+    col = part.orig.column(name)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    x = col.cast(pa.float64()).to_numpy(zero_copy_only=False)
+    return x[part.order]
+
+
+def _is_numeric_col(part: kernels.SortedPartition, name: str) -> bool:
+    t = part.orig.schema.field(name).type
+    return (pa.types.is_integer(t) or pa.types.is_floating(t)
+            or pa.types.is_timestamp(t))
+
+
+def _shift_feature(part, col: str, idx: np.ndarray, valid: np.ndarray):
+    """lag/lead column in SORTED space: numpy shift for numeric columns,
+    Arrow take for payload (list/string) columns."""
+    src = part.orig.column(col)
+    if isinstance(src, pa.ChunkedArray):
+        src = src.combine_chunks()
+    if _is_numeric_col(part, col):
+        orig_idx = part.order[np.clip(idx, 0, max(part.n - 1, 0))]
+        return kernels.take_with_mask(src, orig_idx, valid)
+    sorted_col = part.sorted_column(col)
+    return kernels.take_with_mask(sorted_col, idx, valid)
 
 
 def _compute_window_columns(
     part: kernels.SortedPartition, spec: WindowSpec
-) -> dict[str, pa.Array]:
-    """All windowed feature columns for one sorted partition."""
-    out: dict[str, pa.Array] = {}
-    tbl = part.table
+) -> dict[str, object]:
+    """All windowed feature columns for one sorted view, in SORTED space.
+
+    Values are numpy float/int arrays or Arrow arrays; callers align them
+    (scatter via part.inv for original-order output, or gather by as-of
+    match index)."""
+    out: dict[str, object] = {}
     for col, ks in spec.lags.items():
-        src = tbl.column(col)
         for k in ks:
             idx, valid = kernels.lag_indices(part, k)
-            out[f"{col}_lag_{k}"] = kernels.take_with_mask(src, idx, valid)
+            out[f"{col}_lag_{k}"] = _shift_feature(part, col, idx, valid)
     for col, ks in spec.leads.items():
-        src = tbl.column(col)
         for k in ks:
             idx, valid = kernels.lead_indices(part, k)
-            out[f"{col}_lead_{k}"] = kernels.take_with_mask(src, idx, valid)
+            out[f"{col}_lead_{k}"] = _shift_feature(part, col, idx, valid)
     for col, ws in spec.rolling.items():
-        x = _float_col(tbl, col)
+        x = _num_sorted(part, col)
         for w in ws:
             stats = kernels.rolling_rows(part, x, w)
             for s in spec.rolling_stats:
-                out[f"{col}_roll_{s}_{w}"] = pa.array(stats[s], from_pandas=True)
+                out[f"{col}_roll_{s}_{w}"] = stats[s]
     for col, wins in spec.rolling_time.items():
-        x = _float_col(tbl, col)
+        x = _num_sorted(part, col)
         for w in wins:
             stats = kernels.rolling_time(part, x, w)
-            out[f"{col}_troll_sum_{w}"] = pa.array(stats["sum"], from_pandas=True)
-            out[f"{col}_troll_count_{w}"] = pa.array(
-                stats["count"].astype(np.int64))
+            out[f"{col}_troll_sum_{w}"] = stats["sum"]
+            out[f"{col}_troll_count_{w}"] = stats["count"].astype(np.int64)
     for col in spec.ffill:
-        x = _float_col(tbl, col)
+        x = _num_sorted(part, col)
         idx, ok = kernels.ffill_indices(part, ~np.isnan(x))
-        out[f"{col}_ffill"] = kernels.take_with_mask(tbl.column(col), idx, ok)
+        out[f"{col}_ffill"] = np.where(ok, x[np.clip(idx, 0, None)], np.nan)
     for col in spec.bfill:
-        x = _float_col(tbl, col)
+        x = _num_sorted(part, col)
         idx, ok = kernels.bfill_indices(part, ~np.isnan(x))
-        out[f"{col}_bfill"] = kernels.take_with_mask(tbl.column(col), idx, ok)
+        out[f"{col}_bfill"] = np.where(ok, x[np.clip(idx, 0, None)], np.nan)
     if spec.session_gap_us is not None:
         sess = kernels.sessionize(part, spec.session_gap_us)
-        out["session_idx"] = pa.array(sess["session_idx"])
-        out["session_event_idx"] = pa.array(sess["session_event_idx"])
-        out["session_len"] = pa.array(sess["session_len"])
+        out["session_idx"] = sess["session_idx"]
+        out["session_event_idx"] = sess["session_event_idx"]
+        out["session_len"] = sess["session_len"]
     for col in spec.zscore:
-        x = _float_col(tbl, col)
-        out[f"{col}_z"] = pa.array(kernels.zscore(part, x), from_pandas=True)
+        x = _num_sorted(part, col)
+        out[f"{col}_z"] = kernels.zscore(part, x)
     return out
+
+
+def _scatter_to_orig(part: kernels.SortedPartition, feat) -> pa.Array:
+    """Sorted-space feature → column aligned to the ORIGINAL row order."""
+    inv = part.inv
+    if isinstance(feat, np.ndarray):
+        return pa.array(feat[inv], from_pandas=True)
+    return pc.take(feat, pa.array(inv, type=pa.int64()))
 
 
 def _split_sessionize(
@@ -208,62 +241,53 @@ def _split_sessionize(
 def _compute_split_columns(
     part: kernels.SortedPartition, n_ctx: int, spec: WindowSpec,
     corr: SubCorrection,
-) -> dict[str, pa.Array]:
-    """Feature columns for one hot-entity sub (ctx rows included in input)."""
-    out: dict[str, pa.Array] = {}
-    tbl = part.table
+) -> dict[str, object]:
+    """Feature columns (SORTED space) for one hot-entity sub — ctx rows
+    included in the input view, session/fill/moment state from the fold."""
+    out: dict[str, object] = {}
     for col, ks in spec.lags.items():
-        src = tbl.column(col)
         for k in ks:
             idx, valid = kernels.lag_indices(part, k)
-            out[f"{col}_lag_{k}"] = kernels.take_with_mask(src, idx, valid)
+            out[f"{col}_lag_{k}"] = _shift_feature(part, col, idx, valid)
     for col, ks in spec.leads.items():
-        src = tbl.column(col)
         for k in ks:
             idx, valid = kernels.lead_indices(part, k)
-            out[f"{col}_lead_{k}"] = kernels.take_with_mask(src, idx, valid)
+            out[f"{col}_lead_{k}"] = _shift_feature(part, col, idx, valid)
     for col, ws in spec.rolling.items():
-        x = _float_col(tbl, col)
+        x = _num_sorted(part, col)
         for w in ws:
             stats = kernels.rolling_rows(part, x, w)
             for s in spec.rolling_stats:
-                out[f"{col}_roll_{s}_{w}"] = pa.array(stats[s],
-                                                      from_pandas=True)
+                out[f"{col}_roll_{s}_{w}"] = stats[s]
     for col, wins in spec.rolling_time.items():
-        x = _float_col(tbl, col)
+        x = _num_sorted(part, col)
         for w in wins:
             stats = kernels.rolling_time(part, x, w)
-            out[f"{col}_troll_sum_{w}"] = pa.array(stats["sum"],
-                                                   from_pandas=True)
-            out[f"{col}_troll_count_{w}"] = pa.array(
-                stats["count"].astype(np.int64))
+            out[f"{col}_troll_sum_{w}"] = stats["sum"]
+            out[f"{col}_troll_count_{w}"] = stats["count"].astype(np.int64)
     for col in spec.ffill:
-        x = _float_col(tbl, col)
+        x = _num_sorted(part, col)
         idx, ok = kernels.ffill_indices(part, ~np.isnan(x))
-        taken = kernels.take_with_mask(tbl.column(col), idx, ok)
+        vals = np.where(ok, x[np.clip(idx, 0, None)], np.nan)
         carry = corr.ffill_carry.get(col, np.nan)
         if not (isinstance(carry, float) and np.isnan(carry)):
-            fallback = pa.scalar(float(carry), type=pa.float64()).cast(
-                taken.type)
-            taken = pc.if_else(pa.array(ok), taken, fallback)
-        out[f"{col}_ffill"] = taken
+            vals = np.where(ok, vals, float(carry))
+        out[f"{col}_ffill"] = vals
     for col in spec.bfill:
         # bfill across a FORWARD boundary would need future state; split
-        # subs only support bfill within the sub (leads rejected upstream
-        # for as-of outputs; window_features validates this).
-        x = _float_col(tbl, col)
+        # subs only support bfill within the sub (rejected upstream).
+        x = _num_sorted(part, col)
         idx, ok = kernels.bfill_indices(part, ~np.isnan(x))
-        out[f"{col}_bfill"] = kernels.take_with_mask(tbl.column(col), idx, ok)
+        out[f"{col}_bfill"] = np.where(ok, x[np.clip(idx, 0, None)], np.nan)
     if spec.session_gap_us is not None:
         sess = _split_sessionize(part, n_ctx, spec.session_gap_us, corr)
-        out["session_idx"] = pa.array(sess["session_idx"])
-        out["session_event_idx"] = pa.array(sess["session_event_idx"])
-        out["session_len"] = pa.array(sess["session_len"])
+        out["session_idx"] = sess["session_idx"]
+        out["session_event_idx"] = sess["session_event_idx"]
+        out["session_len"] = sess["session_len"]
     for col in spec.zscore:
-        x = _float_col(tbl, col)
+        x = _num_sorted(part, col)
         cnt, s, ssq = corr.moments.get(col, (0.0, 0.0, 0.0))
         if cnt >= 2:
-            mean = s / cnt
             var = max(ssq - s * s / cnt, 0.0) / (cnt - 1)
             std = float(np.sqrt(var))
         else:
@@ -272,7 +296,7 @@ def _compute_split_columns(
         if std > 0.0:
             z = (x - (s / cnt)) / std
             z[np.isnan(x)] = np.nan
-        out[f"{col}_z"] = pa.array(z, from_pandas=True)
+        out[f"{col}_z"] = z
     return out
 
 
@@ -285,47 +309,81 @@ class _WindowKernel:
         self.corrections = corrections or {}
 
     def __call__(self, group: pa.Table) -> pa.Table:
+        """Handles a block holding one or many partitions: all non-split
+        rows are processed in ONE vectorized pass (kernels segment by
+        entity, not by partition); each split sub is processed with its
+        fold correction."""
         spec = self.spec
-        pid = (group.column(PART_COL)[0].as_py()
-               if PART_COL in group.column_names and group.num_rows else None)
-        drop = [c for c in (PART_COL,) if c in group.column_names]
-        if drop:
-            group = group.drop_columns(drop)
-        corr = self.corrections.get(pid)
-        has_ctx = CTX_COL in group.column_names
-        if corr is None:
-            if has_ctx:
-                group = group.drop_columns([CTX_COL])
-            part = kernels.sort_partition(group, spec.key, spec.ts,
-                                          spec.tiebreak)
-            if spec.dedup:
-                keep = kernels.dedup_first_mask(part)
-                if not keep.all():
-                    part = kernels.sort_partition(
-                        part.table.filter(pa.array(keep)), spec.key, spec.ts,
-                        spec.tiebreak)
-            feats = _compute_window_columns(part, spec)
-            tbl = part.table
-            for name, arr in feats.items():
-                tbl = tbl.append_column(name, arr)
-            return tbl
-        # split-sub path: ctx rows participate in windows, then are dropped
+        if group.num_rows == 0:
+            return group
+        pids = (group.column(PART_COL).to_numpy(zero_copy_only=False)
+                if PART_COL in group.column_names else None)
+        split_pids = (np.array(sorted(
+            {p for p in np.unique(pids) if p in self.corrections}))
+            if pids is not None and self.corrections else np.zeros(0))
+        drop = [c for c in (PART_COL, CTX_COL) if c in group.column_names]
+        if len(split_pids) == 0:
+            g = group.drop_columns(drop) if drop else group
+            return self._plain(g)
+        is_split = np.isin(pids, split_pids)
+        outs = []
+        plain = group.filter(pa.array(~is_split))
+        if plain.num_rows:
+            outs.append(self._plain(plain.drop_columns(drop)))
+        for p in split_pids:
+            sub = group.filter(pa.array(pids == p))
+            outs.append(self._split(sub, self.corrections[int(p)]))
+        return pa.concat_tables(outs, promote_options="default")
+
+    def _plain(self, group: pa.Table) -> pa.Table:
+        spec = self.spec
         part = kernels.sort_partition(group, spec.key, spec.ts, spec.tiebreak)
         if spec.dedup:
             keep = kernels.dedup_first_mask(part)
             if not keep.all():
-                part = kernels.sort_partition(
-                    part.table.filter(pa.array(keep)), spec.key, spec.ts,
-                    spec.tiebreak)
-        ctx_flags = (part.table.column(CTX_COL).to_numpy(zero_copy_only=False)
-                     if has_ctx else np.zeros(part.n, dtype=np.int8))
-        n_ctx = int((ctx_flags == 1).sum())
-        feats = _compute_split_columns(part, n_ctx, spec, corr)
-        tbl = part.table
+                part = kernels.filter_sorted(part, keep)
+                feats = _compute_window_columns(part, spec)
+                tbl = part.table  # reduced sorted materialization
+                for name, arr in feats.items():
+                    tbl = tbl.append_column(
+                        name, arr if not isinstance(arr, np.ndarray)
+                        else pa.array(arr, from_pandas=True))
+                return tbl
+        feats = _compute_window_columns(part, spec)
+        tbl = part.orig
         for name, arr in feats.items():
-            tbl = tbl.append_column(name, arr)
-        tbl = tbl.filter(pa.array(ctx_flags == 0))
-        if has_ctx:
+            tbl = tbl.append_column(name, _scatter_to_orig(part, arr))
+        return tbl
+
+    def _split(self, group: pa.Table, corr: SubCorrection) -> pa.Table:
+        spec = self.spec
+        drop = [c for c in (PART_COL,) if c in group.column_names]
+        if drop:
+            group = group.drop_columns(drop)
+        part = kernels.sort_partition(group, spec.key, spec.ts, spec.tiebreak)
+        if spec.dedup:
+            keep = kernels.dedup_first_mask(part)
+            if not keep.all():
+                part = kernels.filter_sorted(part, keep)
+        has_ctx = CTX_COL in group.column_names
+        ctx_orig = (group.column(CTX_COL).to_numpy(zero_copy_only=False)
+                    if has_ctx else np.zeros(group.num_rows, dtype=np.int8))
+        ctx_sorted = ctx_orig[part.order]
+        n_ctx = int((ctx_sorted == 1).sum())
+        feats = _compute_split_columns(part, n_ctx, spec, corr)
+        # output = real (non-ctx) surviving rows, original order
+        keep_sorted = ctx_sorted == 0
+        reduced = kernels.filter_sorted(part, keep_sorted)
+        tbl = part.orig.take(pa.array(reduced.order, type=pa.int64()))
+        for name, arr in feats.items():
+            if isinstance(arr, np.ndarray):
+                tbl = tbl.append_column(
+                    name, pa.array(arr[keep_sorted], from_pandas=True))
+            else:
+                tbl = tbl.append_column(
+                    name, pc.take(arr, pa.array(
+                        np.flatnonzero(keep_sorted), type=pa.int64())))
+        if has_ctx and CTX_COL in tbl.column_names:
             tbl = tbl.drop_columns([CTX_COL])
         return tbl
 
@@ -358,10 +416,30 @@ class _AsofKernel:
         self.corrections = corrections or {}
 
     def __call__(self, group: pa.Table) -> pa.Table:
-        side = group.column(SIDE_COL).to_numpy(zero_copy_only=False)
-        pid = (group.column(PART_COL)[0].as_py()
-               if PART_COL in group.column_names and group.num_rows else None)
-        corr = self.corrections.get(pid)
+        """Multi-partition block: non-split partitions merge in one pass;
+        each split sub merges with its fold correction."""
+        if group.num_rows == 0:
+            return self._one(group, None)
+        pids = (group.column(PART_COL).to_numpy(zero_copy_only=False)
+                if PART_COL in group.column_names else None)
+        split_pids = (np.array(sorted(
+            {p for p in np.unique(pids) if p in self.corrections}))
+            if pids is not None and self.corrections else np.zeros(0))
+        if len(split_pids) == 0:
+            return self._one(group, None)
+        is_split = np.isin(pids, split_pids)
+        outs = []
+        plain = group.filter(pa.array(~is_split))
+        if plain.num_rows:
+            outs.append(self._one(plain, None))
+        for p in split_pids:
+            sub = group.filter(pa.array(pids == p))
+            outs.append(self._one(sub, self.corrections[int(p)]))
+        return pa.concat_tables(outs, promote_options="default")
+
+    def _one(self, group: pa.Table, corr: SubCorrection | None) -> pa.Table:
+        side = (group.column(SIDE_COL).to_numpy(zero_copy_only=False)
+                if group.num_rows else np.zeros(0, dtype=np.int8))
         drop = [c for c in (PART_COL, SIDE_COL) if c in group.column_names]
         if corr is None and CTX_COL in group.column_names:
             drop.append(CTX_COL)
@@ -372,56 +450,57 @@ class _AsofKernel:
         if self.dedup:
             keep = kernels.dedup_first_mask(part)
             if not keep.all():
-                part = kernels.sort_partition(
-                    part.table.filter(pa.array(keep)), self.key, self.ts,
-                    self.tiebreak)
+                part = kernels.filter_sorted(part, keep)
 
-        feats: dict[str, pa.Array] = {}
-        feat_tbl = part.table
+        feats: dict[str, object] = {}
         if corr is not None:
             # split sub: ctx rows are real prior events with full payload —
             # valid as-of candidates AND window context; features computed
             # with fold corrections (sessions, ffill carry, moments).
-            ctx_flags = (
-                part.table.column(CTX_COL).to_numpy(zero_copy_only=False)
-                if CTX_COL in part.table.column_names
-                else np.zeros(part.n, dtype=np.int8))
-            n_ctx = int((ctx_flags == 1).sum())
+            ctx_orig = (
+                ev_tbl.column(CTX_COL).to_numpy(zero_copy_only=False)
+                if CTX_COL in ev_tbl.column_names
+                else np.zeros(ev_tbl.num_rows, dtype=np.int8))
+            n_ctx = int((ctx_orig[part.order] == 1).sum())
             if self.spec is not None:
                 feats = _compute_split_columns(part, n_ctx, self.spec, corr)
-                for name, arr in feats.items():
-                    feat_tbl = feat_tbl.append_column(name, arr)
-            if CTX_COL in feat_tbl.column_names:
-                feat_tbl = feat_tbl.drop_columns([CTX_COL])
         elif self.spec is not None:
             feats = _compute_window_columns(part, self.spec)
-            for name, arr in feats.items():
-                feat_tbl = feat_tbl.append_column(name, arr)
 
         # shared code space: spine keys mapped into the partition's encoding
         sp_keys = sp_tbl.column(self.key).to_numpy(zero_copy_only=False)
-        sp_codes = np.searchsorted(part.uniques, sp_keys)
-        if len(part.uniques):
-            sp_codes = np.clip(sp_codes, 0, len(part.uniques) - 1)
-            present = part.uniques[sp_codes] == sp_keys
-        else:
-            sp_codes = np.zeros(len(sp_keys), dtype=np.int64)
-            present = np.zeros(len(sp_keys), dtype=bool)
+        sp_codes, present = kernels.map_keys_to_codes(part.uniques, sp_keys)
         sp_ts = sp_tbl.column(self.ts).cast(pa.int64()).to_numpy(
             zero_copy_only=False)
         idx, valid = kernels.asof_merge(
-            part.codes, part.ts, sp_codes.astype(np.int64), sp_ts,
+            part.codes, part.ts, np.where(present, sp_codes, 0), sp_ts,
             self.tolerance_us)
         valid &= present
 
         out = sp_tbl.select(self.spine_cols)
         out = out.rename_columns(
             [c if c != self.ts else "as_of_ts" for c in self.spine_cols])
-        emit = list(self.value_cols) + list(feats.keys())
-        for c in emit:
+        safe_idx = np.clip(idx, 0, max(part.n - 1, 0))
+        orig_idx = (part.order[safe_idx] if part.n
+                    else np.zeros(len(idx), dtype=np.int64))
+        for c in self.value_cols:
+            col = ev_tbl.column(c)
             out = out.append_column(
                 f"matched_{c}" if c == self.ts else c,
-                kernels.take_with_mask(feat_tbl.column(c), idx, valid))
+                kernels.take_with_mask(col, orig_idx, valid))
+        for name, arr in feats.items():
+            if isinstance(arr, np.ndarray):
+                vals = (arr[safe_idx] if part.n
+                        else np.zeros(len(idx), dtype=arr.dtype))
+                if np.issubdtype(arr.dtype, np.floating):
+                    col = pa.array(np.where(valid, vals, np.nan),
+                                   from_pandas=True)
+                else:
+                    col = pa.array(vals, mask=~valid)
+                out = out.append_column(name, col)
+            else:
+                out = out.append_column(
+                    name, kernels.take_with_mask(arr, idx, valid))
         return out
 
 
@@ -433,6 +512,36 @@ def _ensure_plan(ds, key, ts, plan, **plan_kwargs) -> PartitionPlan:
     if plan is None:
         plan = plan_partitions(ds, key, ts, **plan_kwargs)
     return plan
+
+
+import os as _os
+
+EXCHANGE = _os.environ.get("FE_EXCHANGE", "groupby")  # "groupby" | "hash"
+
+
+def _exchange_by_part(tagged, plan: PartitionPlan, kern_fn):
+    """The engine's one all-to-all: co-locate rows by __part, then run the
+    per-partition kernel (kernels handle blocks holding one or many
+    complete partitions — they segment by entity internally).
+
+    Default is the sort-based groupby exchange (measured faster than the
+    hash-shuffle strategy on this Ray build for payload-heavy rows —
+    1M-row flagship: 34.6s vs 46.5s); set FE_EXCHANGE=hash to use
+    repartition(keys=) under ShuffleStrategy.HASH_SHUFFLE instead."""
+    if EXCHANGE == "hash":
+        try:
+            from ray.data.context import ShuffleStrategy
+
+            # per-dataset context copy: affects only this chain
+            tagged.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+            rp = tagged.repartition(num_blocks=plan.n_parts, keys=[PART_COL],
+                                    sort=False)
+            return rp.map_batches(kern_fn, batch_format="pyarrow",
+                                  batch_size=None, zero_copy_batch=True)
+        except (ImportError, AttributeError):
+            pass
+    return tagged.groupby(PART_COL).map_groups(
+        kern_fn, batch_format="pyarrow")
 
 
 class _AssignPart:
@@ -533,8 +642,7 @@ def window_features(
     def window_kernel(group: pa.Table) -> pa.Table:
         return kern(group)
 
-    return tagged.groupby(PART_COL).map_groups(
-        window_kernel, batch_format="pyarrow")
+    return _exchange_by_part(tagged, plan, window_kernel)
 
 
 def _harmonize(ds, schema: pa.Schema, side: int):
@@ -640,8 +748,7 @@ def asof_join(
     def asof_kernel(group: pa.Table) -> pa.Table:
         return kern(group)
 
-    return tagged.groupby(PART_COL).map_groups(
-        asof_kernel, batch_format="pyarrow")
+    return _exchange_by_part(tagged, plan, asof_kernel)
 
 
 def feature_stack(

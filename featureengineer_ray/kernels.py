@@ -48,18 +48,52 @@ def _float_with_nan(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
 
 @dataclass
 class SortedPartition:
-    """One partition sorted by (entity code, ts, tiebreak)."""
+    """A partition viewed in (entity code, ts, tiebreak) sorted order.
 
-    table: pa.Table            # rows in sorted order
-    codes: np.ndarray          # int64 entity code per row (partition-local)
-    ts: np.ndarray             # int64 µs per row
+    The underlying Arrow table is NOT physically reordered — ``order`` maps
+    sorted positions to original rows, so wide payloads (token lists) are
+    never copied just to sort. Kernels operate on the small sorted int
+    arrays; outputs are scattered back with ``inv`` / gathered with
+    ``order`` (see engine helpers).
+    """
+
+    orig: pa.Table             # original (unsorted) rows
+    order: np.ndarray          # sorted_pos -> original row index
+    codes: np.ndarray          # int64 entity code per SORTED row
+    ts: np.ndarray             # int64 µs per SORTED row
     seg_offsets: np.ndarray    # int64, len nseg+1; segment i = [off[i], off[i+1])
-    seg_of_row: np.ndarray     # int64 segment index per row
+    seg_of_row: np.ndarray     # int64 segment index per SORTED row
     uniques: np.ndarray        # object array: code -> entity key value
+    _inv: np.ndarray | None = None
+    _sorted_tbl: pa.Table | None = None
 
     @property
     def n(self) -> int:
         return len(self.codes)
+
+    @property
+    def inv(self) -> np.ndarray:
+        """original row index -> sorted position."""
+        if self._inv is None:
+            inv = np.empty(len(self.order), dtype=np.int64)
+            inv[self.order] = np.arange(len(self.order), dtype=np.int64)
+            self._inv = inv
+        return self._inv
+
+    @property
+    def table(self) -> pa.Table:
+        """The physically sorted table (materialized on first use — only
+        tests and small paths need it; hot paths use orig + order)."""
+        if self._sorted_tbl is None:
+            self._sorted_tbl = self.orig.take(
+                pa.array(self.order, type=pa.int64()))
+        return self._sorted_tbl
+
+    def sorted_column(self, name: str) -> pa.Array:
+        col = self.orig.column(name)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pc.take(col, pa.array(self.order, type=pa.int64()))
 
     @property
     def row_seg_start(self) -> np.ndarray:
@@ -70,13 +104,46 @@ class SortedPartition:
         return self.seg_offsets[self.seg_of_row + 1]
 
 
+def entity_codes(col) -> tuple[np.ndarray, np.ndarray]:
+    """(codes, uniques) with lexicographically-ranked codes.
+
+    Arrow dictionary_encode does the O(n) hashing in C++; only the UNIQUE
+    values are then rank-sorted in numpy — same semantics as np.unique's
+    return_inverse at a fraction of the cost for object arrays."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    d = col.dictionary_encode()
+    raw = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    dict_vals = d.dictionary.to_numpy(zero_copy_only=False)
+    order = np.argsort(dict_vals, kind="stable")
+    rank = np.empty(len(order), dtype=np.int64)
+    rank[order] = np.arange(len(order), dtype=np.int64)
+    return rank[raw] if len(raw) else raw, dict_vals[order]
+
+
+def map_keys_to_codes(uniques: np.ndarray, keys: np.ndarray
+                      ) -> tuple[np.ndarray, np.ndarray]:
+    """Map key values into an existing (unsorted) code dictionary.
+
+    Returns (codes, present): code -1 where the key is absent."""
+    n_u = len(uniques)
+    if n_u == 0:
+        return (np.full(len(keys), -1, dtype=np.int64),
+                np.zeros(len(keys), dtype=bool))
+    u_order = np.argsort(uniques, kind="stable")
+    u_sorted = uniques[u_order]
+    pos = np.searchsorted(u_sorted, keys)
+    pos = np.clip(pos, 0, n_u - 1)
+    present = u_sorted[pos] == keys
+    codes = np.where(present, u_order[pos], -1)
+    return codes.astype(np.int64), present
+
+
 def sort_partition(
     table: pa.Table, key: str, ts: str, tiebreak: str | None = None
 ) -> SortedPartition:
-    """Sort an Arrow table by (key, ts, tiebreak) and index its segments."""
-    keys = table.column(key).to_numpy(zero_copy_only=False)
-    uniq, codes = np.unique(keys, return_inverse=True)
-    codes = codes.astype(np.int64)
+    """Index a table as a sorted (key, ts, tiebreak) view of its segments."""
+    codes, uniq = entity_codes(table.column(key))
     tsv = _as_int64(table.column(ts))
     if tiebreak is not None:
         tb = _as_int64(table.column(tiebreak))
@@ -85,7 +152,6 @@ def sort_partition(
         order = np.lexsort((tsv, codes))
     codes = codes[order]
     tsv = tsv[order]
-    sorted_tbl = table.take(pa.array(order, type=pa.int64()))
     if len(codes):
         starts = np.flatnonzero(np.diff(codes)) + 1
         seg_offsets = np.concatenate(([0], starts, [len(codes)])).astype(np.int64)
@@ -94,7 +160,26 @@ def sort_partition(
     nseg = len(seg_offsets) - 1
     counts = np.diff(seg_offsets)
     seg_of_row = np.repeat(np.arange(nseg, dtype=np.int64), counts)
-    return SortedPartition(sorted_tbl, codes, tsv, seg_offsets, seg_of_row, uniq)
+    return SortedPartition(table, order, codes, tsv, seg_offsets, seg_of_row,
+                           uniq)
+
+
+def filter_sorted(part: SortedPartition, keep: np.ndarray) -> SortedPartition:
+    """A reduced sorted view keeping only rows where keep[sorted_pos] — no
+    data movement (order is re-gathered; segments re-indexed)."""
+    order = part.order[keep]
+    codes = part.codes[keep]
+    tsv = part.ts[keep]
+    if len(codes):
+        starts = np.flatnonzero(np.diff(codes)) + 1
+        seg_offsets = np.concatenate(([0], starts, [len(codes)])).astype(np.int64)
+    else:
+        seg_offsets = np.zeros(1, dtype=np.int64)
+    nseg = len(seg_offsets) - 1
+    seg_of_row = np.repeat(np.arange(nseg, dtype=np.int64),
+                           np.diff(seg_offsets))
+    return SortedPartition(part.orig, order, codes, tsv, seg_offsets,
+                           seg_of_row, part.uniques)
 
 
 # --- lag / lead -----------------------------------------------------------

@@ -1,0 +1,219 @@
+"""Per-partition lineage checkpointing + resumable output.
+
+The reference's de-facto checkpoint system is an HDF5 artifact per stage
+with lazy reload (``IVector.py:1059-1060``, per-iteration ``T_*_it-{i}.h5``
+saves, and the failed-file retry list ``FeaGet.py:116-144``). The engine
+formalizes that as **per-partition lineage** (north rule):
+
+- Output layout: ``out_dir/part=<pid>/data.parquet`` — one directory per
+  partition of THE plan, written atomically (tmp file + rename) by the
+  same task that computed the partition.
+- Lineage record: ``out_dir/part=<pid>/_SUCCESS.json`` holds partition id,
+  row count, input row count, wall time, and a content fingerprint.
+  Marker-per-partition (not a shared manifest file) means concurrent
+  writers never contend.
+- Plan pinning: ``out_dir/plan.json`` stores the PartitionPlan; a resumed
+  run reuses it verbatim so partition boundaries are identical.
+- Resume: completed pids are loaded from the markers and **filtered out
+  before the shuffle** — a restarted run re-reads the input but moves and
+  computes only the unfinished partitions, i.e. it resumes mid-shuffle.
+
+``write_feature_stack`` is the resumable flagship sink; ``load_manifest``
+summarizes lineage for inspection.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from . import engine
+from .partition import PartitionPlan, plan_partitions
+
+
+def _part_dir(out_dir: str, pid: int) -> str:
+    return os.path.join(out_dir, f"part={pid:05d}")
+
+
+def _marker(out_dir: str, pid: int) -> str:
+    return os.path.join(_part_dir(out_dir, pid), "_SUCCESS.json")
+
+
+def done_pids(out_dir: str) -> set[int]:
+    out = set()
+    if not os.path.isdir(out_dir):
+        return out
+    for name in os.listdir(out_dir):
+        if name.startswith("part="):
+            pid = int(name.split("=")[1])
+            if os.path.exists(_marker(out_dir, pid)):
+                out.add(pid)
+    return out
+
+
+def load_manifest(out_dir: str) -> list[dict]:
+    recs = []
+    for pid in sorted(done_pids(out_dir)):
+        with open(_marker(out_dir, pid)) as f:
+            recs.append(json.load(f))
+    return recs
+
+
+def _load_or_save_plan(out_dir: str, plan: PartitionPlan) -> PartitionPlan:
+    path = os.path.join(out_dir, "plan.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            return PartitionPlan.from_json(json.load(f))
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = path + f".tmp.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(plan.to_json(), f)
+    os.replace(tmp, path)
+    return plan
+
+
+def _fingerprint(tbl: pa.Table) -> int:
+    """Order-insensitive lightweight content fingerprint (xor of row-wise
+    mixed hashes over the integer columns + row count)."""
+    from .hashing import mix64
+
+    acc = np.uint64(tbl.num_rows)
+    for name in tbl.column_names:
+        col = tbl.column(name)
+        t = col.type
+        if pa.types.is_integer(t) or pa.types.is_timestamp(t):
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            v = col.cast(pa.int64()).fill_null(0).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            if len(v):
+                with np.errstate(over="ignore"):
+                    acc ^= np.bitwise_xor.reduce(mix64(v.view(np.uint64)))
+    return int(acc)
+
+
+class _PartitionWriter:
+    """Wraps a per-partition kernel: computes, writes the partition's
+    parquet atomically, records lineage, and emits only a manifest row."""
+
+    def __init__(self, kern, out_dir: str, fail_pids: list[int] | None = None):
+        self.kern = kern
+        self.out_dir = out_dir
+        self.fail_pids = set(fail_pids or [])  # test hook: crash injection
+
+    def __call__(self, block: pa.Table) -> pa.Table:
+        pids = (block.column(engine.PART_COL).to_numpy(zero_copy_only=False)
+                if block.num_rows else np.zeros(0, dtype=np.int64))
+        recs = {"pid": [], "rows": [], "input_rows": [], "wall_sec": [],
+                "fingerprint": []}
+        for pid in np.unique(pids):
+            pid = int(pid)
+            if pid in self.fail_pids:
+                raise RuntimeError(f"injected failure at partition {pid}")
+            if os.path.exists(_marker(self.out_dir, pid)):
+                continue  # another attempt already finished this partition
+            sub = block.filter(pa.array(pids == pid))
+            t0 = time.time()
+            out = self.kern(sub)
+            pdir = _part_dir(self.out_dir, pid)
+            os.makedirs(pdir, exist_ok=True)
+            tmp = os.path.join(pdir, f".tmp.{uuid.uuid4().hex[:8]}.parquet")
+            pq.write_table(out, tmp)
+            os.replace(tmp, os.path.join(pdir, "data.parquet"))
+            fp = _fingerprint(out)
+            rec = {
+                "pid": pid, "rows": out.num_rows, "input_rows": sub.num_rows,
+                "wall_sec": round(time.time() - t0, 4), "fingerprint": fp,
+            }
+            mtmp = _marker(self.out_dir, pid) + f".tmp.{uuid.uuid4().hex[:8]}"
+            with open(mtmp, "w") as f:
+                json.dump(rec, f)
+            os.replace(mtmp, _marker(self.out_dir, pid))
+            for k in recs:
+                recs[k].append(rec[k])
+        return pa.table({k: pa.array(v) for k, v in recs.items()})
+
+
+def write_feature_stack(
+    events,
+    spine,
+    spec: engine.WindowSpec,
+    out_dir: str,
+    *,
+    value_cols: list[str],
+    tolerance_us: int | None = None,
+    dedup: bool = True,
+    plan: PartitionPlan | None = None,
+    fail_pids: list[int] | None = None,
+    **plan_kwargs,
+) -> list[dict]:
+    """Resumable flagship run: feature stack → partitioned parquet.
+
+    Returns the manifest records of THIS run's newly completed partitions;
+    already-completed partitions are skipped before the shuffle.
+    """
+    if spec.leads or spec.bfill:
+        raise ValueError("leaky spec (leads/bfill) rejected for as-of output")
+    plan = engine._ensure_plan(events, spec.key, spec.ts, plan, **plan_kwargs)
+    plan = _load_or_save_plan(out_dir, plan)
+    skip = sorted(done_pids(out_dir))
+
+    corrections, ctx_map = engine._split_state(
+        events, plan, spec, spec.key, spec.ts, spec.tiebreak, fused_asof=True)
+
+    ev_schema = engine._pa_schema(events)
+    sp_schema = engine._pa_schema(spine)
+    schema = engine._union_schema(ev_schema, sp_schema, spec.key, spec.ts,
+                                  "as_of_ts")
+
+    def rename_spine(batch: pa.Table) -> pa.Table:
+        names = [spec.ts if c == "as_of_ts" else c for c in batch.column_names]
+        return batch.rename_columns(names)
+
+    spine_r = spine.map_batches(rename_spine, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    ev_u = engine._harmonize(events, schema, side=0)
+    sp_u = engine._harmonize(spine_r, schema, side=1)
+    both = ev_u.union(sp_u)
+    tagged = both.map_batches(
+        engine._AssignPart(plan, spec.ts, ctx_map), batch_format="pyarrow",
+        zero_copy_batch=True)
+    if skip:
+        skip_arr = np.array(skip, dtype=np.int64)
+
+        def drop_done(batch: pa.Table) -> pa.Table:
+            pids = batch.column(engine.PART_COL).to_numpy(
+                zero_copy_only=False)
+            return batch.filter(pa.array(~np.isin(pids, skip_arr)))
+
+        tagged = tagged.map_batches(drop_done, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+
+    spine_cols = [spec.ts if c == "as_of_ts" else c for c in sp_schema.names]
+    kern = engine._AsofKernel(
+        spec.key, spec.ts, spec.tiebreak, value_cols=value_cols,
+        spine_cols=spine_cols, tolerance_us=tolerance_us, spec=spec,
+        dedup=dedup, corrections=corrections)
+
+    writer = _PartitionWriter(kern, out_dir, fail_pids=fail_pids)
+
+    def write_kernel(block: pa.Table) -> pa.Table:
+        return writer(block)
+
+    manifest_ds = engine._exchange_by_part(tagged, plan, write_kernel)
+    return manifest_ds.to_pandas().to_dict("records")
+
+
+def read_output(out_dir: str):
+    """Read the partitioned output back as a Dataset (done partitions)."""
+    import ray.data as rd
+
+    paths = [os.path.join(_part_dir(out_dir, pid), "data.parquet")
+             for pid in sorted(done_pids(out_dir))]
+    return rd.read_parquet(paths)

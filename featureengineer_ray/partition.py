@@ -115,7 +115,7 @@ def plan_partitions(
     ts: str | None = None,
     *,
     target_rows_per_part: int = 100_000,
-    min_parts: int = 4,
+    min_parts: int | None = None,
     max_parts: int = 4096,
     sample_rate: float = 0.05,
     hot_factor: float = 1.0,
@@ -132,6 +132,15 @@ def plan_partitions(
         )
         .to_pandas()
     )
+    if min_parts is None:
+        # size partition count to the cluster so no stage starves: at least
+        # 2 partitions per CPU (target_rows_per_part stays the memory cap)
+        try:
+            import ray
+
+            min_parts = max(4, 2 * int(ray.cluster_resources().get("CPU", 4)))
+        except Exception:
+            min_parts = 4
     if len(sample) == 0:
         return PartitionPlan(key=key, n_parts=1, boundaries=[], n_range=1,
                              est_rows=0, sample_rate=sample_rate, seed=seed)

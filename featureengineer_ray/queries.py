@@ -779,8 +779,8 @@ FROM embeddings
 
 def q_minhash_near_dup(sf_dir: str):
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    cand = dd.minhash_candidate_pairs(docs, id_col="doc_id", text_col="text")
-    cand_df = cand.to_pandas()
+    cand_df = dd.minhash_candidate_pairs(docs, id_col="doc_id",
+                                         text_col="text")
     import pyarrow.parquet as pq
 
     docs_df = pq.read_table(f"{sf_dir}/documents.parquet",
