@@ -88,6 +88,16 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     extras["headline_rows"] = n_out
     extras["headline_rows_per_sec"] = round(n_out / dt, 1)
 
+    if os.environ.get("FE_BENCH_HEADLINE") == "1":
+        ray.shutdown()
+        out = {
+            "metric": "feature_rows_per_sec (flagship token stack)",
+            "value": results["flagship_token_stack"], "unit": "sec",
+            "queries": results, "sf": sf_dir, "num_cpus": num_cpus,
+        }
+        out.update(extras)
+        return out
+
     t0 = time.time()
     spec = engine.WindowSpec(
         key="user_id", ts="ts", tiebreak="event_id",
@@ -132,7 +142,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
 
 def run_subprocess(ncpu: int) -> dict:
-    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), FE_BENCH_HEADLINE="1")
     p = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
                        capture_output=True, text=True, check=True)
     return json.loads(p.stdout.strip().splitlines()[-1])

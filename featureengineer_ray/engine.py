@@ -406,6 +406,7 @@ class _AsofKernel:
         spec: WindowSpec | None = None,
         dedup: bool = False,
         corrections: dict[int, SubCorrection] | None = None,
+        exclude_feats: tuple[str, ...] = (),
     ):
         self.key, self.ts, self.tiebreak = key, ts, tiebreak
         self.value_cols = value_cols
@@ -414,6 +415,7 @@ class _AsofKernel:
         self.spec = spec
         self.dedup = dedup
         self.corrections = corrections or {}
+        self.exclude_feats = set(exclude_feats)
 
     def __call__(self, group: pa.Table) -> pa.Table:
         """Multi-partition block: non-split partitions merge in one pass;
@@ -489,6 +491,8 @@ class _AsofKernel:
                 f"matched_{c}" if c == self.ts else c,
                 kernels.take_with_mask(col, orig_idx, valid))
         for name, arr in feats.items():
+            if name in self.exclude_feats:
+                continue
             if isinstance(arr, np.ndarray):
                 vals = (arr[safe_idx] if part.n
                         else np.zeros(len(idx), dtype=arr.dtype))
@@ -711,6 +715,7 @@ def asof_join(
     dedup: bool = False,
     spec: WindowSpec | None = None,
     plan: PartitionPlan | None = None,
+    exclude_feats: tuple[str, ...] = (),
     **plan_kwargs,
 ):
     """Point-in-time backward as-of join (optionally fused with windows).
@@ -743,7 +748,7 @@ def asof_join(
     kern = _AsofKernel(
         key, ts, tiebreak, value_cols=value_cols, spine_cols=spine_cols,
         tolerance_us=tolerance_us, spec=spec, dedup=dedup,
-        corrections=corrections)
+        corrections=corrections, exclude_feats=exclude_feats)
 
     def asof_kernel(group: pa.Table) -> pa.Table:
         return kern(group)
@@ -765,9 +770,12 @@ def feature_stack(
     """The flagship: dedup + windowed features + as-of, one shuffle.
 
     Each spine row gets the matched event's payload and its windowed
-    features. Lead/bfill columns read the future and are therefore
-    excluded from as-of outputs (leakage rule, FIXTURES.md §5): they're
-    rejected here.
+    features. The zero-temporal-leakage rule (FIXTURES.md §5) shapes the
+    output: lead/bfill specs are rejected outright, and ``session_len``
+    (the FULL session size, which counts events after the as-of point) is
+    excluded — ``session_event_idx`` is the non-leaky "session length so
+    far". Retrospective session_len remains available from
+    :func:`window_features`.
     """
     if spec.leads or spec.bfill:
         raise ValueError(
@@ -776,4 +784,4 @@ def feature_stack(
     return asof_join(
         events, spine, key=spec.key, ts=spec.ts, value_cols=value_cols,
         tolerance_us=tolerance_us, tiebreak=spec.tiebreak, dedup=dedup,
-        spec=spec, plan=plan, **plan_kwargs)
+        spec=spec, plan=plan, exclude_feats=("session_len",), **plan_kwargs)

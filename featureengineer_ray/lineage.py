@@ -95,7 +95,8 @@ def _fingerprint(tbl: pa.Table) -> int:
             if len(v):
                 with np.errstate(over="ignore"):
                     acc ^= np.bitwise_xor.reduce(mix64(v.view(np.uint64)))
-    return int(acc)
+    v = int(acc)
+    return v - (1 << 64) if v >= (1 << 63) else v  # signed for Arrow int64
 
 
 class _PartitionWriter:

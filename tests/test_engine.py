@@ -164,14 +164,16 @@ def test_feature_stack_flagship(events_ds, spine_ds, events_tbl, spine_tbl):
         as_of_ts="as_of_ts",
         value_cols=["tokens", "n_tok", "event_seq", "n_tok_lag_1",
                     "n_tok_roll_mean_5", "n_tok_roll_std_5", "session_idx",
-                    "session_event_idx", "session_len"],
+                    "session_event_idx"],
         tiebreak="event_seq",
     ).sort_values("spine_id").reset_index(drop=True)
 
     assert len(got) == len(exp)
+    # session_len is deliberately absent: it counts future events of the
+    # session and is excluded from as-of outputs (leakage rule)
+    assert "session_len" not in got.columns
     for col in ["n_tok", "event_seq", "n_tok_lag_1", "n_tok_roll_mean_5",
-                "n_tok_roll_std_5", "session_idx", "session_event_idx",
-                "session_len"]:
+                "n_tok_roll_std_5", "session_idx", "session_event_idx"]:
         np.testing.assert_allclose(
             got[col].astype("float64").to_numpy(),
             exp[col].astype("float64").to_numpy(),

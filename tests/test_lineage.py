@@ -1,0 +1,83 @@
+"""Resumable output: kill after k partitions, restart, equal result
+(FIXTURES.md §5 'Resume')."""
+
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from featureengineer_ray import engine, lineage
+from featureengineer_ray.datagen import (
+    GenSpec, SESSION_GAP_US, generate_events, generate_spine,
+)
+
+SPEC = GenSpec(n_rows=1500, n_entities=30, seed=31)
+
+
+def _spec() -> engine.WindowSpec:
+    return engine.WindowSpec(
+        key="doc_id", ts="ts", tiebreak="event_seq",
+        lags={"n_tok": [1, 2]}, rolling={"n_tok": [5]},
+        session_gap_us=int(SESSION_GAP_US))
+
+
+def _run(ray_session, out_dir, fail_pids=None):
+    import ray.data as rd
+
+    ev = rd.from_arrow(generate_events(SPEC)).repartition(4)
+    sp = rd.from_arrow(generate_spine(SPEC)).repartition(2)
+    return lineage.write_feature_stack(
+        ev, sp, _spec(), out_dir, value_cols=["tokens", "n_tok", "event_seq"],
+        fail_pids=fail_pids, target_rows_per_part=200, sample_rate=1.0,
+        min_parts=6)
+
+
+def _read_sorted(ray_session, out_dir) -> pd.DataFrame:
+    df = lineage.read_output(out_dir).to_pandas()
+    df = df.drop(columns=["tokens"]).sort_values("spine_id").reset_index(
+        drop=True)
+    return df
+
+
+def test_resume_after_failure(ray_session, tmp_path):
+    out_ok = str(tmp_path / "ok")
+    out_resume = str(tmp_path / "resume")
+
+    recs = _run(ray_session, out_ok)
+    assert len(recs) > 3
+    full = _read_sorted(ray_session, out_ok)
+
+    # first attempt dies on some partitions
+    all_pids = sorted(r["pid"] for r in recs)
+    fail = all_pids[len(all_pids) // 2:]
+    with pytest.raises(Exception):
+        _run(ray_session, out_resume, fail_pids=fail)
+    done_first = lineage.done_pids(out_resume)
+    assert 0 < len(done_first) < len(all_pids)
+
+    # restart without failure: only the missing partitions are computed
+    recs2 = _run(ray_session, out_resume)
+    done_after = lineage.done_pids(out_resume)
+    assert done_after == set(all_pids)
+    assert {r["pid"] for r in recs2} == set(all_pids) - done_first
+
+    resumed = _read_sorted(ray_session, out_resume)
+    pd.testing.assert_frame_equal(full, resumed)
+
+    # manifest carries lineage fields
+    man = lineage.load_manifest(out_resume)
+    assert all({"pid", "rows", "input_rows", "wall_sec", "fingerprint"}
+               <= set(r) for r in man)
+    # plan pinned on disk for identical re-partitioning
+    assert os.path.exists(os.path.join(out_resume, "plan.json"))
+
+
+def test_rerun_is_noop(ray_session, tmp_path):
+    out = str(tmp_path / "noop")
+    recs = _run(ray_session, out)
+    man1 = lineage.load_manifest(out)
+    recs2 = _run(ray_session, out)
+    assert recs2 == [] or all(r["rows"] == 0 for r in recs2)
+    assert lineage.load_manifest(out) == man1
