@@ -557,23 +557,32 @@ class _AssignPart:
         self.plan, self.ts, self.ctx_map = plan, ts, ctx_map
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        keys = batch.column(self.plan.key).to_numpy(zero_copy_only=False)
+        key_col = batch.column(self.plan.key)
         tsv = None
         if self.ts is not None and self.plan.hot_splits:
             tsv = batch.column(self.ts).cast(pa.int64()).to_numpy(
                 zero_copy_only=False)
-        pid = assign_partition_ids(keys, self.plan, tsv)
+        pid = assign_partition_ids(key_col, self.plan, tsv)
         out = batch.append_column(PART_COL, pa.array(pid, type=pa.int32()))
         if not self.ctx_map:
             return out
+        # candidate rows for ctx duplication: only split hot keys (C++ is_in)
+        cand = pc.is_in(
+            key_col.combine_chunks() if isinstance(key_col, pa.ChunkedArray)
+            else key_col,
+            value_set=pa.array(list(self.ctx_map.keys()))).to_numpy(
+            zero_copy_only=False)
         side = (batch.column(SIDE_COL).to_numpy(zero_copy_only=False)
                 if SIDE_COL in batch.column_names else None)
         out = out.append_column(
             CTX_COL, pa.array(np.zeros(batch.num_rows, dtype=np.int8)))
+        if not cand.any():
+            return out
+        keys = key_col.to_numpy(zero_copy_only=False)
         dup_rows: list[int] = []
         dup_pids: list[int] = []
         for k, (cts, cpids) in self.ctx_map.items():
-            m = keys == k
+            m = cand & (keys == k)
             if side is not None:
                 m &= side == 0  # only event rows carry context
             if not m.any():

@@ -75,6 +75,25 @@ def hash_str_array(values: np.ndarray, seed: int = 0) -> np.ndarray:
     return hu[inv]
 
 
+def hash_pa_array(col, seed: int = 0) -> np.ndarray:
+    """Stable uint64 hash per element of an Arrow (string/int) column.
+
+    Dictionary-encodes in C++ so only unique values are hashed in Python —
+    the fast path for per-batch partition assignment."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    d = col.dictionary_encode()
+    idx = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq = d.dictionary.to_pylist()
+    hu = np.fromiter(
+        (hash_str(u if isinstance(u, str) else str(u), seed) for u in uniq),
+        dtype=_U64, count=len(uniq),
+    )
+    return hu[idx] if len(idx) else np.zeros(0, dtype=_U64)
+
+
 def uniform_from_hash(h: np.ndarray, mod: int) -> np.ndarray:
     """Map uint64 hashes into [0, mod) as int64 (deterministic 'randint')."""
     return (h % _U64(mod)).astype(np.int64)

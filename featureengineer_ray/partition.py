@@ -36,7 +36,7 @@ from dataclasses import dataclass, field
 import numpy as np
 import pyarrow as pa
 
-from .hashing import hash_str_array, mix64
+from .hashing import hash_str, hash_str_array, mix64
 
 _MOD = np.uint64(1 << 32)
 
@@ -83,16 +83,17 @@ class _SamplePartials:
         self.key, self.ts, self.rate, self.seed = key, ts, rate, seed
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        keys = batch.column(self.key).to_numpy(zero_copy_only=False)
-        kh = hash_str_array(keys, seed=self.seed)
+        # cheap row sampling first (ts mix — no key hashing for the ~95%
+        # of rows that are dropped), then hash only the sampled keys
         if self.ts is not None:
-            tsv = batch.column(self.ts).cast(pa.int64()).to_numpy(zero_copy_only=False)
-            h = mix64(kh, tsv.astype(np.uint64), 0x5A)
+            tsv = batch.column(self.ts).cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            h = mix64(tsv.astype(np.uint64), 0x5A)
         else:
-            h = mix64(kh, np.arange(len(keys), dtype=np.uint64), 0x5A)
+            h = mix64(np.arange(batch.num_rows, dtype=np.uint64), 0x5A)
             # (no stable ts: per-batch index sampling — plan quality only)
         take = (h % _MOD) < np.uint64(int(self.rate * float(_MOD)))
-        keys = keys[take]
+        keys = batch.column(self.key).to_numpy(zero_copy_only=False)[take]
         if self.ts is not None:
             tsv = tsv[take]
         else:
@@ -202,23 +203,42 @@ def plan_partitions(
 
 
 def assign_partition_ids(
-    keys: np.ndarray, plan: PartitionPlan, ts: np.ndarray | None = None
+    keys, plan: PartitionPlan, ts: np.ndarray | None = None
 ) -> np.ndarray:
-    """Vectorized key (+ts for sub-split hot keys) → partition id."""
-    kh = hash_str_array(keys, seed=plan.seed)
+    """Vectorized key (+ts for sub-split hot keys) → partition id.
+
+    ``keys`` may be a numpy array or an Arrow column; the Arrow path
+    dictionary-encodes in C++ so all Python-level work is O(unique)."""
+    import pyarrow as pa
+
     bounds = np.asarray(plan.boundaries, dtype=np.uint64)
-    pid = np.searchsorted(bounds, kh, side="left").astype(np.int64)
+    if isinstance(keys, (pa.Array, pa.ChunkedArray)):
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        d = keys.dictionary_encode()
+        inv = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = np.asarray(d.dictionary.to_pylist(), dtype=object)
+    else:
+        uniq, inv = np.unique(np.asarray(keys), return_inverse=True)
+        inv = inv.astype(np.int64)
+    if len(uniq) == 0:
+        return np.zeros(0, dtype=np.int64)
+    kh_u = np.fromiter(
+        (hash_str(u if isinstance(u, str) else str(u), plan.seed)
+         for u in uniq), dtype=np.uint64, count=len(uniq))
+    pid_u = np.searchsorted(bounds, kh_u, side="left").astype(np.int64)
+    split_unique_idx = []
     if plan.hot:
-        uniq, inv = np.unique(keys, return_inverse=True)
-        base = np.array([plan.hot.get(u, -1) for u in uniq], dtype=np.int64)
-        hot_base = base[inv]
-        is_hot = hot_base >= 0
-        pid = np.where(is_hot, hot_base, pid)
-        if plan.hot_splits and ts is not None:
-            for k, bnds in plan.hot_splits.items():
-                m = keys == k
-                if m.any():
-                    sub = np.searchsorted(np.asarray(bnds, dtype=np.int64),
-                                          ts[m], side="left")
-                    pid[m] = plan.hot[k] + sub
+        for i, u in enumerate(uniq):
+            h = plan.hot.get(u)
+            if h is not None:
+                pid_u[i] = h
+                if u in plan.hot_splits:
+                    split_unique_idx.append((i, u))
+    pid = pid_u[inv]
+    if split_unique_idx and ts is not None:
+        for i, u in split_unique_idx:
+            m = inv == i
+            bnds = np.asarray(plan.hot_splits[u], dtype=np.int64)
+            pid[m] = plan.hot[u] + np.searchsorted(bnds, ts[m], side="left")
     return pid

@@ -633,6 +633,145 @@ FROM events GROUP BY event_type
 """
 
 
+def q_top2_orders_per_cust(sf_dir: str):
+    """Grouped top-k (O4/O7): the 2 priciest orders per customer."""
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"])
+    out = relational.grouped_top_k(
+        orders, ["o_custkey"], 2, by=["o_totalprice", "o_orderkey"],
+        descending=[True, False])
+    return _select(out, ["o_orderkey", "o_custkey", "o_totalprice"])
+
+
+SQL_TOP2_PER_CUST = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+QUALIFY row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey) <= 2
+"""
+
+
+def q_union_dedup_orders(sf_dir: str):
+    """Union + distinct (D3/D2): high-value ∪ urgent orders."""
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"]
+    a = _read(sf_dir, "orders", cols)
+    b = _read(sf_dir, "orders", cols)
+
+    def high(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.greater(batch.column("o_totalprice"), pa.scalar(200000.0)))
+
+    def urgent(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.equal(batch.column("o_orderpriority"), "1-URGENT"))
+
+    u = a.map_batches(high, batch_format="pyarrow").union(
+        b.map_batches(urgent, batch_format="pyarrow"))
+    out = dd.exact_dedup(u, keys=["o_orderkey"], order=["o_orderkey"])
+    return _select(out, cols)
+
+
+SQL_UNION_DEDUP = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+FROM orders WHERE o_totalprice > 200000
+UNION
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
+
+
+def q_cumsum_per_user(sf_dir: str):
+    """Running per-entity cumulative sum (A9 analog) via the rolling
+    kernel with an unbounded trailing window."""
+    W = 1 << 30
+    spec = engine.WindowSpec(
+        key="user_id", ts="ts", tiebreak="event_id",
+        rolling={"value": [W]}, rolling_stats=("sum", "count"))
+    out = engine.window_features(_events(sf_dir), spec)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        names = [c.replace(f"_roll_sum_{W}", "_cumsum")
+                 .replace(f"_roll_count_{W}", "_cumcount")
+                 for c in batch.column_names]
+        return batch.rename_columns(names)
+
+    out = out.map_batches(rename, batch_format="pyarrow")
+
+    def cast_cnt(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("value_cumcount")
+        return batch.set_column(
+            i, "value_cumcount",
+            batch.column("value_cumcount").cast(pa.int64()))
+
+    out = out.map_batches(cast_cnt, batch_format="pyarrow")
+    out = _round_cols(out, {"value_cumsum": 6})
+    return _select(out, ["event_id", "user_id", "ts", "value_cumsum",
+                         "value_cumcount"])
+
+
+SQL_CUMSUM = """
+SELECT event_id, user_id, ts,
+       ROUND_EVEN(sum(value) OVER w, 6) AS value_cumsum,
+       count(value) OVER w AS value_cumcount
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_sample_per_user(sf_dir: str):
+    """Seeded deterministic per-group sampling (O4/O5/O7): 2 events per
+    user ranked by md5(event_id) — identical rank function in SQL."""
+    import hashlib
+
+    ev = _events(sf_dir, cols=("event_id", "ts", "user_id", "value"))
+
+    def add_rank(batch: pa.Table) -> pa.Table:
+        ids = batch.column("event_id").to_numpy(zero_copy_only=False)
+        ranks = np.array([hashlib.md5(str(i).encode()).hexdigest()
+                          for i in ids], dtype=object)
+        return batch.append_column("__rk", pa.array(ranks, type=pa.string()))
+
+    ranked = ev.map_batches(add_rank, batch_format="pyarrow")
+    out = relational.grouped_top_k(ranked, ["user_id"], 2, by=["__rk"],
+                                   descending=[False])
+    return _select(out, ["event_id", "user_id", "ts", "value"])
+
+
+SQL_SAMPLE_PER_USER = """
+SELECT event_id, user_id, ts, value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY md5(CAST(event_id AS VARCHAR))) <= 2
+"""
+
+
+def q_csv_roundtrip(sf_dir: str):
+    """CSV source coverage (S4): nation exported to CSV, read back with
+    ray.data.read_csv; oracle reads the parquet view (lossless roundtrip)."""
+    import pyarrow.csv as pacsv
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/nation.parquet")
+    path = f"/tmp/fe_csv_{abs(hash(sf_dir)) % 10**8}_nation.csv"
+    pacsv.write_csv(tbl, path)
+    ds = _rd().read_csv(path)
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_nationkey": batch.column("n_nationkey").cast(pa.int32()),
+            "n_name": batch.column("n_name"),
+            "n_regionkey": batch.column("n_regionkey").cast(pa.int32()),
+        })
+
+    return ds.map_batches(cast, batch_format="pyarrow")
+
+
+SQL_CSV_ROUNDTRIP = """
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+"""
+
+
 # --------------------------------------------------------------------------
 # documents: text analysis + dedup
 # --------------------------------------------------------------------------
@@ -871,6 +1010,11 @@ QUERIES = {
     "zscore_per_user": q_zscore_per_user,
     "q1_pricing": q_q1_pricing,
     "revenue_by_nation": q_revenue_by_nation,
+    "top2_orders_per_cust": q_top2_orders_per_cust,
+    "union_dedup_orders": q_union_dedup_orders,
+    "cumsum_per_user": q_cumsum_per_user,
+    "sample_per_user": q_sample_per_user,
+    "csv_roundtrip": q_csv_roundtrip,
     "top10_orders": q_top10_orders,
     "semi_join_customers": q_semi_join_customers,
     "anti_join_customers": q_anti_join_customers,
@@ -907,6 +1051,11 @@ ORACLE_SQL = {
     "zscore_per_user": SQL_ZSCORE,
     "q1_pricing": SQL_Q1,
     "revenue_by_nation": SQL_REVENUE_NATION,
+    "top2_orders_per_cust": SQL_TOP2_PER_CUST,
+    "union_dedup_orders": SQL_UNION_DEDUP,
+    "cumsum_per_user": SQL_CUMSUM,
+    "sample_per_user": SQL_SAMPLE_PER_USER,
+    "csv_roundtrip": SQL_CSV_ROUNDTRIP,
     "top10_orders": SQL_TOP10,
     "semi_join_customers": SQL_SEMI,
     "anti_join_customers": SQL_ANTI,

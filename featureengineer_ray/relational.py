@@ -143,6 +143,41 @@ def grouped_agg(
     return merged.map_batches(finalize, batch_format="pyarrow")
 
 
+def grouped_top_k(ds, keys: list[str], k: int, *, by: list[str],
+                  descending: list[bool]):
+    """Top-k rows per key group (O4/O7-style grouped selection).
+
+    Hash-partition on the group keys, then one vectorized pandas pass per
+    partition handles all of its groups (no per-group Python calls)."""
+    import numpy as np
+
+    from .hashing import hash_str_array, mix64
+
+    try:
+        import ray
+
+        P = max(8, 2 * int(ray.cluster_resources().get("CPU", 4)))
+    except Exception:
+        P = 32
+
+    def assign(batch: pa.Table) -> pa.Table:
+        h = np.zeros(batch.num_rows, dtype=np.uint64)
+        for c in keys:
+            h = mix64(h, hash_str_array(
+                batch.column(c).to_numpy(zero_copy_only=False)))
+        return batch.append_column(
+            "__part", pa.array((h % np.uint64(P)).astype(np.int32)))
+
+    def topk_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(by, ascending=[not d for d in descending],
+                          kind="stable")
+        g = g.groupby(keys, sort=False).head(k)
+        return g.drop(columns=["__part"])
+
+    return ds.map_batches(assign, batch_format="pyarrow").groupby(
+        "__part").map_groups(topk_part, batch_format="pandas")
+
+
 def top_k(ds, k: int, *, by: list[str], descending: list[bool]):
     """Global top-k: per-batch truncation, then one small sort+limit."""
 

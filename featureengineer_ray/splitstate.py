@@ -124,14 +124,17 @@ def presummarize(ds, plan: PartitionPlan, *, key: str, ts: str,
     cols = [key, ts] + ([tiebreak] if tiebreak else []) + numeric_cols
 
     def filter_assign(batch: pa.Table) -> pa.Table:
-        keys = batch.column(key).to_numpy(zero_copy_only=False)
-        mask = np.isin(keys, list(split_keys))
-        b = batch.filter(pa.array(mask))
+        import pyarrow.compute as pc
+
+        col = batch.column(key)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        mask = pc.is_in(col, value_set=pa.array(list(split_keys)))
+        b = batch.filter(mask)
         if b.num_rows == 0:
             return b.append_column("__part", pa.array([], type=pa.int32()))
-        kv = b.column(key).to_numpy(zero_copy_only=False)
         tv = b.column(ts).cast(pa.int64()).to_numpy(zero_copy_only=False)
-        pid = assign_partition_ids(kv, plan, tv)
+        pid = assign_partition_ids(b.column(key), plan, tv)
         return b.append_column("__part", pa.array(pid, type=pa.int32()))
 
     kern = SummaryKernel(key, ts, tiebreak, numeric_cols, gap_us)
