@@ -26,7 +26,7 @@ import time
 
 BENCH_ROWS = int(os.environ.get("FE_BENCH_ROWS", 1_000_000))
 BENCH_ENTITIES = int(os.environ.get("FE_BENCH_ENTITIES", 5_000))
-CORPUS_DIR = f"/tmp/fe_bench_corpus_r{BENCH_ROWS}_e{BENCH_ENTITIES}"
+CORPUS_DIR = f"/tmp/fe_bench_corpus_v2_r{BENCH_ROWS}_e{BENCH_ENTITIES}"
 
 
 def ensure_corpus() -> dict:

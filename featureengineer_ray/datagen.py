@@ -112,17 +112,24 @@ def generate_events(spec: GenSpec) -> pa.Table:
         mix64(doc_hash, seq.astype(np.uint64), 0x4C), span
     )
 
-    # tokens[i] = hash(doc, seq, i) % VOCAB, fully vectorized over the flat layout
+    # tokens[i] = splitmix64(row_seed + i) % VOCAB — counter-based PRNG,
+    # generated in bounded chunks so peak temporaries stay ~1 GB even at
+    # 10^8-token scale (one huge expression was super-linear from memory
+    # pressure)
     offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(lens, out=offsets[1:])
     total = int(offsets[-1])
-    row_of_tok = np.repeat(np.arange(n, dtype=np.int64), lens)
-    tok_idx = np.arange(total, dtype=np.int64) - offsets[row_of_tok]
-    flat = uniform_from_hash(
-        mix64(doc_hash[row_of_tok], seq[row_of_tok].astype(np.uint64),
-              tok_idx.astype(np.uint64)),
-        VOCAB,
-    ).astype(np.int32)
+    row_seed = mix64(doc_hash, seq.astype(np.uint64), 0x54)
+    flat = np.empty(total, dtype=np.int32)
+    chunk_rows = max(1, min(n, 500_000))
+    for r0 in range(0, n, chunk_rows):
+        r1 = min(n, r0 + chunk_rows)
+        t0, t1 = int(offsets[r0]), int(offsets[r1])
+        rot = np.repeat(np.arange(r0, r1, dtype=np.int64), lens[r0:r1])
+        tix = (np.arange(t0, t1, dtype=np.int64) - offsets[rot]).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            flat[t0:t1] = uniform_from_hash(
+                splitmix64(row_seed[rot] + tix), VOCAB).astype(np.int32)
 
     # Zipf-weighted source per row (hot source bucket)
     cum = np.cumsum(SOURCE_WEIGHTS)
