@@ -79,10 +79,21 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     results: dict[str, float] = {}
     extras: dict[str, float] = {}
 
+    import shutil
+
     t0 = time.time()
     ev = rd.read_parquet(paths["events"])
     sp = rd.read_parquet(paths["spine"])
-    n_out = consume(run_token_stack(ev, sp))
+    out_dir = f"/tmp/fe_bench_out_{num_cpus}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    out = run_token_stack(ev, sp)
+    # parallel parquet sink — draining via driver iter_batches serializes
+    # the whole output through one process and caps scaling
+    out.write_parquet(out_dir)
+    n_out = sum(f.metadata.num_rows for f in (
+        __import__("pyarrow.parquet", fromlist=["ParquetFile"]).ParquetFile(
+            os.path.join(out_dir, p))
+        for p in os.listdir(out_dir) if p.endswith(".parquet")))
     dt = time.time() - t0
     results["flagship_token_stack"] = round(dt, 3)
     extras["headline_rows"] = n_out

@@ -56,8 +56,12 @@ def exact_dedup(ds, keys: list[str], order: list[str]):
         g = g.drop_duplicates(subset=keys, keep="first")
         return g.drop(columns=["__part"])
 
-    return ds.map_batches(assign, batch_format="pyarrow").groupby(
-        "__part").map_groups(dedup_part, batch_format="pandas")
+    tagged = ds.map_batches(assign, batch_format="pyarrow")
+    from .engine import use_push_shuffle
+
+    use_push_shuffle(tagged)
+    return tagged.groupby("__part").map_groups(dedup_part,
+                                               batch_format="pandas")
 
 
 # --------------------------------------------------------------------------
@@ -190,8 +194,12 @@ def minhash_candidate_pairs(
         return pd.DataFrame({"id_a": np.concatenate(out_a),
                              "id_b": np.concatenate(out_b)})
 
-    cand = ds.map_batches(explode_assign, batch_format="pyarrow").groupby(
-        "__part").map_groups(pairs_vec, batch_format="pandas")
+    tagged = ds.map_batches(explode_assign, batch_format="pyarrow")
+    from .engine import use_push_shuffle
+
+    use_push_shuffle(tagged)
+    cand = tagged.groupby("__part").map_groups(pairs_vec,
+                                               batch_format="pandas")
     pdf = cand.to_pandas()  # candidate pairs ≪ corpus by construction
     if len(pdf) == 0:
         return pd.DataFrame(columns=["id_a", "id_b", "n_bands"])

@@ -520,23 +520,32 @@ def _ensure_plan(ds, key, ts, plan, **plan_kwargs) -> PartitionPlan:
 
 import os as _os
 
-EXCHANGE = _os.environ.get("FE_EXCHANGE", "groupby")  # "groupby" | "hash"
+EXCHANGE = _os.environ.get("FE_EXCHANGE", "push")  # "push"|"groupby"|"hash"
+
+
+def use_push_shuffle(ds):
+    """Switch one dataset chain to the push-based sort shuffle (per-dataset
+    context copy — the session default is untouched). Measured on the
+    4M-row flagship: pull-based sort ANTI-scaled (52s@8cpu → 73s@32cpu),
+    push-based scales (61s@8 → 25s@32); hash-shuffle was worse than push
+    at both widths."""
+    try:
+        from ray.data.context import ShuffleStrategy
+
+        ds.context.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+    except (ImportError, AttributeError):
+        pass
+    return ds
 
 
 def _exchange_by_part(tagged, plan: PartitionPlan, kern_fn):
     """The engine's one all-to-all: co-locate rows by __part, then run the
     per-partition kernel (kernels handle blocks holding one or many
-    complete partitions — they segment by entity internally).
-
-    Default is the sort-based groupby exchange (measured faster than the
-    hash-shuffle strategy on this Ray build for payload-heavy rows —
-    1M-row flagship: 34.6s vs 46.5s); set FE_EXCHANGE=hash to use
-    repartition(keys=) under ShuffleStrategy.HASH_SHUFFLE instead."""
+    complete partitions — they segment by entity internally)."""
     if EXCHANGE == "hash":
         try:
             from ray.data.context import ShuffleStrategy
 
-            # per-dataset context copy: affects only this chain
             tagged.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
             rp = tagged.repartition(num_blocks=plan.n_parts, keys=[PART_COL],
                                     sort=False)
@@ -544,6 +553,8 @@ def _exchange_by_part(tagged, plan: PartitionPlan, kern_fn):
                                   batch_size=None, zero_copy_batch=True)
         except (ImportError, AttributeError):
             pass
+    if EXCHANGE == "push":
+        use_push_shuffle(tagged)
     return tagged.groupby(PART_COL).map_groups(
         kern_fn, batch_format="pyarrow")
 

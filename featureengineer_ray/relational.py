@@ -130,6 +130,9 @@ def grouped_agg(
         elif fn == "max":
             combine.append(Max(pname, alias_name=pname))
     partials = ds.map_batches(partial, batch_format="pyarrow")
+    from .engine import use_push_shuffle
+
+    use_push_shuffle(partials)
     merged = partials.groupby(keys).aggregate(*combine)
 
     def finalize(batch: pa.Table) -> pa.Table:
@@ -174,8 +177,12 @@ def grouped_top_k(ds, keys: list[str], k: int, *, by: list[str],
         g = g.groupby(keys, sort=False).head(k)
         return g.drop(columns=["__part"])
 
-    return ds.map_batches(assign, batch_format="pyarrow").groupby(
-        "__part").map_groups(topk_part, batch_format="pandas")
+    tagged = ds.map_batches(assign, batch_format="pyarrow")
+    from .engine import use_push_shuffle
+
+    use_push_shuffle(tagged)
+    return tagged.groupby("__part").map_groups(topk_part,
+                                               batch_format="pandas")
 
 
 def top_k(ds, k: int, *, by: list[str], descending: list[bool]):

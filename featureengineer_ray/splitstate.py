@@ -144,6 +144,9 @@ def presummarize(ds, plan: PartitionPlan, *, key: str, ts: str,
 
     narrow = ds.select_columns(cols).map_batches(
         filter_assign, batch_format="pyarrow")
+    from .engine import use_push_shuffle
+
+    use_push_shuffle(narrow)
     return narrow.groupby("__part").map_groups(
         summary_kernel, batch_format="pyarrow").to_pandas()
 
