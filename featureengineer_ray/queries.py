@@ -746,6 +746,65 @@ QUALIFY row_number() OVER (PARTITION BY user_id
 """
 
 
+def q_join_lineitem_orders(sf_dir: str):
+    """Large×large native hash join (J3 scale path: Dataset.join) then a
+    partial+final grouped aggregate."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+    j = li.join(orders, join_type="inner", num_partitions=16,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+    agg = relational.grouped_agg(
+        j, ["o_orderstatus"], {"revenue": ("l_extendedprice", "sum")},
+        count_alias="n_items")
+    agg = _round_cols(agg, {"revenue": 2})
+
+    def cast_cnt(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("n_items")
+        return batch.set_column(i, "n_items",
+                                batch.column("n_items").cast(pa.int64()))
+
+    return _select(agg.map_batches(cast_cnt, batch_format="pyarrow"),
+                   ["o_orderstatus", "revenue", "n_items"])
+
+
+SQL_JOIN_LARGE = """
+SELECT o_orderstatus, ROUND_EVEN(sum(l_extendedprice), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+"""
+
+
+def q_tumbling_hourly(sf_dir: str):
+    """Tumbling event-time window aggregate (§2.9 streaming shape)."""
+    ev = _events(sf_dir, cols=("event_id", "ts", "user_id", "value"))
+
+    def trunc(batch: pa.Table) -> pa.Table:
+        h = pc.floor_temporal(batch.column("ts"), unit="hour")
+        return batch.append_column("hour", h)
+
+    pre = ev.map_batches(trunc, batch_format="pyarrow")
+    agg = relational.grouped_agg(
+        pre, ["user_id", "hour"], {"value_sum": ("value", "sum")},
+        count_alias="n_events")
+    agg = _round_cols(agg, {"value_sum": 6})
+
+    def cast_cnt(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("n_events")
+        return batch.set_column(i, "n_events",
+                                batch.column("n_events").cast(pa.int64()))
+
+    return _select(agg.map_batches(cast_cnt, batch_format="pyarrow"),
+                   ["user_id", "hour", "n_events", "value_sum"])
+
+
+SQL_TUMBLING = """
+SELECT user_id, date_trunc('hour', ts) AS hour, count(*) AS n_events,
+       ROUND_EVEN(sum(value), 6) AS value_sum
+FROM events GROUP BY user_id, date_trunc('hour', ts)
+"""
+
+
 def q_csv_roundtrip(sf_dir: str):
     """CSV source coverage (S4): nation exported to CSV, read back with
     ray.data.read_csv; oracle reads the parquet view (lossless roundtrip)."""
@@ -980,7 +1039,7 @@ def q_knn_ivf(sf_dir: str):
 def q_embedding_near_dup(sf_dir: str):
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = dd.embedding_near_dup_pairs(emb, id_col="vec_id",
-                                      vec_col="embedding", threshold=0.9)
+                                      vec_col="embedding", threshold=0.35)
     return out
 
 
@@ -1015,6 +1074,8 @@ QUERIES = {
     "cumsum_per_user": q_cumsum_per_user,
     "sample_per_user": q_sample_per_user,
     "csv_roundtrip": q_csv_roundtrip,
+    "join_lineitem_orders": q_join_lineitem_orders,
+    "tumbling_hourly": q_tumbling_hourly,
     "top10_orders": q_top10_orders,
     "semi_join_customers": q_semi_join_customers,
     "anti_join_customers": q_anti_join_customers,
@@ -1056,6 +1117,8 @@ ORACLE_SQL = {
     "cumsum_per_user": SQL_CUMSUM,
     "sample_per_user": SQL_SAMPLE_PER_USER,
     "csv_roundtrip": SQL_CSV_ROUNDTRIP,
+    "join_lineitem_orders": SQL_JOIN_LARGE,
+    "tumbling_hourly": SQL_TUMBLING,
     "top10_orders": SQL_TOP10,
     "semi_join_customers": SQL_SEMI,
     "anti_join_customers": SQL_ANTI,
