@@ -215,6 +215,16 @@ def write_corpus(out_dir: str, spec: GenSpec, n_files: int = 4) -> dict[str, str
             ev.slice(bounds[i], bounds[i + 1] - bounds[i]),
             os.path.join(ev_dir, f"part-{i:04d}.parquet"),
         )
+    sp = generate_spine(spec)
+    sp_dir = os.path.join(out_dir, "spine")
+    os.makedirs(sp_dir, exist_ok=True)
+    m = sp.num_rows
+    sbounds = np.linspace(0, m, max(1, n_files // 2) + 1).astype(int)
+    for i in range(len(sbounds) - 1):
+        pq.write_table(
+            sp.slice(sbounds[i], sbounds[i + 1] - sbounds[i]),
+            os.path.join(sp_dir, f"part-{i:04d}.parquet"))
+    # single-file variant kept for convenience of small corpora
     sp_path = os.path.join(out_dir, "spine.parquet")
-    pq.write_table(generate_spine(spec), sp_path)
-    return {"events": ev_dir, "spine": sp_path}
+    pq.write_table(sp, sp_path)
+    return {"events": ev_dir, "spine": sp_dir}

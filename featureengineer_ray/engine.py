@@ -669,21 +669,26 @@ def window_features(
     return _exchange_by_part(tagged, plan, window_kernel)
 
 
+def _harmonize_batch(batch: pa.Table, schema: pa.Schema, side: int) -> pa.Table:
+    """Project one batch onto a common schema (missing cols → nulls)."""
+    arrays = []
+    for f in schema:
+        if f.name == SIDE_COL:
+            arrays.append(pa.array(
+                np.full(batch.num_rows, side, dtype=np.int8)))
+        elif f.name in batch.column_names:
+            col = batch.column(f.name)
+            arrays.append(col.cast(f.type) if col.type != f.type else col)
+        else:
+            arrays.append(pa.nulls(batch.num_rows, type=f.type))
+    return pa.Table.from_arrays(arrays, schema=schema)
+
+
 def _harmonize(ds, schema: pa.Schema, side: int):
     """Project a dataset onto a common schema (missing cols → nulls)."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        arrays = []
-        for f in schema:
-            if f.name == SIDE_COL:
-                arrays.append(pa.array(
-                    np.full(batch.num_rows, side, dtype=np.int8)))
-            elif f.name in batch.column_names:
-                col = batch.column(f.name)
-                arrays.append(col.cast(f.type) if col.type != f.type else col)
-            else:
-                arrays.append(pa.nulls(batch.num_rows, type=f.type))
-        return pa.Table.from_arrays(arrays, schema=schema)
+        return _harmonize_batch(batch, schema, side)
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -748,22 +753,28 @@ def asof_join(
     sp_schema = _pa_schema(spine)
     schema = _union_schema(ev_schema, sp_schema, key, ts, spine_ts)
 
-    # spine's ts column is renamed into the event ts slot for the union
-    def rename_spine(batch: pa.Table) -> pa.Table:
-        names = [ts if c == spine_ts else c for c in batch.column_names]
-        return batch.rename_columns(names)
-
-    spine_r = spine.map_batches(rename_spine, batch_format="pyarrow",
-                                zero_copy_batch=True)
     plan = _ensure_plan(events, key, ts, plan, **plan_kwargs)
     corrections, ctx_map = _split_state(events, plan, spec, key, ts, tiebreak,
                                         fused_asof=True)
-    ev_u = _harmonize(events, schema, side=0)
-    sp_u = _harmonize(spine_r, schema, side=1)
-    both = ev_u.union(sp_u)
-    tagged = both.map_batches(
-        _AssignPart(plan, ts, ctx_map), batch_format="pyarrow",
-        zero_copy_batch=True)
+
+    # ONE fused map per side: rename(spine) + harmonize + partition assign
+    # (each extra map stage re-materializes every block in the object
+    # store — fusing saves full passes over the payload)
+    assign = _AssignPart(plan, ts, ctx_map)
+
+    def ev_prep(batch: pa.Table) -> pa.Table:
+        return assign(_harmonize_batch(batch, schema, 0))
+
+    def sp_prep(batch: pa.Table) -> pa.Table:
+        names = [ts if c == spine_ts else c for c in batch.column_names]
+        batch = batch.rename_columns(names)
+        return assign(_harmonize_batch(batch, schema, 1))
+
+    ev_u = events.map_batches(ev_prep, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    sp_u = spine.map_batches(sp_prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    tagged = ev_u.union(sp_u)
     spine_cols = [ts if c == spine_ts else c for c in sp_schema.names]
     kern = _AsofKernel(
         key, ts, tiebreak, value_cols=value_cols, spine_cols=spine_cols,
@@ -805,3 +816,200 @@ def feature_stack(
         events, spine, key=spec.key, ts=spec.ts, value_cols=value_cols,
         tolerance_us=tolerance_us, tiebreak=spec.tiebreak, dedup=dedup,
         spec=spec, plan=plan, exclude_feats=("session_len",), **plan_kwargs)
+
+
+class _AttachKernel:
+    """Exact-match (key, tiebreak) payload attach for one co-shuffled block
+    (late materialization phase C)."""
+
+    def __init__(self, key: str, tiebreak: str, payload_cols: list[str]):
+        self.key, self.tiebreak = key, tiebreak
+        self.payload_cols = payload_cols
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        drop = [c for c in (PART_COL, SIDE_COL) if c in group.column_names]
+        if group.num_rows == 0:
+            side = np.zeros(0, dtype=np.int8)
+        else:
+            side = group.column(SIDE_COL).to_numpy(zero_copy_only=False)
+        a_tbl = group.filter(pa.array(side == 0)).drop_columns(
+            drop + [c for c in self.payload_cols if c in group.column_names])
+        b_tbl = group.filter(pa.array(side == 1))
+
+        b_codes, b_uniq = kernels.entity_codes(b_tbl.column(self.key))
+        b_seq = b_tbl.column(self.tiebreak).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        order = np.lexsort((b_seq, b_codes))
+        b_codes_s, b_seq_s = b_codes[order], b_seq[order]
+
+        a_keys = a_tbl.column(self.key).to_numpy(zero_copy_only=False)
+        a_codes, present = kernels.map_keys_to_codes(b_uniq, a_keys)
+        a_seq_col = a_tbl.column("__match_seq")
+        a_seq = a_seq_col.cast(pa.int64()).fill_null(-1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        has_match = (a_seq >= 0) & present
+
+        # exact (code, seq) lookup via composite searchsorted
+        if len(b_codes_s):
+            span = int(b_seq_s.max()) + 2 if len(b_seq_s) else 2
+            comp_b = b_codes_s * span + b_seq_s
+            comp_a = np.where(has_match, a_codes, 0) * span + np.clip(
+                a_seq, 0, span - 2)
+            pos = np.searchsorted(comp_b, comp_a)
+            pos_c = np.clip(pos, 0, len(comp_b) - 1)
+            found = has_match & (comp_b[pos_c] == comp_a)
+            gather = order[pos_c]
+        else:
+            found = np.zeros(len(a_seq), dtype=bool)
+            gather = np.zeros(len(a_seq), dtype=np.int64)
+        out = a_tbl.drop_columns(["__match_seq"])
+        for c in self.payload_cols:
+            out = out.append_column(
+                c, kernels.take_with_mask(b_tbl.column(c), gather, found))
+        return out
+
+
+def feature_stack_late(
+    events,
+    spine,
+    spec: WindowSpec,
+    *,
+    payload_cols: list[str],
+    value_cols: list[str],
+    tolerance_us: int | None = None,
+    dedup: bool = True,
+    plan: PartitionPlan | None = None,
+    **plan_kwargs,
+):
+    """feature_stack with LATE payload MATERIALIZATION.
+
+    Wide payload columns (token lists — the vast majority of the bytes)
+    never go through the all-to-all: the windowed/as-of stack runs on the
+    narrow columns only, then payloads are attached by an exact
+    (key, tiebreak) join that re-uses the SAME partition plan — both sides
+    are routed by the matched event's ts so even context-matched rows of
+    sub-split hot entities land with their payload row. The payload side is
+    pre-filtered by a broadcast locator-hash set (at extreme scale,
+    substitute a Bloom filter — the filter is an optimization only;
+    correctness comes from the exact join).
+
+    Output rows equal feature_stack's (same columns up to order).
+    """
+    import ray
+
+    from .hashing import hash_str_array, mix64
+
+    if spec.tiebreak is None:
+        raise ValueError("feature_stack_late requires a tiebreak column")
+    narrow_cols = [c for c in _pa_schema(events).names
+                   if c not in payload_cols]
+    narrow = events.select_columns(narrow_cols)
+    plan = _ensure_plan(narrow, spec.key, spec.ts, plan, **plan_kwargs)
+
+    emit = [c for c in value_cols if c not in payload_cols]
+    if spec.tiebreak not in emit:
+        emit.append(spec.tiebreak)
+    if spec.ts not in emit:
+        emit.append(spec.ts)
+    outA = asof_join(
+        narrow, spine, key=spec.key, ts=spec.ts, value_cols=emit,
+        tolerance_us=tolerance_us, tiebreak=spec.tiebreak, dedup=dedup,
+        spec=spec, plan=plan, exclude_feats=("session_len",))
+    mat = outA.materialize()  # narrow output only — payloads never shuffled
+
+    # broadcast locator set (hash of key × matched tiebreak)
+    hashes = []
+    for b in mat.select_columns([spec.key, spec.tiebreak]).iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow"):
+        k = b.column(spec.key).to_numpy(zero_copy_only=False)
+        s = b.column(spec.tiebreak).cast(pa.int64()).fill_null(-1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ok = s >= 0
+        if ok.any():
+            hashes.append(np.unique(
+                mix64(hash_str_array(k[ok]), s[ok].astype(np.uint64))))
+    loc = np.unique(np.concatenate(hashes)) if hashes else np.zeros(
+        0, dtype=np.uint64)
+    loc_ref = ray.put(loc)
+
+    payload_side_cols = [spec.key, spec.tiebreak, spec.ts] + list(payload_cols)
+
+    class _FilterPayload:
+        def __init__(self):
+            self.loc = ray.get(loc_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            k = batch.column(spec.key).to_numpy(zero_copy_only=False)
+            s = batch.column(spec.tiebreak).cast(pa.int64()).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            h = mix64(hash_str_array(k), s.astype(np.uint64))
+            pos = np.searchsorted(self.loc, h)
+            pos = np.clip(pos, 0, max(len(self.loc) - 1, 0))
+            hit = (self.loc[pos] == h) if len(self.loc) else np.zeros(
+                len(h), dtype=bool)
+            return batch.filter(pa.array(hit))
+
+    payload = events.select_columns(payload_side_cols).map_batches(
+        _FilterPayload, batch_format="pyarrow", concurrency=(1, 8))
+
+    # phase C: co-shuffle by the MATCHED event's (key, ts) under the plan
+    a_schema = _pa_schema(mat)
+    p_schema = _pa_schema(payload)
+    fields = list(a_schema)
+    names = {f.name for f in fields}
+    fields.append(pa.field("__match_seq", pa.int64()))
+    fields.append(pa.field("__route_ts", pa.int64()))
+    for f in p_schema:
+        if f.name not in names and f.name != spec.ts:
+            fields.append(pa.field(f.name, f.type))
+    fields.append(pa.field(SIDE_COL, pa.int8()))
+    schema = pa.schema(fields)
+
+    def prep_a(batch: pa.Table) -> pa.Table:
+        seq = batch.column(spec.tiebreak).cast(pa.int64()).fill_null(-1)
+        mts = batch.column("matched_" + spec.ts) \
+            if ("matched_" + spec.ts) in batch.column_names \
+            else batch.column("as_of_ts")
+        route = mts.cast(pa.int64()).fill_null(0)
+        aof = batch.column("as_of_ts").cast(pa.int64())
+        route = pc.if_else(pc.is_valid(mts.combine_chunks()
+                           if isinstance(mts, pa.ChunkedArray) else mts),
+                           route, aof)
+        b = batch.append_column("__match_seq", seq)
+        b = b.append_column("__route_ts", route.cast(pa.int64()))
+        return b
+
+    def prep_p(batch: pa.Table) -> pa.Table:
+        b = batch.append_column(
+            "__match_seq", batch.column(spec.tiebreak).cast(pa.int64()))
+        b = b.append_column(
+            "__route_ts", batch.column(spec.ts).cast(pa.int64()))
+        return b
+
+    a_u = _harmonize(mat.map_batches(prep_a, batch_format="pyarrow"),
+                     schema, side=0)
+    p_u = _harmonize(payload.map_batches(prep_p, batch_format="pyarrow"),
+                     schema, side=1)
+    both = a_u.union(p_u)
+
+    class _AssignByRoute:
+        def __init__(self, plan_):
+            self.plan = plan_
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            tsv = batch.column("__route_ts").to_numpy(zero_copy_only=False)
+            pid = assign_partition_ids(batch.column(spec.key), self.plan,
+                                       tsv.astype(np.int64))
+            return batch.append_column(PART_COL,
+                                       pa.array(pid, type=pa.int32()))
+
+    tagged = both.map_batches(_AssignByRoute(plan), batch_format="pyarrow",
+                              zero_copy_batch=True)
+    kern = _AttachKernel(spec.key, spec.tiebreak, list(payload_cols))
+
+    def attach_kernel(group: pa.Table) -> pa.Table:
+        g = kern(group)
+        return g.drop_columns([c for c in ("__route_ts",)
+                               if c in g.column_names])
+
+    return _exchange_by_part(tagged, plan, attach_kernel)

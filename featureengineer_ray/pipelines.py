@@ -89,6 +89,46 @@ def documents_to_token_events(docs_ds, *, text_col: str = "text",
     return tokenized.map_batches(explode, batch_format="pyarrow")
 
 
+def featurize_tokens(batch: pa.Table) -> pa.Table:
+    """Per-event token-content features (reference M1 analog — the
+    per-record featurize over the sequence): 64-bit content fingerprint
+    (order-sensitive mix), min/max/sum token ids. Fully vectorized over
+    the flat token stream via segment reduceat."""
+    toks = batch.column("tokens")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    values = toks.values.to_numpy(zero_copy_only=False).astype(np.int64)
+    n = batch.num_rows
+    starts = offsets[:-1]
+    lens = np.diff(offsets)
+    if len(values):
+        pos = np.arange(len(values), dtype=np.int64)
+        row_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+        within = (pos - offsets[row_of]).astype(np.uint64)
+        mixed = mix64(values.astype(np.uint64), within)
+        # segment reduce via reduceat; empty segments clamped + overwritten
+        starts = np.minimum(starts, max(len(values) - 1, 0))
+        fp = np.bitwise_xor.reduceat(mixed, starts)
+        tok_min = np.minimum.reduceat(values, starts)
+        tok_max = np.maximum.reduceat(values, starts)
+        tok_sum = np.add.reduceat(values, starts)
+        empty = lens == 0
+        if empty.any():
+            fp[empty] = 0
+            tok_min[empty] = 0
+            tok_max[empty] = 0
+            tok_sum[empty] = 0
+    else:
+        fp = np.zeros(n, dtype=np.uint64)
+        tok_min = tok_max = tok_sum = np.zeros(n, dtype=np.int64)
+    out = batch.append_column("tok_fp", pa.array(fp.view(np.int64)))
+    out = out.append_column("tok_min", pa.array(tok_min.astype(np.int64)))
+    out = out.append_column("tok_max", pa.array(tok_max.astype(np.int64)))
+    out = out.append_column("tok_sum", pa.array(tok_sum.astype(np.int64)))
+    return out
+
+
 def last_chunk_spine(events_ds):
     """Spine: one as-of request per (entity, chunk boundary sample) — the
     exact ts of every 4th event plus one past-the-end probe per entity."""
@@ -117,18 +157,33 @@ def default_spec() -> engine.WindowSpec:
 
 
 def run_token_stack(events_ds, spine_ds=None, spec: engine.WindowSpec | None = None,
-                    **plan_kwargs):
-    """dedup + windowed features + as-of join, one shuffle (the flagship).
+                    late_materialize: bool = False, **plan_kwargs):
+    """dedup + windowed features + as-of join (the flagship).
 
     Hot entities are sub-split into time-contiguous ranges by default
     (exact via splitstate's boundary corrections) — the Zipf head entity
-    would otherwise serialize the whole pipeline on one partition."""
+    would otherwise serialize the whole pipeline on one partition.
+
+    ``late_materialize`` routes token payloads around the all-to-all
+    (narrow stack + exact locator-join attach under the same plan,
+    engine.feature_stack_late) — ~4× fewer shuffled bytes, the right
+    trade on a multi-node cluster where the exchange crosses the network.
+    On this single-node sandbox the push-based shuffle moves local bytes
+    faster than the extra phase costs, so eager is the default
+    (measured: late 25s vs eager 19s at 32 cpus on the 4M corpus)."""
     spec = spec or default_spec()
     spine_ds = spine_ds if spine_ds is not None else last_chunk_spine(events_ds)
     plan_kwargs.setdefault("split_hot_keys", True)
+    # (featurize_tokens can be chained in front for token-content features;
+    # it costs a full extra pass over the payload bytes, so the default
+    # flagship leaves it off)
+    value_cols = ["tokens", "n_tok", "event_seq"]
+    if late_materialize:
+        return engine.feature_stack_late(
+            events_ds, spine_ds, spec, payload_cols=["tokens"],
+            value_cols=value_cols, dedup=True, **plan_kwargs)
     return engine.feature_stack(
-        events_ds, spine_ds, spec,
-        value_cols=["tokens", "n_tok", "event_seq"], dedup=True,
+        events_ds, spine_ds, spec, value_cols=value_cols, dedup=True,
         **plan_kwargs)
 
 
