@@ -202,17 +202,82 @@ def generate_spine(spec: GenSpec) -> pa.Table:
     return tbl.take(pa.array(order, type=pa.int64()))
 
 
+def _generate_events_shard(spec: GenSpec, shard: int, n_shards: int,
+                           meta: dict) -> pa.Table:
+    """One deterministic shard of the event table, built independently —
+    bounded memory and per-shard int32 list offsets even at 10^9+ total
+    tokens. Row membership/order comes from the shuffle hash, so the
+    sharded corpus is a permutation of generate_events' output."""
+    doc_col, seq, doc_hash, ts, lens, src, shuf = (
+        meta["doc_col"], meta["seq"], meta["doc_hash"], meta["ts"],
+        meta["lens"], meta["src"], meta["shuf"])
+    mask = (shuf % np.uint64(n_shards)).astype(np.int64) == shard
+    idx = np.flatnonzero(mask)
+    idx = idx[np.argsort(shuf[idx], kind="stable")]
+    s_lens = lens[idx]
+    offsets = np.zeros(len(idx) + 1, dtype=np.int64)
+    np.cumsum(s_lens, out=offsets[1:])
+    total = int(offsets[-1])
+    flat = np.empty(total, dtype=np.int32)
+    row_seed = mix64(doc_hash[idx], seq[idx].astype(np.uint64), 0x54)
+    chunk_rows = 500_000
+    for r0 in range(0, len(idx), chunk_rows):
+        r1 = min(len(idx), r0 + chunk_rows)
+        t0, t1 = int(offsets[r0]), int(offsets[r1])
+        rot = np.repeat(np.arange(r0, r1, dtype=np.int64), s_lens[r0:r1])
+        tix = (np.arange(t0, t1, dtype=np.int64) - offsets[rot]).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            flat[t0:t1] = uniform_from_hash(
+                splitmix64(row_seed[rot] + tix), VOCAB).astype(np.int32)
+    tokens = pa.ListArray.from_arrays(
+        pa.array(offsets, type=pa.int64()).cast(pa.int32()),
+        pa.array(flat, type=pa.int32()))
+    return pa.Table.from_arrays(
+        [
+            pa.array(doc_col[idx], type=pa.string()),
+            pa.array(seq[idx], type=pa.int64()),
+            pa.array(ts[idx], type=pa.timestamp("us")),
+            tokens,
+            pa.array(s_lens.astype(np.int32), type=pa.int32()),
+            pa.array(src[idx], type=pa.string()),
+        ],
+        schema=TOKEN_SCHEMA,
+    )
+
+
+def _event_meta(spec: GenSpec) -> dict:
+    """Narrow per-row metadata (no tokens) for shard-wise generation."""
+    counts = _entity_counts(spec)
+    docs = _doc_ids(spec)
+    doc_col = np.repeat(docs, counts)
+    seq = np.concatenate([np.arange(c, dtype=np.int64) for c in counts])
+    doc_hash = np.repeat(hash_str_array(docs, seed=spec.seed), counts)
+    ts = _ts_us(doc_hash, seq)
+    span = spec.max_len - spec.min_len + 1
+    lens = spec.min_len + uniform_from_hash(
+        mix64(doc_hash, seq.astype(np.uint64), 0x4C), span)
+    cum = np.cumsum(SOURCE_WEIGHTS)
+    u = uniform_from_hash(mix64(doc_hash, seq.astype(np.uint64), 0x53),
+                          1_000_000)
+    src = SOURCES[np.searchsorted(cum * 1_000_000, u, side="right")]
+    shuf = mix64(doc_hash, seq.astype(np.uint64), 0x5F)
+    return {"doc_col": doc_col, "seq": seq, "doc_hash": doc_hash, "ts": ts,
+            "lens": lens, "src": src, "shuf": shuf}
+
+
 def write_corpus(out_dir: str, spec: GenSpec, n_files: int = 4) -> dict[str, str]:
-    """Write events (sharded — parallel read source) + spine parquet."""
+    """Write events (sharded — parallel read source) + spine parquet.
+
+    Shards are generated independently (bounded memory; a whole-table
+    build at 10^9+ tokens both overflows int32 list offsets and goes
+    super-linear from allocator pressure)."""
     os.makedirs(out_dir, exist_ok=True)
-    ev = generate_events(spec)
     ev_dir = os.path.join(out_dir, "events")
     os.makedirs(ev_dir, exist_ok=True)
-    n = ev.num_rows
-    bounds = np.linspace(0, n, n_files + 1).astype(int)
+    meta = _event_meta(spec)
     for i in range(n_files):
         pq.write_table(
-            ev.slice(bounds[i], bounds[i + 1] - bounds[i]),
+            _generate_events_shard(spec, i, n_files, meta),
             os.path.join(ev_dir, f"part-{i:04d}.parquet"),
         )
     sp = generate_spine(spec)

@@ -47,7 +47,7 @@ def value_hash(df: pd.DataFrame) -> str:
     for c in df.columns:
         col = df[c]
         if pd.api.types.is_float_dtype(col):
-            vals = np.where(col.isna(), "NaN", col.map(lambda v: f"{v:.9g}"))
+            vals = np.where(col.isna(), "NaN", col.map(lambda v: f"{v:.17g}"))
         else:
             vals = col.astype(str).where(~col.isna(), "NaN")
         h.update("\x1f".join(map(str, vals)).encode())
