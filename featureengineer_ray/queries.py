@@ -1001,6 +1001,12 @@ def q_simhash_fingerprints(sf_dir: str):
 
 
 def q_lang_id_quality(sf_dir: str):
+    """Heuristic language-ID + quality scoring (actor pool).
+
+    Note: the synthetic `documents.text` is English-ish vocabulary
+    regardless of the `lang` label (labels are uncorrelated with content),
+    so `lang_pred` cannot match `lang` here — the column is emitted for
+    the operator surface, not label accuracy."""
     docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
     out = docs.map_batches(text.LangIdQuality, batch_format="pyarrow",
                            concurrency=(1, 4))

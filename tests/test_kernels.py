@@ -252,3 +252,24 @@ def test_dedup_first(events_tbl):
     exps = exp.sort_values(["doc_id", "ts"]).reset_index(drop=True)
     np.testing.assert_array_equal(got["n_tok"].to_numpy(),
                                   exps["n_tok"].to_numpy())
+
+
+def test_rolling_large_window_fallback():
+    """window > 128 exercises the pandas-deque path in _rolling_min_max."""
+    spec = GenSpec(n_rows=600, n_entities=2, zipf_a=1.01, seed=9)
+    tbl = generate_events(spec)
+    part = kernels.sort_partition(tbl, "doc_id", "ts", "event_seq")
+    x = part.table.column("n_tok").cast(pa.float64()).to_numpy(
+        zero_copy_only=False)
+    # null some values to test nan-awareness in the fallback
+    x = x.copy()
+    x[::7] = np.nan
+    got = kernels.rolling_rows(part, x, 200)
+    df = part.table.to_pandas()
+    df["val"] = x
+    exp = oracle.oracle_rolling_rows(df, "doc_id", "ts", "val", 200,
+                                     tiebreak="event_seq")
+    for stat in ("sum", "mean", "min", "max", "std", "count"):
+        np.testing.assert_allclose(
+            got[stat], exp[f"val_roll_{stat}_200"].astype("float64").to_numpy(),
+            rtol=1e-9, equal_nan=True, err_msg=stat)
