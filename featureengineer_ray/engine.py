@@ -727,28 +727,12 @@ def _union_schema(ev_schema: pa.Schema, sp_schema: pa.Schema,
     return pa.schema(fields)
 
 
-def asof_join(
-    events,
-    spine,
-    *,
-    key: str,
-    ts: str,
-    spine_ts: str = "as_of_ts",
-    value_cols: list[str],
-    tolerance_us: int | None = None,
-    tiebreak: str | None = None,
-    dedup: bool = False,
-    spec: WindowSpec | None = None,
-    plan: PartitionPlan | None = None,
-    exclude_feats: tuple[str, ...] = (),
-    **plan_kwargs,
+def _build_asof(
+    events, spine, *, key, ts, spine_ts, value_cols, tolerance_us,
+    tiebreak, dedup, spec, plan, exclude_feats, **plan_kwargs,
 ):
-    """Point-in-time backward as-of join (optionally fused with windows).
-
-    Both sides are tagged with the SAME partition plan and unioned, so the
-    whole operator costs exactly one all-to-all exchange; the per-partition
-    kernel separates sides and runs the galloping binary-search merge.
-    """
+    """Shared construction for asof_join and the resumable lineage sink:
+    (tagged union dataset, per-partition kernel callable, plan)."""
     ev_schema = _pa_schema(events)
     sp_schema = _pa_schema(spine)
     schema = _union_schema(ev_schema, sp_schema, key, ts, spine_ts)
@@ -780,6 +764,36 @@ def asof_join(
         key, ts, tiebreak, value_cols=value_cols, spine_cols=spine_cols,
         tolerance_us=tolerance_us, spec=spec, dedup=dedup,
         corrections=corrections, exclude_feats=exclude_feats)
+    return tagged, kern, plan
+
+
+def asof_join(
+    events,
+    spine,
+    *,
+    key: str,
+    ts: str,
+    spine_ts: str = "as_of_ts",
+    value_cols: list[str],
+    tolerance_us: int | None = None,
+    tiebreak: str | None = None,
+    dedup: bool = False,
+    spec: WindowSpec | None = None,
+    plan: PartitionPlan | None = None,
+    exclude_feats: tuple[str, ...] = (),
+    **plan_kwargs,
+):
+    """Point-in-time backward as-of join (optionally fused with windows).
+
+    Both sides are tagged with the SAME partition plan and unioned, so the
+    whole operator costs exactly one all-to-all exchange; the per-partition
+    kernel separates sides and runs the galloping binary-search merge.
+    """
+    tagged, kern, plan = _build_asof(
+        events, spine, key=key, ts=ts, spine_ts=spine_ts,
+        value_cols=value_cols, tolerance_us=tolerance_us, tiebreak=tiebreak,
+        dedup=dedup, spec=spec, plan=plan, exclude_feats=exclude_feats,
+        **plan_kwargs)
 
     def asof_kernel(group: pa.Table) -> pa.Table:
         return kern(group)

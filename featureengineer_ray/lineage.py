@@ -165,26 +165,11 @@ def write_feature_stack(
     plan = _load_or_save_plan(out_dir, plan)
     skip = sorted(done_pids(out_dir))
 
-    corrections, ctx_map = engine._split_state(
-        events, plan, spec, spec.key, spec.ts, spec.tiebreak, fused_asof=True)
-
-    ev_schema = engine._pa_schema(events)
-    sp_schema = engine._pa_schema(spine)
-    schema = engine._union_schema(ev_schema, sp_schema, spec.key, spec.ts,
-                                  "as_of_ts")
-
-    def rename_spine(batch: pa.Table) -> pa.Table:
-        names = [spec.ts if c == "as_of_ts" else c for c in batch.column_names]
-        return batch.rename_columns(names)
-
-    spine_r = spine.map_batches(rename_spine, batch_format="pyarrow",
-                                zero_copy_batch=True)
-    ev_u = engine._harmonize(events, schema, side=0)
-    sp_u = engine._harmonize(spine_r, schema, side=1)
-    both = ev_u.union(sp_u)
-    tagged = both.map_batches(
-        engine._AssignPart(plan, spec.ts, ctx_map), batch_format="pyarrow",
-        zero_copy_batch=True)
+    tagged, kern, plan = engine._build_asof(
+        events, spine, key=spec.key, ts=spec.ts, spine_ts="as_of_ts",
+        value_cols=value_cols, tolerance_us=tolerance_us,
+        tiebreak=spec.tiebreak, dedup=dedup, spec=spec, plan=plan,
+        exclude_feats=("session_len",))
     if skip:
         skip_arr = np.array(skip, dtype=np.int64)
 
@@ -195,12 +180,6 @@ def write_feature_stack(
 
         tagged = tagged.map_batches(drop_done, batch_format="pyarrow",
                                     zero_copy_batch=True)
-
-    spine_cols = [spec.ts if c == "as_of_ts" else c for c in sp_schema.names]
-    kern = engine._AsofKernel(
-        spec.key, spec.ts, spec.tiebreak, value_cols=value_cols,
-        spine_cols=spine_cols, tolerance_us=tolerance_us, spec=spec,
-        dedup=dedup, corrections=corrections)
 
     writer = _PartitionWriter(kern, out_dir, fail_pids=fail_pids)
 
