@@ -71,6 +71,7 @@ class WindowSpec:
     bfill: list[str] = field(default_factory=list)
     session_gap_us: int | None = None
     zscore: list[str] = field(default_factory=list)
+    expanding_zscore: list[str] = field(default_factory=list)
     dedup: bool = False
 
     @property
@@ -92,6 +93,7 @@ class WindowSpec:
         cols.update(self.ffill)
         cols.update(self.bfill)
         cols.update(self.zscore)
+        cols.update(self.expanding_zscore)
         return sorted(cols)
 
 
@@ -173,6 +175,9 @@ def _compute_window_columns(
     for col in spec.zscore:
         x = _num_sorted(part, col)
         out[f"{col}_z"] = kernels.zscore(part, x)
+    for col in spec.expanding_zscore:
+        x = _num_sorted(part, col)
+        out[f"{col}_ez"] = kernels.expanding_zscore(part, x)
     return out
 
 
@@ -297,7 +302,25 @@ def _compute_split_columns(
             z = (x - (s / cnt)) / std
             z[np.isnan(x)] = np.nan
         out[f"{col}_z"] = z
+    for col in spec.expanding_zscore:
+        x = _num_sorted(part, col)
+        z = np.full(part.n, np.nan)
+        pref = corr.prefix_moments.get(col, (0.0, 0.0, 0.0))
+        if part.n > n_ctx:
+            z[n_ctx:] = kernels.expanding_zscore_with_prefix(x[n_ctx:], pref)
+        if n_ctx > 0:
+            # last ctx row = final surviving row of the previous sub, the
+            # only ctx row an as-of can match; its expanding moments are
+            # exactly the prefix fold (which ends with this row)
+            p_c, p_s, p_s2 = pref
+            if p_c >= 2 and not np.isnan(x[n_ctx - 1]):
+                var = max(p_s2 - p_s * p_s / p_c, 0.0) / (p_c - 1)
+                std = float(np.sqrt(var))
+                if std > 0.0:
+                    z[n_ctx - 1] = (x[n_ctx - 1] - p_s / p_c) / std
+        out[f"{col}_ez"] = z
     return out
+
 
 
 class _WindowKernel:
@@ -617,9 +640,12 @@ class _AssignPart:
         return pa.concat_tables([out, dup])
 
 
+CTX_CAP_LIMIT = 1_000_000  # sanity bound on carried boundary context rows
+
+
 def _split_state(ds, plan: PartitionPlan, spec: WindowSpec | None,
                  key: str, ts: str, tiebreak: str | None,
-                 fused_asof: bool = False):
+                 fused_asof: bool = False, dedup: bool = False):
     """Narrow pre-pass + driver fold when the plan sub-splits hot keys."""
     if not plan.hot_splits:
         return None, None
@@ -638,9 +664,17 @@ def _split_state(ds, plan: PartitionPlan, spec: WindowSpec | None,
                 "disable split_hot_keys or drop leads/bfill")
     else:
         numeric, gap, ctx_rows, twins = [], None, 1, []
+    if ctx_rows > CTX_CAP_LIMIT:
+        # a row window this deep would make the boundary-context carry as
+        # expensive as the data itself — refuse rather than silently
+        # truncate the summary tail (ADVICE r01: ctx_cap must not clip)
+        raise ValueError(
+            f"window context ({ctx_rows} rows after fused doubling) exceeds "
+            f"the hot-split context cap {CTX_CAP_LIMIT}; disable "
+            "split_hot_keys or shrink the row windows")
     summaries = splitstate.presummarize(
         ds, plan, key=key, ts=ts, tiebreak=tiebreak, numeric_cols=numeric,
-        gap_us=gap)
+        gap_us=gap, ctx_cap=max(8192, ctx_rows), dedup=dedup)
     corr = splitstate.fold_corrections(
         summaries, plan, context_rows=ctx_rows, gap_us=gap,
         time_windows_us=twins)
@@ -657,7 +691,7 @@ def window_features(
     """The windowed feature stack as one shuffle + one vectorized kernel."""
     plan = _ensure_plan(ds, spec.key, spec.ts, plan, **plan_kwargs)
     corrections, ctx_map = _split_state(ds, plan, spec, spec.key, spec.ts,
-                                        spec.tiebreak)
+                                        spec.tiebreak, dedup=spec.dedup)
     tagged = ds.map_batches(
         _AssignPart(plan, spec.ts, ctx_map), batch_format="pyarrow",
         zero_copy_batch=True)
@@ -739,7 +773,7 @@ def _build_asof(
 
     plan = _ensure_plan(events, key, ts, plan, **plan_kwargs)
     corrections, ctx_map = _split_state(events, plan, spec, key, ts, tiebreak,
-                                        fused_asof=True)
+                                        fused_asof=True, dedup=dedup)
 
     # ONE fused map per side: rename(spine) + harmonize + partition assign
     # (each extra map stage re-materializes every block in the object
@@ -816,20 +850,23 @@ def feature_stack(
 
     Each spine row gets the matched event's payload and its windowed
     features. The zero-temporal-leakage rule (FIXTURES.md §5) shapes the
-    output: lead/bfill specs are rejected outright, and ``session_len``
-    (the FULL session size, which counts events after the as-of point) is
-    excluded — ``session_event_idx`` is the non-leaky "session length so
-    far". Retrospective session_len remains available from
+    output: lead/bfill specs are rejected outright, and two retrospective
+    columns are excluded — ``session_len`` (the FULL session size counts
+    events after the as-of point; ``session_event_idx`` is the non-leaky
+    "session length so far") and ``{col}_z`` (entity-GLOBAL z-score moments
+    include future events; ``{col}_ez`` — ``spec.expanding_zscore`` — is the
+    non-leaky trailing z). Both retrospective forms remain available from
     :func:`window_features`.
     """
     if spec.leads or spec.bfill:
         raise ValueError(
             "lead/bfill features read past the as-of boundary and cannot "
             "be emitted from feature_stack (zero-temporal-leakage rule)")
+    leaky = ("session_len",) + tuple(f"{c}_z" for c in spec.zscore)
     return asof_join(
         events, spine, key=spec.key, ts=spec.ts, value_cols=value_cols,
         tolerance_us=tolerance_us, tiebreak=spec.tiebreak, dedup=dedup,
-        spec=spec, plan=plan, exclude_feats=("session_len",), **plan_kwargs)
+        spec=spec, plan=plan, exclude_feats=leaky, **plan_kwargs)
 
 
 class _AttachKernel:

@@ -380,6 +380,58 @@ def zscore(part: SortedPartition, x: np.ndarray) -> np.ndarray:
     return z
 
 
+def expanding_zscore(part: SortedPartition, x: np.ndarray) -> np.ndarray:
+    """Trailing/expanding z: (x_i - mean(x[seg_start..i])) / std(ddof=1 over
+    the same prefix). Uses ONLY rows at-or-before i within the entity, so it
+    is safe to emit through a point-in-time as-of join (zero temporal
+    leakage), unlike :func:`zscore` whose moments span the whole entity."""
+    n = part.n
+    if n == 0:
+        return np.zeros(0)
+    valid = ~np.isnan(x)
+    xv = np.where(valid, x, 0.0)
+    cs = np.cumsum(xv)
+    cs2 = np.cumsum(xv * xv)
+    cc = np.cumsum(valid.astype(np.float64))
+    start = part.row_seg_start
+    base = np.maximum(start - 1, 0)
+    has_base = start > 0
+    b_s = np.where(has_base, cs[base], 0.0)
+    b_s2 = np.where(has_base, cs2[base], 0.0)
+    b_c = np.where(has_base, cc[base], 0.0)
+    c = cc - b_c
+    s = cs - b_s
+    s2 = cs2 - b_s2
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mean = s / c
+        var = np.maximum(s2 - s * s / c, 0.0) / np.maximum(c - 1, 1)
+        std = np.sqrt(var)
+        z = (x - mean) / std
+    z[(c < 2) | (std == 0.0) | ~valid] = np.nan
+    return z
+
+
+def expanding_zscore_with_prefix(
+    x: np.ndarray, prefix: tuple[float, float, float]
+) -> np.ndarray:
+    """Expanding z over ONE entity segment whose history starts with the
+    given (count, sum, sumsq) prefix — the hot-entity sub-split path (the
+    prefix is the exact fold over all earlier time-range subs)."""
+    p_c, p_s, p_s2 = prefix
+    valid = ~np.isnan(x)
+    xv = np.where(valid, x, 0.0)
+    c = np.cumsum(valid.astype(np.float64)) + p_c
+    s = np.cumsum(xv) + p_s
+    s2 = np.cumsum(xv * xv) + p_s2
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mean = s / c
+        var = np.maximum(s2 - s * s / c, 0.0) / np.maximum(c - 1, 1)
+        std = np.sqrt(var)
+        z = (x - mean) / std
+    z[(c < 2) | (std == 0.0) | ~valid] = np.nan
+    return z
+
+
 # --- as-of merge ----------------------------------------------------------
 
 def asof_merge(

@@ -216,6 +216,38 @@ def oracle_dedup_first(
     return s.drop_duplicates(subset=keys, keep="first").reset_index(drop=True)
 
 
+def oracle_expanding_zscore(
+    df: pd.DataFrame, key: str, ts: str, col: str,
+    tiebreak: str | None = None,
+) -> pd.DataFrame:
+    """Adds {col}_ez = (x_i - mean(prefix))/std(prefix, ddof=1) where the
+    prefix is the entity's rows up to AND including i in (ts, tiebreak)
+    order — the leak-free trailing z (only past data)."""
+    outs = []
+    for g in _sorted_groups(df, key, ts, tiebreak):
+        g = g.copy()
+        ez = []
+        for i in range(len(g)):
+            v = g[col].iloc[i]
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                ez.append(None)
+                continue
+            prefix = [x for x in g[col].iloc[: i + 1]
+                      if x is not None and not (
+                          isinstance(x, float) and math.isnan(x))]
+            if len(prefix) < 2:
+                ez.append(None)
+                continue
+            s = float(np.std(prefix, ddof=1))
+            if s == 0.0 or math.isnan(s):
+                ez.append(None)
+            else:
+                ez.append((float(v) - float(np.mean(prefix))) / s)
+        g[f"{col}_ez"] = ez
+        outs.append(g)
+    return pd.concat(outs, ignore_index=True)
+
+
 def oracle_zscore(
     df: pd.DataFrame, key: str, col: str
 ) -> pd.DataFrame:

@@ -153,6 +153,7 @@ def default_spec() -> engine.WindowSpec:
         rolling={"n_tok": [8]},
         session_gap_us=int(SESSION_GAP_US),
         zscore=["n_tok"],
+        expanding_zscore=["n_tok"],
     )
 
 

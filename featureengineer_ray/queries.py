@@ -371,11 +371,38 @@ FROM events
 """
 
 
+def q_expanding_zscore(sf_dir: str):
+    """Leak-free trailing z: moments over the entity's own PAST rows only
+    (the as-of-safe z-score feature_stack emits instead of the global z)."""
+    spec = engine.WindowSpec(key="user_id", ts="ts", tiebreak="event_id",
+                             expanding_zscore=["value"])
+    out = engine.window_features(_events(sf_dir), spec)
+    out = _round_cols(out, {"value_ez": 6})
+    return _select(out, ["event_id", "user_id", "ts", "value", "value_ez"])
+
+
+SQL_EXPANDING_ZSCORE = """
+SELECT event_id, user_id, ts, value,
+       ROUND_EVEN((value - avg(value) OVER w)
+             / NULLIF(stddev_samp(value) OVER w, 0), 6) AS value_ez
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 # --------------------------------------------------------------------------
 # TPC-H-ish relational coverage
 # --------------------------------------------------------------------------
 
 def q_q1_pricing(sf_dir: str):
+    """TPC-H Q1 shape with ORDER-INDEPENDENT exact aggregation: every
+    monetary column is 2-decimal (6-decimal after the charge products), so
+    each row maps to an exact int64 in fixed-point units; int sums are
+    bitwise identical at ANY parallelism / block layout, and the final
+    unit→double divisions are the same IEEE ops the SQL oracle performs.
+    (Round-1 used double sums + ROUND_EVEN; summation-order drift at a
+    half-even boundary made the hash flaky across layouts.)"""
     li = _read(sf_dir, "lineitem",
                ["l_returnflag", "l_linestatus", "l_quantity",
                 "l_extendedprice", "l_discount", "l_tax", "l_shipdate"])
@@ -384,51 +411,75 @@ def q_q1_pricing(sf_dir: str):
         b = batch.filter(
             pc.less_equal(batch.column("l_shipdate"),
                           pa.scalar(pd.Timestamp("1998-09-02"))))
-        disc_price = pc.multiply(
-            b.column("l_extendedprice"),
-            pc.subtract(pa.scalar(1.0), b.column("l_discount")))
-        charge = pc.multiply(disc_price,
-                             pc.add(pa.scalar(1.0), b.column("l_tax")))
-        b = b.append_column("disc_price", disc_price)
-        b = b.append_column("charge", charge)
-        return b
+        qty = b.column("l_quantity").to_numpy(zero_copy_only=False)
+        price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = b.column("l_discount").to_numpy(zero_copy_only=False)
+        tax = b.column("l_tax").to_numpy(zero_copy_only=False)
+        disc_price = price * (1.0 - disc)
+        charge = disc_price * (1.0 + tax)
+        return pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "l_linestatus": b.column("l_linestatus"),
+            "qty_i": pa.array(np.rint(qty).astype(np.int64)),
+            "base_i": pa.array(np.rint(price * 100.0).astype(np.int64)),
+            "disc_i": pa.array(np.rint(disc * 100.0).astype(np.int64)),
+            "dp_i": pa.array(np.rint(disc_price * 10000.0).astype(np.int64)),
+            "ch_i": pa.array(np.rint(charge * 1000000.0).astype(np.int64)),
+        })
 
     pre = li.map_batches(prep, batch_format="pyarrow")
     agg = relational.grouped_agg(
         pre, ["l_returnflag", "l_linestatus"],
-        {"sum_qty": ("l_quantity", "sum"),
-         "sum_base_price": ("l_extendedprice", "sum"),
-         "sum_disc_price": ("disc_price", "sum"),
-         "sum_charge": ("charge", "sum"),
-         "avg_qty": ("l_quantity", "mean"),
-         "avg_price": ("l_extendedprice", "mean"),
-         "avg_disc": ("l_discount", "mean")},
+        {"sum_qty": ("qty_i", "sum"),
+         "__base": ("base_i", "sum"),
+         "__disc": ("disc_i", "sum"),
+         "__dp": ("dp_i", "sum"),
+         "__ch": ("ch_i", "sum")},
         count_alias="count_order")
-    agg = _round_cols(agg, {"sum_qty": 2, "sum_base_price": 2,
-                            "sum_disc_price": 2, "sum_charge": 2,
-                            "avg_qty": 6, "avg_price": 6, "avg_disc": 6})
 
-    def cast_cnt(batch: pa.Table) -> pa.Table:
-        i = batch.column_names.index("count_order")
-        return batch.set_column(i, "count_order",
-                                batch.column("count_order").cast(pa.int64()))
+    def finish(batch: pa.Table) -> pa.Table:
+        sq = batch.column("sum_qty").to_numpy(zero_copy_only=False).astype(np.int64)
+        sb = batch.column("__base").to_numpy(zero_copy_only=False).astype(np.int64)
+        sd = batch.column("__disc").to_numpy(zero_copy_only=False).astype(np.int64)
+        sp = batch.column("__dp").to_numpy(zero_copy_only=False).astype(np.int64)
+        sc = batch.column("__ch").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch.column("count_order").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "l_linestatus": batch.column("l_linestatus"),
+            "sum_qty": pa.array(sq),
+            "sum_base_price": pa.array(sb.astype(np.float64) / 100.0),
+            "sum_disc_price": pa.array(sp.astype(np.float64) / 10000.0),
+            "sum_charge": pa.array(sc.astype(np.float64) / 1000000.0),
+            "avg_qty": pa.array(sq.astype(np.float64) / n),
+            "avg_price": pa.array((sb.astype(np.float64) / 100.0) / n),
+            "avg_disc": pa.array((sd.astype(np.float64) / 100.0) / n),
+            "count_order": pa.array(
+                batch.column("count_order").to_numpy(
+                    zero_copy_only=False).astype(np.int64)),
+        })
 
-    agg = agg.map_batches(cast_cnt, batch_format="pyarrow")
-    return _select(agg, ["l_returnflag", "l_linestatus", "sum_qty",
-                         "sum_base_price", "sum_disc_price", "sum_charge",
-                         "avg_qty", "avg_price", "avg_disc", "count_order"])
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 SQL_Q1 = """
 SELECT l_returnflag, l_linestatus,
-       ROUND_EVEN(sum(l_quantity), 2) AS sum_qty,
-       ROUND_EVEN(sum(l_extendedprice), 2) AS sum_base_price,
-       ROUND_EVEN(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       ROUND_EVEN(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
-         AS sum_charge,
-       ROUND_EVEN(avg(l_quantity), 6) AS avg_qty,
-       ROUND_EVEN(avg(l_extendedprice), 6) AS avg_price,
-       ROUND_EVEN(avg(l_discount), 6) AS avg_disc,
+       CAST(sum(CAST(ROUND_EVEN(l_quantity, 0) AS BIGINT)) AS BIGINT)
+         AS sum_qty,
+       CAST(sum(CAST(ROUND_EVEN(l_extendedprice * 100.0, 0) AS BIGINT))
+            AS DOUBLE) / 100.0 AS sum_base_price,
+       CAST(sum(CAST(ROUND_EVEN(l_extendedprice * (1.0 - l_discount)
+                                * 10000.0, 0) AS BIGINT))
+            AS DOUBLE) / 10000.0 AS sum_disc_price,
+       CAST(sum(CAST(ROUND_EVEN(l_extendedprice * (1.0 - l_discount)
+                                * (1.0 + l_tax) * 1000000.0, 0) AS BIGINT))
+            AS DOUBLE) / 1000000.0 AS sum_charge,
+       CAST(sum(CAST(ROUND_EVEN(l_quantity, 0) AS BIGINT)) AS DOUBLE)
+            / count(*) AS avg_qty,
+       (CAST(sum(CAST(ROUND_EVEN(l_extendedprice * 100.0, 0) AS BIGINT))
+             AS DOUBLE) / 100.0) / count(*) AS avg_price,
+       (CAST(sum(CAST(ROUND_EVEN(l_discount * 100.0, 0) AS BIGINT))
+             AS DOUBLE) / 100.0) / count(*) AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -451,22 +502,34 @@ def q_revenue_by_nation(sf_dir: str):
     dim = cust.merge(nation, on="c_nationkey", how="inner")
     joined = relational.broadcast_join(orders, dim, on="o_custkey",
                                        how="inner")
+
+    def cents(batch: pa.Table) -> pa.Table:
+        # 2-decimal money → exact int64 cents: order-independent sums
+        x = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_name": batch.column("n_name"),
+            "rev_i": pa.array(np.rint(x * 100.0).astype(np.int64)),
+        })
+
     agg = relational.grouped_agg(
-        joined, ["n_name"], {"revenue": ("o_totalprice", "sum")},
-        count_alias="n_orders")
-    agg = _round_cols(agg, {"revenue": 2})
+        joined.map_batches(cents, batch_format="pyarrow"),
+        ["n_name"], {"__rev": ("rev_i", "sum")}, count_alias="n_orders")
 
-    def cast_cnt(batch: pa.Table) -> pa.Table:
-        i = batch.column_names.index("n_orders")
-        return batch.set_column(i, "n_orders",
-                                batch.column("n_orders").cast(pa.int64()))
+    def finish(batch: pa.Table) -> pa.Table:
+        s = batch.column("__rev").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "n_name": batch.column("n_name"),
+            "revenue": pa.array(s.astype(np.float64) / 100.0),
+            "n_orders": batch.column("n_orders").cast(pa.int64()),
+        })
 
-    return _select(agg.map_batches(cast_cnt, batch_format="pyarrow"),
-                   ["n_name", "revenue", "n_orders"])
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 SQL_REVENUE_NATION = """
-SELECT n_name, ROUND_EVEN(sum(o_totalprice), 2) AS revenue,
+SELECT n_name,
+       CAST(sum(CAST(ROUND_EVEN(o_totalprice * 100.0, 0) AS BIGINT))
+            AS DOUBLE) / 100.0 AS revenue,
        count(*) AS n_orders
 FROM orders
 JOIN customer ON o_custkey = c_custkey
@@ -753,22 +816,33 @@ def q_join_lineitem_orders(sf_dir: str):
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
     j = li.join(orders, join_type="inner", num_partitions=16,
                 on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def cents(batch: pa.Table) -> pa.Table:
+        x = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_orderstatus": batch.column("o_orderstatus"),
+            "rev_i": pa.array(np.rint(x * 100.0).astype(np.int64)),
+        })
+
     agg = relational.grouped_agg(
-        j, ["o_orderstatus"], {"revenue": ("l_extendedprice", "sum")},
-        count_alias="n_items")
-    agg = _round_cols(agg, {"revenue": 2})
+        j.map_batches(cents, batch_format="pyarrow"),
+        ["o_orderstatus"], {"__rev": ("rev_i", "sum")}, count_alias="n_items")
 
-    def cast_cnt(batch: pa.Table) -> pa.Table:
-        i = batch.column_names.index("n_items")
-        return batch.set_column(i, "n_items",
-                                batch.column("n_items").cast(pa.int64()))
+    def finish(batch: pa.Table) -> pa.Table:
+        s = batch.column("__rev").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "o_orderstatus": batch.column("o_orderstatus"),
+            "revenue": pa.array(s.astype(np.float64) / 100.0),
+            "n_items": batch.column("n_items").cast(pa.int64()),
+        })
 
-    return _select(agg.map_batches(cast_cnt, batch_format="pyarrow"),
-                   ["o_orderstatus", "revenue", "n_items"])
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 SQL_JOIN_LARGE = """
-SELECT o_orderstatus, ROUND_EVEN(sum(l_extendedprice), 2) AS revenue,
+SELECT o_orderstatus,
+       CAST(sum(CAST(ROUND_EVEN(l_extendedprice * 100.0, 0) AS BIGINT))
+            AS DOUBLE) / 100.0 AS revenue,
        count(*) AS n_items
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderstatus
@@ -1073,6 +1147,7 @@ QUERIES = {
     "session_stats": q_session_stats,
     "dedup_first_event": q_dedup_first_event,
     "zscore_per_user": q_zscore_per_user,
+    "expanding_zscore": q_expanding_zscore,
     "q1_pricing": q_q1_pricing,
     "revenue_by_nation": q_revenue_by_nation,
     "top2_orders_per_cust": q_top2_orders_per_cust,
@@ -1116,6 +1191,7 @@ ORACLE_SQL = {
     "session_stats": SQL_SESSION_STATS,
     "dedup_first_event": SQL_DEDUP_FIRST,
     "zscore_per_user": SQL_ZSCORE,
+    "expanding_zscore": SQL_EXPANDING_ZSCORE,
     "q1_pricing": SQL_Q1,
     "revenue_by_nation": SQL_REVENUE_NATION,
     "top2_orders_per_cust": SQL_TOP2_PER_CUST,

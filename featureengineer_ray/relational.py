@@ -34,23 +34,75 @@ def broadcast_join(
 
     ``small`` is shipped once via the object store (Ray serializes the
     closure's ``ObjectRef``), not re-pickled per batch. ``how`` in
-    {'inner','left'}.
+    {'inner','left'}. The probe is Arrow-native: per-key codes +
+    ``searchsorted`` ranges + one ``pc.take`` per side — the batch never
+    round-trips through pandas (duplicate small-side keys fan out exactly
+    like a hash join).
     """
     import ray
 
+    from .kernels import map_keys_to_codes
+
     if isinstance(on, str):
         on = [on]
-    ref = ray.put(small)
+
+    # precompute the probe index ONCE on the driver; ship via object store
+    uniqs = []  # per key col: sorted unique values
+    comp = np.zeros(len(small), dtype=np.int64)
+    for k in on:
+        vals = small[k].to_numpy()
+        uniq, codes = np.unique(vals, return_inverse=True)
+        uniqs.append(uniq)
+        comp = comp * np.int64(len(uniq) + 1) + codes.astype(np.int64)
+    width = 1
+    for u in uniqs:
+        width *= len(u) + 1
+    if width >= (1 << 62):
+        raise ValueError("broadcast_join composite key space overflow — "
+                         "small side too wide for int64 codes")
+    order = np.argsort(comp, kind="stable")  # stable: dup keys keep row order
+    small_cols = {}
+    for c in small.columns:
+        if c in on:
+            continue
+        arr = pa.Array.from_pandas(small[c])
+        small_cols[c] = pc.take(arr, pa.array(order, type=pa.int64()))
+    ref = ray.put((uniqs, comp[order], small_cols))
 
     class _Probe:
         def __init__(self):
-            self.small = ray.get(ref)
+            self.uniqs, self.comp_sorted, self.small_cols = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            left = batch.to_pandas()
-            out = left.merge(self.small, on=on, how=how,
-                             suffixes=("", suffix))
-            return pa.Table.from_pandas(out, preserve_index=False)
+            n = batch.num_rows
+            comp = np.zeros(n, dtype=np.int64)
+            present = np.ones(n, dtype=bool)
+            for k, uniq in zip(on, self.uniqs):
+                vals = batch.column(k).to_numpy(zero_copy_only=False)
+                codes, ok = map_keys_to_codes(uniq, vals)
+                present &= ok
+                comp = comp * np.int64(len(uniq) + 1) + np.where(ok, codes, 0)
+            lo = np.searchsorted(self.comp_sorted, comp, side="left")
+            hi = np.searchsorted(self.comp_sorted, comp, side="right")
+            counts = np.where(present, hi - lo, 0)
+            if how == "left":
+                out_counts = np.maximum(counts, 1)
+            else:
+                out_counts = counts
+            total = int(out_counts.sum())
+            row_of = np.repeat(np.arange(n, dtype=np.int64), out_counts)
+            starts = np.concatenate(([0], np.cumsum(out_counts)))[:-1]
+            within = np.arange(total, dtype=np.int64) - starts[row_of]
+            matched = counts[row_of] > 0
+            sidx = np.where(matched, lo[row_of] + within, 0)
+            out = batch.take(pa.array(row_of, type=pa.int64()))
+            names = set(out.column_names)
+            for c, arr in self.small_cols.items():
+                name = c if c not in names else c + suffix
+                idx = pa.array(np.where(matched, sidx, -1), type=pa.int64(),
+                               mask=~matched)
+                out = out.append_column(name, pc.take(arr, idx))
+            return out
 
     return ds.map_batches(_Probe, batch_format="pyarrow", concurrency=(1, 8))
 
@@ -114,6 +166,10 @@ def grouped_agg(
                 out[pname] = g.size()
             elif fn == "count":
                 out[pname] = g[col].count()
+            elif fn == "sum":
+                # min_count=1: an all-null group contributes NULL, not 0.0,
+                # so the merged SUM matches SQL (NULL when no non-null input)
+                out[pname] = g[col].sum(min_count=1)
             else:
                 out[pname] = getattr(g[col], fn)()
         res = pd.DataFrame(out).reset_index()

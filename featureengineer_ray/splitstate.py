@@ -52,6 +52,7 @@ class SubCorrection:
                                        # session when that session is closed
     ffill_carry: dict = field(default_factory=dict)   # col -> float (nan if none)
     moments: dict = field(default_factory=dict)       # col -> (count, sum, sumsq)
+    prefix_moments: dict = field(default_factory=dict)  # col -> (cnt,s,ssq) of SUBS BEFORE this one
 
 
 def hot_split_pids(plan: PartitionPlan) -> dict[object, list[int]]:
@@ -69,11 +70,12 @@ class SummaryKernel:
 
     def __init__(self, key: str, ts: str, tiebreak: str | None,
                  numeric_cols: list[str], gap_us: int | None,
-                 ctx_cap: int = 8192):
+                 ctx_cap: int = 8192, dedup: bool = False):
         self.key, self.ts, self.tiebreak = key, ts, tiebreak
         self.numeric_cols = numeric_cols
         self.gap_us = gap_us
         self.ctx_cap = ctx_cap
+        self.dedup = dedup
 
     def __call__(self, group: pa.Table) -> pa.Table:
         pid = group.column("__part")[0].as_py()
@@ -86,6 +88,14 @@ class SummaryKernel:
         else:
             order = np.argsort(tsv, kind="stable")
         tsv = tsv[order]
+        if self.dedup and len(tsv):
+            # mirror the split kernels' first-wins (key, ts) dedup BEFORE
+            # summarizing — session structure, moments and carries must be
+            # computed over the surviving rows only (one key per group here)
+            keep = np.ones(len(tsv), dtype=bool)
+            keep[1:] = np.diff(tsv) != 0
+            order = order[keep]
+            tsv = tsv[keep]
         n = len(tsv)
         keyv = g.column(self.key)[0].as_py()
         if self.gap_us is not None and n:
@@ -118,7 +128,8 @@ class SummaryKernel:
 
 def presummarize(ds, plan: PartitionPlan, *, key: str, ts: str,
                  tiebreak: str | None, numeric_cols: list[str],
-                 gap_us: int | None) -> pd.DataFrame:
+                 gap_us: int | None, ctx_cap: int = 8192,
+                 dedup: bool = False) -> pd.DataFrame:
     """Run the narrow pre-pass over hot-split keys; returns summaries df."""
     split_keys = set(plan.hot_splits.keys())
     cols = [key, ts] + ([tiebreak] if tiebreak else []) + numeric_cols
@@ -137,7 +148,8 @@ def presummarize(ds, plan: PartitionPlan, *, key: str, ts: str,
         pid = assign_partition_ids(b.column(key), plan, tv)
         return b.append_column("__part", pa.array(pid, type=pa.int32()))
 
-    kern = SummaryKernel(key, ts, tiebreak, numeric_cols, gap_us)
+    kern = SummaryKernel(key, ts, tiebreak, numeric_cols, gap_us,
+                         ctx_cap=ctx_cap, dedup=dedup)
 
     def summary_kernel(group: pa.Table) -> pa.Table:
         return kern(group)
@@ -177,6 +189,7 @@ def fold_corrections(
         # rolling context buffer + per-col ffill carry across subs
         buf = np.zeros(0, dtype=np.int64)
         carry = {c: np.nan for c in num_cols}
+        run = {c: (0.0, 0.0, 0.0) for c in num_cols}  # moments of prior subs
         s_before = 0
         chain: list[int] = []   # pids participating in the open session chain
         chain_rows = 0          # rows of the open session accumulated so far
@@ -206,6 +219,7 @@ def fold_corrections(
                 key=keyv, sub_index=i, ctx_ts=np.sort(np.asarray(ctx, dtype=np.int64)),
                 session_offset=s_before, merge=merge,
                 ffill_carry=dict(carry), moments=moments,
+                prefix_moments=dict(run),
             )
             out[p] = corr
 
@@ -247,20 +261,29 @@ def fold_corrections(
                 lv = row[f"lv_{c}"]
                 if not (isinstance(lv, float) and np.isnan(lv)):
                     carry[c] = float(lv)
+                rc, rs, rq = run[c]
+                run[c] = (rc + float(row[f"cnt_{c}"]),
+                          rs + float(row[f"sum_{c}"]),
+                          rq + float(row[f"ssq_{c}"]))
         if gap_us is not None:
             close_chain(chain_rows)
     return out
 
 
 def build_ctx_map(corrections: dict[int, SubCorrection]) -> dict:
-    """key -> (sorted ts array, matching target pid array) for assignment."""
+    """key -> (sorted ts array, matching target pid array) for assignment.
+
+    (ts, pid) pairs are DEDUPED: without dedup the buffer may list one ts
+    several times (several physical rows at that ts) — each physical row
+    matching the ts must be duplicated exactly once per target sub, not
+    once per buffer entry."""
     per_key: dict[object, list[tuple[int, int]]] = {}
     for pid, corr in corrections.items():
         for t in corr.ctx_ts:
             per_key.setdefault(corr.key, []).append((int(t), pid))
     out = {}
     for k, pairs in per_key.items():
-        pairs.sort()
+        pairs = sorted(set(pairs))
         ts = np.array([p[0] for p in pairs], dtype=np.int64)
         pid = np.array([p[1] for p in pairs], dtype=np.int64)
         out[k] = (ts, pid)

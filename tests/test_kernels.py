@@ -157,6 +157,37 @@ def test_zscore_vs_oracle(part, events_df):
         equal_nan=True)
 
 
+def test_expanding_zscore_vs_oracle(part, events_df):
+    exp = oracle.oracle_expanding_zscore(events_df, "doc_id", "ts", "n_tok",
+                                         tiebreak="event_seq")
+    x = part.table.column("n_tok").cast(pa.float64()).to_numpy(
+        zero_copy_only=False)
+    got = kernels.expanding_zscore(part, x)
+    np.testing.assert_allclose(
+        got, exp["n_tok_ez"].astype("float64").to_numpy(), rtol=1e-9,
+        atol=1e-9, equal_nan=True)
+
+
+def test_expanding_zscore_with_prefix_matches_whole():
+    """Splitting a sequence at any point and carrying (cnt,sum,ssq) as the
+    prefix must reproduce the unsplit expanding z (the hot-split path)."""
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(200)
+    x[::11] = np.nan
+    tbl = pa.table({"k": ["a"] * 200, "ts": np.arange(200, dtype=np.int64),
+                    "v": x})
+    p = kernels.sort_partition(tbl, "k", "ts")
+    whole = kernels.expanding_zscore(p, x)
+    for cut in (1, 50, 199):
+        head = x[:cut]
+        v = ~np.isnan(head)
+        pref = (float(v.sum()), float(np.nansum(head)),
+                float(np.nansum(head ** 2)))
+        tail = kernels.expanding_zscore_with_prefix(x[cut:], pref)
+        np.testing.assert_allclose(tail, whole[cut:], rtol=1e-9, atol=1e-9,
+                                   equal_nan=True)
+
+
 def test_asof_merge_vs_oracle(events_tbl, events_df):
     spine = generate_spine(SPEC).to_pandas()
     exp = oracle.oracle_asof_join(

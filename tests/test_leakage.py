@@ -21,7 +21,8 @@ def _stack(ray_session, events_tbl, spine_tbl):
     spec = engine.WindowSpec(
         key="doc_id", ts="ts", tiebreak="event_seq",
         lags={"n_tok": [1, 2, 3]}, rolling={"n_tok": [5]},
-        session_gap_us=int(SESSION_GAP_US))
+        session_gap_us=int(SESSION_GAP_US),
+        zscore=["n_tok"], expanding_zscore=["n_tok"])
     return engine.feature_stack(
         rd.from_arrow(events_tbl), rd.from_arrow(spine_tbl), spec,
         value_cols=["tokens", "n_tok", "event_seq"],
@@ -75,11 +76,15 @@ def test_zero_temporal_leakage(ray_session):
 
 
 def test_session_len_excluded_from_asof(ray_session):
-    """session_len (FULL session size) counts events after the as-of point
-    → it must not appear in feature_stack outputs; session_event_idx is
-    the non-leaky 'session length so far'."""
+    """Retrospective columns must not appear in feature_stack outputs:
+    session_len (FULL session size counts events after the as-of point;
+    session_event_idx is the non-leaky 'session length so far') and
+    {col}_z (entity-GLOBAL moments include future events; {col}_ez is the
+    non-leaky trailing z) — ADVICE r01 high finding."""
     events = generate_events(SPEC)
     spine = generate_spine(SPEC)
     out = _stack(None, events, spine)
     assert "session_len" not in out.columns
     assert "session_event_idx" in out.columns and "session_idx" in out.columns
+    assert "n_tok_z" not in out.columns
+    assert "n_tok_ez" in out.columns

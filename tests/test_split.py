@@ -51,6 +51,7 @@ def test_split_window_features_vs_oracle(ray_session, events_tbl, split_plan):
         key="doc_id", ts="ts", tiebreak="event_seq",
         lags={"n_tok": [1, 2, 3]}, rolling={"n_tok": [5]},
         session_gap_us=int(SESSION_GAP_US), zscore=["n_tok"],
+        expanding_zscore=["n_tok"],
     )
     ds = rd.from_arrow(events_tbl).repartition(5)
     got = engine.window_features(ds, spec, plan=split_plan).to_pandas()
@@ -66,15 +67,18 @@ def test_split_window_features_vs_oracle(ray_session, events_tbl, split_plan):
     exp = oracle.oracle_sessionize(exp, "doc_id", "ts", int(SESSION_GAP_US),
                                    tiebreak="event_seq")
     exp = oracle.oracle_zscore(exp, "doc_id", "n_tok")
+    exp = oracle.oracle_expanding_zscore(exp, "doc_id", "ts", "n_tok",
+                                         tiebreak="event_seq")
     exp = exp.sort_values(SORT, kind="stable").reset_index(drop=True)
 
     for col in ["n_tok_lag_1", "n_tok_lag_2", "n_tok_lag_3",
                 "n_tok_roll_mean_5", "n_tok_roll_std_5", "n_tok_roll_sum_5",
-                "n_tok_roll_min_5", "n_tok_roll_max_5", "n_tok_z"]:
+                "n_tok_roll_min_5", "n_tok_roll_max_5", "n_tok_z",
+                "n_tok_ez"]:
         np.testing.assert_allclose(
             got[col].astype("float64").to_numpy(),
             exp[col].astype("float64").to_numpy(),
-            rtol=1e-9, equal_nan=True, err_msg=col)
+            rtol=1e-9, atol=1e-9, equal_nan=True, err_msg=col)
     for col in ["session_idx", "session_event_idx", "session_len"]:
         np.testing.assert_array_equal(
             got[col].to_numpy().astype("int64"),
@@ -151,6 +155,64 @@ def test_split_feature_stack_vs_unsplit(ray_session, events_tbl, spine_tbl,
                 got[col].to_numpy(dtype="float64"),
                 ref[col].to_numpy(dtype="float64"),
                 rtol=0, atol=0, equal_nan=True, err_msg=col)
+
+
+def test_split_dedup_with_duplicate_rows(ray_session, events_tbl):
+    """dedup=True combined with hot-entity sub-splits and duplicate
+    (key, ts) rows (ADVICE r01 medium): the pre-pass summaries, ctx
+    duplication and split kernels must all agree on the SURVIVING rows."""
+    import ray.data as rd
+
+    base = events_tbl.select(
+        ["doc_id", "event_seq", "ts", "n_tok", "source"]).to_pandas()
+    hot = base["doc_id"].value_counts().index[0]
+    dups = base[base["doc_id"] == hot].iloc[::3].copy()
+    dups["event_seq"] = dups["event_seq"] + 100_000  # later tiebreak → loses
+    dups["n_tok"] = 9999
+    both = pd.concat([base, dups], ignore_index=True)
+    tbl = pa.Table.from_pandas(both, preserve_index=False)
+
+    from featureengineer_ray.partition import plan_partitions
+
+    plan = plan_partitions(rd.from_arrow(tbl), "doc_id", "ts",
+                           target_rows_per_part=150, sample_rate=1.0,
+                           hot_factor=1.0, split_hot_keys=True)
+    assert hot in plan.hot_splits
+
+    spec = engine.WindowSpec(
+        key="doc_id", ts="ts", tiebreak="event_seq",
+        lags={"n_tok": [1, 2]}, rolling={"n_tok": [5]},
+        session_gap_us=int(SESSION_GAP_US), zscore=["n_tok"],
+        expanding_zscore=["n_tok"], dedup=True)
+    got = engine.window_features(
+        rd.from_arrow(tbl).repartition(5), spec, plan=plan).to_pandas()
+    assert len(got) == len(base)
+    assert (got["n_tok"] != 9999).all()
+    got = got.sort_values(SORT, kind="stable").reset_index(drop=True)
+
+    surv = oracle.oracle_dedup_first(
+        both, keys=["doc_id", "ts"], order=["doc_id", "ts", "event_seq"])
+    surv["n_tok"] = surv["n_tok"].astype("float64")
+    exp = oracle.oracle_lag_lead(surv, "doc_id", "ts", "n_tok", [1, 2], [],
+                                 tiebreak="event_seq")
+    exp = oracle.oracle_rolling_rows(exp, "doc_id", "ts", "n_tok", 5,
+                                     tiebreak="event_seq")
+    exp = oracle.oracle_sessionize(exp, "doc_id", "ts", int(SESSION_GAP_US),
+                                   tiebreak="event_seq")
+    exp = oracle.oracle_zscore(exp, "doc_id", "n_tok")
+    exp = oracle.oracle_expanding_zscore(exp, "doc_id", "ts", "n_tok",
+                                         tiebreak="event_seq")
+    exp = exp.sort_values(SORT, kind="stable").reset_index(drop=True)
+    for col in ["n_tok_lag_1", "n_tok_lag_2", "n_tok_roll_mean_5",
+                "n_tok_roll_sum_5", "n_tok_z", "n_tok_ez"]:
+        np.testing.assert_allclose(
+            got[col].astype("float64").to_numpy(),
+            exp[col].astype("float64").to_numpy(),
+            rtol=1e-9, atol=1e-9, equal_nan=True, err_msg=col)
+    for col in ["session_idx", "session_event_idx", "session_len"]:
+        np.testing.assert_array_equal(
+            got[col].to_numpy().astype("int64"),
+            exp[col].to_numpy().astype("int64"), err_msg=col)
 
 
 def test_split_rolling_time(ray_session, events_tbl, split_plan):
