@@ -557,6 +557,23 @@ LIMIT 10
 """
 
 
+def q_global_rank_orders(sf_dir: str):
+    """Global full sort + exact row numbers (O1 beyond top-k; the
+    reference's DETsort over the whole score table, jyh/result.py:10-31)."""
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"])
+    out = relational.global_rank(
+        orders, by=["o_totalprice", "o_orderkey"], descending=[True, False])
+    return _select(out, ["o_orderkey", "o_custkey", "o_totalprice", "rank"])
+
+
+SQL_GLOBAL_RANK = """
+SELECT o_orderkey, o_custkey, o_totalprice,
+       row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rank
+FROM orders
+"""
+
+
 def _order_custkeys(sf_dir: str) -> np.ndarray:
     import pyarrow.parquet as pq
 
@@ -1050,15 +1067,15 @@ FROM embeddings
 # --------------------------------------------------------------------------
 
 def q_minhash_near_dup(sf_dir: str):
+    """MinHash+LSH near-dup: signature-only shuffle for candidates, then
+    DISTRIBUTED shingle-Jaccard verification — the corpus never reaches
+    the driver (only the small candidate pair list does)."""
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     cand_df = dd.minhash_candidate_pairs(docs, id_col="doc_id",
                                          text_col="text")
-    import pyarrow.parquet as pq
-
-    docs_df = pq.read_table(f"{sf_dir}/documents.parquet",
-                            columns=["doc_id", "text"]).to_pandas()
-    return dd.verify_jaccard_pairs(cand_df, docs_df, id_col="doc_id",
-                                   text_col="text", threshold=0.5)
+    docs2 = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dd.verify_jaccard_distributed(docs2, cand_df, id_col="doc_id",
+                                         text_col="text", threshold=0.5)
 
 
 def q_simhash_fingerprints(sf_dir: str):
@@ -1158,6 +1175,7 @@ QUERIES = {
     "join_lineitem_orders": q_join_lineitem_orders,
     "tumbling_hourly": q_tumbling_hourly,
     "top10_orders": q_top10_orders,
+    "global_rank_orders": q_global_rank_orders,
     "semi_join_customers": q_semi_join_customers,
     "anti_join_customers": q_anti_join_customers,
     "distinct_users_per_type": q_distinct_users_per_type,
@@ -1202,6 +1220,7 @@ ORACLE_SQL = {
     "join_lineitem_orders": SQL_JOIN_LARGE,
     "tumbling_hourly": SQL_TUMBLING,
     "top10_orders": SQL_TOP10,
+    "global_rank_orders": SQL_GLOBAL_RANK,
     "semi_join_customers": SQL_SEMI,
     "anti_join_customers": SQL_ANTI,
     "distinct_users_per_type": SQL_DISTINCT_USERS,

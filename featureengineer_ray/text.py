@@ -82,61 +82,142 @@ class Tokenizer:
         return out
 
 
+def _flat_utf8(col) -> tuple[np.ndarray, np.ndarray]:
+    """Arrow string column → (flat utf-8 byte stream, int64 offsets) with
+    zero copies (the column's own validity/offsets/data buffers)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    arr = col.cast(pa.large_binary())
+    off_buf = arr.buffers()[1]
+    data_buf = arr.buffers()[2]
+    offsets = np.frombuffer(off_buf, dtype=np.int64)[
+        arr.offset:arr.offset + len(arr) + 1]
+    data = (np.frombuffer(data_buf, dtype=np.uint8)
+            if data_buf is not None else np.zeros(0, dtype=np.uint8))
+    return data, offsets
+
+
+def _split_words(col, pattern: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Split each string by an Arrow regex → (flat non-empty words,
+    doc index per word, word char-lengths). One C++ pass + numpy filters;
+    no per-document Python loop."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lists = pc.split_pattern_regex(col, pattern=pattern)
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    counts = np.diff(lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64))
+    words = lists.flatten()
+    wlens = pc.utf8_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    keep = wlens > 0  # regex splits emit empties at doc edges; drop them
+    flat = words.to_numpy(zero_copy_only=False)[keep]
+    return flat, doc_of[keep], wlens[keep]
+
+
 class LangIdQuality:
     """Heuristic language-ID + quality scoring (actor-pool stage).
 
-    lang_pred: argmax stopword-profile hit-rate (ties → 'und').
+    lang_pred: argmax stopword-profile hit-rate (score ties → the
+    lexicographically-last language; below 0.02 → 'und').
     quality: mean of [len score, alpha ratio, stopword ratio bounded,
     mean word len score] in [0,1] — the M2/VAD-style per-record predicate
-    surface, re-expressed for text."""
+    surface, re-expressed for text.
+
+    Fully vectorized: one Arrow regex split per batch, sorted-profile
+    membership via np.isin, per-doc folds via np.bincount — no per-row
+    Python work (round-1 looped Python per document)."""
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
-        self.word = re.compile(r"[a-z]+")
-        self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
+        self.langs = sorted(_LANG_PROFILES)  # lex order → last-max tiebreak
+        self.profiles = [np.sort(np.array(sorted(_LANG_PROFILES[k]),
+                                          dtype=object))
+                         for k in self.langs]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.text_col).to_numpy(zero_copy_only=False)
-        langs, quals = [], []
-        for t in texts:
-            lt = t.lower()
-            words = self.word.findall(lt)
-            nw = max(1, len(words))
-            scores = {
-                lang: sum(1 for w in words if w in prof) / nw
-                for lang, prof in self.profiles.items()
-            }
-            best = max(scores, key=lambda k: (scores[k], k))
-            langs.append(best if scores[best] > 0.02 else "und")
-            n_alpha = sum(len(w) for w in words)
-            alpha_ratio = n_alpha / max(1, len(t))
-            stop_ratio = scores[best]
-            len_score = min(1.0, len(t) / 500.0)
-            mwl = n_alpha / nw
-            mwl_score = 1.0 - min(1.0, abs(mwl - 5.0) / 5.0)
-            quals.append(
-                (len_score + min(1.0, alpha_ratio * 1.25)
-                 + min(1.0, stop_ratio * 5.0) + mwl_score) / 4.0)
-        out = batch.append_column("lang_pred", pa.array(langs, type=pa.string()))
-        out = out.append_column("quality", pa.array(quals, type=pa.float64()))
+        col = batch.column(self.text_col)
+        n = batch.num_rows
+        lowered = pc.utf8_lower(col)
+        flat, doc_of, wlens = _split_words(lowered, "[^a-z]+")
+        n_words = np.bincount(doc_of, minlength=n).astype(np.int64)
+        nw = np.maximum(1, n_words).astype(np.float64)
+        scores = np.zeros((n, len(self.langs)))
+        for j, prof in enumerate(self.profiles):
+            hit = np.isin(flat, prof)
+            scores[:, j] = np.bincount(doc_of, weights=hit.astype(np.float64),
+                                       minlength=n) / nw
+        # argmax with last-max tie resolution over lex-sorted langs
+        best_j = (len(self.langs) - 1) - np.argmax(scores[:, ::-1], axis=1)
+        best_score = scores[np.arange(n), best_j]
+        lang_arr = np.array(self.langs, dtype=object)[best_j]
+        lang_arr = np.where(best_score > 0.02, lang_arr, "und")
+        n_alpha = np.bincount(doc_of, weights=wlens.astype(np.float64),
+                              minlength=n)
+        tlen = pc.utf8_length(col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        alpha_ratio = n_alpha / np.maximum(1.0, tlen)
+        len_score = np.minimum(1.0, tlen / 500.0)
+        mwl = n_alpha / nw
+        mwl_score = 1.0 - np.minimum(1.0, np.abs(mwl - 5.0) / 5.0)
+        quality = (len_score + np.minimum(1.0, alpha_ratio * 1.25)
+                   + np.minimum(1.0, best_score * 5.0) + mwl_score) / 4.0
+        out = batch.append_column(
+            "lang_pred", pa.array(lang_arr, type=pa.string()))
+        out = out.append_column("quality", pa.array(quality, type=pa.float64()))
         return out
 
 
+_FNV_OFFSET = np.uint64(1469598103934665603)
+
+
 def fingerprint_batch(batch: pa.Table, text_col: str = "text",
-                      seed: int = 9) -> pa.Table:
-    """64-bit rolling-hash document fingerprint (content-defined)."""
-    texts = batch.column(text_col).to_numpy(zero_copy_only=False)
-    fps = np.zeros(len(texts), dtype=np.uint64)
-    for i, t in enumerate(texts):
-        b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
-        acc = np.uint64(1469598103934665603)
-        with np.errstate(over="ignore"):
-            # vectorized polynomial fold in chunks (Horner over 8-byte lanes)
-            pad = (-len(b)) % 8
-            lanes = np.concatenate([b, np.zeros(pad, dtype=np.uint64)]).reshape(-1, 8)
-            lane_vals = (lanes * (np.uint64(1) << (np.uint64(8) * np.arange(8, dtype=np.uint64)))).sum(
-                axis=1, dtype=np.uint64)
-            for v in splitmix64(lane_vals ^ np.uint64(seed)):
-                acc = splitmix64(acc ^ v)
-        fps[i] = acc
-    return batch.append_column("fingerprint", pa.array(fps.astype(np.int64)))
+                      seed: int = 9,
+                      lane_budget: int = 1 << 25) -> pa.Table:
+    """64-bit rolling-hash document fingerprint (content-defined).
+
+    Chain per doc: acc ← splitmix64(acc ⊕ splitmix64(lane ⊕ seed)) over
+    the doc's little-endian 8-byte lanes (zero-padded tail). The chain is
+    sequential per doc but batched ACROSS docs: one numpy step per lane
+    COLUMN updates every active doc at once, so Python-level work is
+    O(max_lanes) per row-chunk instead of O(total_lanes) (round-1 looped
+    per 8-byte lane per doc). Row-chunks bound the padded matrix to
+    ``lane_budget`` bytes."""
+    data, offsets = _flat_utf8(batch.column(text_col))
+    n = batch.num_rows
+    lens = np.diff(offsets)
+    nlanes = ((lens + 7) // 8).astype(np.int64)
+    fps = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    r0 = 0
+    with np.errstate(over="ignore"):
+        while r0 < n:
+            # grow the chunk while rows × widest-doc stays under budget
+            r1 = r0 + 1
+            width = int(nlanes[r0])
+            while r1 < n:
+                w = max(width, int(nlanes[r1]))
+                if (r1 + 1 - r0) * w * 8 > lane_budget:
+                    break
+                width, r1 = w, r1 + 1
+            rows = r1 - r0
+            if width == 0:
+                r0 = r1
+                continue
+            mat = np.zeros((rows, width * 8), dtype=np.uint8)
+            c_lens = lens[r0:r1]
+            row_of = np.repeat(np.arange(rows, dtype=np.int64), c_lens)
+            tot = int(c_lens.sum())
+            starts = np.concatenate(([0], np.cumsum(c_lens)))[:-1]
+            within = np.arange(tot, dtype=np.int64) - starts[row_of]
+            mat[row_of, within] = data[offsets[r0]:offsets[r1]]
+            lanes = mat.view(np.uint64)  # little-endian fold, 8 bytes/lane
+            v = splitmix64(lanes ^ np.uint64(seed))
+            acc = fps[r0:r1]
+            c_nl = nlanes[r0:r1]
+            for j in range(width):
+                active = c_nl > j
+                acc = np.where(active, splitmix64(acc ^ v[:, j]), acc)
+            fps[r0:r1] = acc
+            r0 = r1
+    return batch.append_column(
+        "fingerprint", pa.array(fps.view(np.int64)))
