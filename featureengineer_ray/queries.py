@@ -1062,6 +1062,144 @@ FROM embeddings
 """
 
 
+def q_det_curve(sf_dir: str):
+    """Evaluation-metric sink (S8 analog): bucketed DET curve over a
+    deterministic trial score — integer-exact cumulative sweep."""
+    from . import metrics
+
+    emb = _read(sf_dir, "embeddings", ["embedding", "label"])
+    return metrics.det_curve(emb)
+
+
+_SQL_DET_CURVE_BODY = """
+WITH s AS (
+  SELECT CAST(FLOOR((CAST(embedding AS DOUBLE[])[1]
+           / (CASE WHEN sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                              CAST(embedding AS DOUBLE[]))) = 0
+              THEN 1.0
+              ELSE sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[])))
+              END)) * 50.0) AS BIGINT) AS bucket,
+         CASE WHEN CAST(label AS BIGINT) % 2 = 0 THEN 1 ELSE 0 END AS pos
+  FROM embeddings
+), b AS (
+  SELECT bucket,
+         CAST(sum(pos) AS BIGINT) AS n_pos,
+         CAST(count(*) AS BIGINT) - CAST(sum(pos) AS BIGINT) AS n_neg
+  FROM s GROUP BY bucket
+), c AS (
+  SELECT bucket, n_pos, n_neg,
+         CAST(sum(n_pos) OVER w AS BIGINT) AS cum_tp,
+         CAST(sum(n_neg) OVER w AS BIGINT) AS cum_fp
+  FROM b WINDOW w AS (ORDER BY bucket DESC ROWS UNBOUNDED PRECEDING)
+)
+SELECT bucket, n_pos, n_neg, cum_tp, cum_fp,
+       ROUND_EVEN(1.0 - CAST(cum_tp AS DOUBLE)
+                  / CAST((SELECT sum(n_pos) FROM b) AS DOUBLE), 6) AS fnr,
+       ROUND_EVEN(CAST(cum_fp AS DOUBLE)
+                  / CAST((SELECT sum(n_neg) FROM b) AS DOUBLE), 6) AS fpr
+FROM c
+"""
+
+SQL_DET_CURVE = _SQL_DET_CURVE_BODY
+
+
+def q_eer_summary(sf_dir: str):
+    """Argmin-|fnr−fpr| row of the DET curve (EER threshold pick)."""
+    from . import metrics
+
+    emb = _read(sf_dir, "embeddings", ["embedding", "label"])
+    return metrics.eer_summary(metrics.det_curve(emb))
+
+
+SQL_EER = f"""
+SELECT bucket AS eer_bucket, fnr, fpr,
+       ROUND_EVEN((fnr + fpr) / 2.0, 6) AS eer
+FROM ({_SQL_DET_CURVE_BODY})
+ORDER BY abs(fnr - fpr), bucket
+LIMIT 1
+"""
+
+
+def q_whiten_dims(sf_dir: str):
+    """Per-dimension standardization of the embedding column (M10's
+    global-stats-then-apply shape, SQL-checkable diagonal case)."""
+    from . import vecops
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = vecops.standardize_dims(emb, id_col="vec_id", vec_col="embedding")
+    return _select(out, ["vec_id", "dim_idx", "value_std"])
+
+
+SQL_WHITEN_DIMS = """
+WITH e AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) AS dim_idx,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+)
+SELECT vec_id, CAST(dim_idx AS BIGINT) AS dim_idx,
+       ROUND_EVEN((x - avg(x) OVER (PARTITION BY dim_idx))
+             / NULLIF(stddev_samp(x) OVER (PARTITION BY dim_idx), 0), 6)
+         AS value_std
+FROM e
+"""
+
+
+def q_kmeans_embeddings(sf_dir: str):
+    """Iterative model-fit lifecycle (A10-adjacent EM loop): 3 k-means
+    iterations with a persisted artifact per iteration + resume; returns
+    deterministic cluster sizes (rows-only check — iterative, non-SQL)."""
+    import hashlib
+    import shutil
+
+    from . import iterfit
+
+    ckpt = "/tmp/fe_kmeans_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    def factory():
+        return _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    cents, hist = iterfit.kmeans_fit(
+        factory, vec_col="embedding", k=8, iters=3, ckpt_dir=ckpt)
+    assigned = iterfit.kmeans_assign(factory(), cents, vec_col="embedding")
+    agg = relational.grouped_agg(assigned, ["cluster"], {},
+                                 count_alias="n_rows")
+
+    def cast_cnt(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("n_rows")
+        return batch.set_column(i, "n_rows",
+                                batch.column("n_rows").cast(pa.int64()))
+
+    return _select(agg.map_batches(cast_cnt, batch_format="pyarrow"),
+                   ["cluster", "n_rows"])
+
+
+def q_whiten_embeddings(sf_dir: str):
+    """Full whitening (M10) + broadcast projection (M11) exercised
+    through the driver: whiten, then project onto a fixed rotation;
+    emits per-row output norms (rows-only — matrix ops, non-SQL)."""
+    from . import vecops
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    white = vecops.whiten(emb, vec_col="embedding")
+    rng = np.random.default_rng(5)
+    q, _ = np.linalg.qr(rng.standard_normal((64, 16)))
+    proj = vecops.project(white, q, vec_col="embedding_white",
+                          out_col="projected")
+
+    def norms(batch: pa.Table) -> pa.Table:
+        v = np.stack(batch.column("projected").to_pandas().to_numpy())
+        return pa.table({
+            "vec_id": batch.column("vec_id"),
+            "proj_norm": pa.array(np.round(
+                np.linalg.norm(v, axis=1), 6)),
+        })
+
+    return proj.map_batches(norms, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------------------
 # rows-only (non-SQL-expressible) pipelines
 # --------------------------------------------------------------------------
@@ -1187,7 +1325,12 @@ QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "knn_cosine": q_knn_cosine,
     "embedding_norms": q_embedding_norms,
+    "det_curve": q_det_curve,
+    "eer_summary": q_eer_summary,
+    "whiten_dims": q_whiten_dims,
     # rows-only (no SQL oracle)
+    "kmeans_embeddings": q_kmeans_embeddings,
+    "whiten_embeddings": q_whiten_embeddings,
     "minhash_near_dup": q_minhash_near_dup,
     "simhash_fingerprints": q_simhash_fingerprints,
     "lang_id_quality": q_lang_id_quality,
@@ -1232,4 +1375,7 @@ ORACLE_SQL = {
     "multimodal_meta": SQL_MULTIMODAL_META,
     "knn_cosine": SQL_KNN,
     "embedding_norms": SQL_EMB_NORMS,
+    "det_curve": SQL_DET_CURVE,
+    "eer_summary": SQL_EER,
+    "whiten_dims": SQL_WHITEN_DIMS,
 }

@@ -1,0 +1,152 @@
+"""Vector-column operators over ``list<float>`` embeddings: broadcast
+matrix projection, two-pass whitening, per-dim standardization, length
+normalization.
+
+Reference analogs: ``rotate_stat1`` — one matrix applied identically to
+every record's stat vector (``IVector.py:1336-1343,1508-1517``) →
+:func:`project`; ``whiten_stat1`` — global mean+covariance then transform
+(``mpiIV.py:288-292``) → :func:`whiten`; ``lengthNorm``
+(``jyh/Utils.py:369-380``) → :func:`length_norm`.
+
+Scale shapes: matrices/moments are broadcast ONCE via ``ray.put`` and read
+in every actor's ``__init__``; the global-moments pass ships only
+(d, d×d)-sized partials per batch (map-side combined — the reference's
+MPI ``Reduce`` shape, ``mpiIV.py:469-496``); per-batch work is one BLAS
+matmul. Nothing materializes the corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _stack(batch: pa.Table, vec_col: str) -> np.ndarray:
+    return np.stack(batch.column(vec_col).to_pandas().to_numpy()
+                    ).astype(np.float64)
+
+
+def _list_col(mat: np.ndarray) -> pa.Array:
+    flat = pa.array(mat.reshape(-1), type=pa.float64())
+    offs = pa.array(np.arange(mat.shape[0] + 1, dtype=np.int64)
+                    * mat.shape[1], type=pa.int64())
+    return pa.LargeListArray.from_arrays(offs, flat).cast(
+        pa.list_(pa.float64()))
+
+
+def project(ds, matrix: np.ndarray, *, vec_col: str,
+            out_col: str | None = None, bias: np.ndarray | None = None):
+    """y = x @ M (+ bias) for every row's vector (M11 / rotate_stat1).
+
+    ``matrix`` is (d_in × d_out), broadcast once through the object
+    store; each batch is one matmul."""
+    import ray
+
+    out_col = out_col or f"{vec_col}_proj"
+    ref = ray.put((np.asarray(matrix, dtype=np.float64),
+                   None if bias is None else np.asarray(bias, np.float64)))
+
+    class _Proj:
+        def __init__(self):
+            self.m, self.b = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            y = _stack(batch, vec_col) @ self.m
+            if self.b is not None:
+                y = y + self.b
+            return batch.append_column(out_col, _list_col(y))
+
+    return ds.map_batches(_Proj, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def vector_moments(ds, *, vec_col: str) -> tuple[int, np.ndarray, np.ndarray]:
+    """(n, mean, covariance ddof=1) of a vector column in ONE streaming
+    pass: per-batch partials (count, Σx, ΣxᵀX) reduce to (1+d+d²) numbers
+    per batch — the whole corpus never co-resides anywhere."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = _stack(batch, vec_col)
+        return pa.table({
+            "n": pa.array([v.shape[0]], type=pa.int64()),
+            "s": _list_col(v.sum(axis=0)[None, :]),
+            "ss": _list_col((v.T @ v).reshape(1, -1)),
+        })
+
+    n = 0
+    s = None
+    ss = None
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        for i in range(b.num_rows):
+            n += int(b.column("n")[i].as_py())
+            sv = np.asarray(b.column("s")[i].as_py(), dtype=np.float64)
+            qv = np.asarray(b.column("ss")[i].as_py(), dtype=np.float64)
+            s = sv if s is None else s + sv
+            ss = qv if ss is None else ss + qv
+    if n == 0:
+        raise ValueError("vector_moments over an empty dataset")
+    d = len(s)
+    mean = s / n
+    cov = (ss.reshape(d, d) - n * np.outer(mean, mean)) / max(n - 1, 1)
+    return n, mean, cov
+
+
+def whiten(ds, *, vec_col: str, out_col: str | None = None,
+           eps: float = 1e-9):
+    """Two-pass whitening (M10 / whiten_stat1): global mean+covariance,
+    then y = (x − mean) @ L⁻ᵀ with L the covariance Cholesky factor —
+    output has identity sample covariance."""
+    out_col = out_col or f"{vec_col}_white"
+    n, mean, cov = vector_moments(ds, vec_col=vec_col)
+    d = len(mean)
+    L = np.linalg.cholesky(cov + eps * np.eye(d))
+    w = np.linalg.inv(L).T  # (d × d): y = (x-mean) @ L^{-T}
+    return project(ds, w, vec_col=vec_col, out_col=out_col,
+                   bias=-(mean @ w))
+
+
+def length_norm(ds, *, vec_col: str, out_col: str | None = None):
+    """L2-normalize each row's vector (lengthNorm, jyh/Utils.py:369-380)."""
+    out_col = out_col or f"{vec_col}_unit"
+
+    def fn(batch: pa.Table) -> pa.Table:
+        v = _stack(batch, vec_col)
+        nrm = np.linalg.norm(v, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        return batch.append_column(out_col, _list_col(v / nrm))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def standardize_dims(ds, *, id_col: str, vec_col: str):
+    """Per-dimension z-score, exploded to (id, dim_idx, value_std) rows —
+    the SQL-checkable face of the whitening moments pass (diagonal
+    whitening; full whitening is :func:`whiten`)."""
+    import ray
+
+    n, mean, cov = vector_moments(ds, vec_col=vec_col)
+    std = np.sqrt(np.diag(cov))
+    std_safe = np.where(std == 0, 1.0, std)
+    ref = ray.put((mean, std_safe, std == 0))
+
+    class _Standardize:
+        def __init__(self):
+            self.mean, self.std, self.degenerate = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            v = _stack(batch, vec_col)
+            z = (v - self.mean) / self.std
+            z[:, self.degenerate] = np.nan
+            ids = batch.column(id_col)
+            m, d = z.shape
+            return pa.table({
+                id_col: ids.take(pa.array(
+                    np.repeat(np.arange(m, dtype=np.int64), d))),
+                "dim_idx": pa.array(np.tile(
+                    np.arange(1, d + 1, dtype=np.int64), m)),
+                "value_std": pa.array(np.round(z.reshape(-1), 6)),
+            })
+
+    return ds.map_batches(_Standardize, batch_format="pyarrow",
+                          concurrency=(1, 8))

@@ -1,0 +1,121 @@
+"""Vector ops (project/whiten/length-norm), metrics sink, and the
+iterative k-means lifecycle — numpy-oracle conformance + resume."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from featureengineer_ray import iterfit, metrics, vecops
+
+
+@pytest.fixture(scope="module")
+def rd(ray_session):
+    import ray.data as rd
+
+    return rd
+
+
+@pytest.fixture(scope="module")
+def vec_df():
+    rng = np.random.default_rng(17)
+    # anisotropic, shifted — whitening has real work to do
+    A = rng.standard_normal((12, 12)) * np.linspace(0.2, 3.0, 12)
+    vecs = rng.standard_normal((400, 12)) @ A + rng.standard_normal(12) * 5
+    return pd.DataFrame({"vec_id": np.arange(400),
+                         "embedding": list(vecs.astype("float64"))})
+
+
+def test_project_matches_numpy(rd, vec_df):
+    m = np.random.default_rng(1).standard_normal((12, 4))
+    out = vecops.project(rd.from_pandas(vec_df).repartition(3), m,
+                         vec_col="embedding").to_pandas()
+    out = out.sort_values("vec_id").reset_index(drop=True)
+    got = np.stack(out["embedding_proj"].to_numpy())
+    exp = np.stack(vec_df["embedding"].to_numpy()) @ m
+    np.testing.assert_allclose(got, exp, rtol=1e-12)
+
+
+def test_vector_moments_match_numpy(rd, vec_df):
+    n, mean, cov = vecops.vector_moments(
+        rd.from_pandas(vec_df).repartition(5), vec_col="embedding")
+    v = np.stack(vec_df["embedding"].to_numpy())
+    assert n == len(v)
+    np.testing.assert_allclose(mean, v.mean(axis=0), rtol=1e-9)
+    np.testing.assert_allclose(cov, np.cov(v.T, ddof=1), rtol=1e-7)
+
+
+def test_whiten_identity_covariance(rd, vec_df):
+    out = vecops.whiten(rd.from_pandas(vec_df).repartition(3),
+                        vec_col="embedding").to_pandas()
+    w = np.stack(out["embedding_white"].to_numpy())
+    cov = np.cov(w.T, ddof=1)
+    np.testing.assert_allclose(cov, np.eye(12), atol=1e-6)
+    assert np.abs(w.mean(axis=0)).max() < 1e-9
+
+
+def test_length_norm_unit(rd, vec_df):
+    out = vecops.length_norm(rd.from_pandas(vec_df), vec_col="embedding"
+                             ).to_pandas()
+    u = np.stack(out["embedding_unit"].to_numpy())
+    np.testing.assert_allclose(np.linalg.norm(u, axis=1), 1.0, rtol=1e-12)
+
+
+def test_standardize_dims_matches_numpy(rd, vec_df):
+    out = vecops.standardize_dims(rd.from_pandas(vec_df).repartition(3),
+                                  id_col="vec_id", vec_col="embedding"
+                                  ).to_pandas()
+    out = out.sort_values(["vec_id", "dim_idx"]).reset_index(drop=True)
+    v = np.stack(vec_df["embedding"].to_numpy())
+    z = (v - v.mean(axis=0)) / v.std(axis=0, ddof=1)
+    np.testing.assert_allclose(out["value_std"].to_numpy(),
+                               np.round(z.reshape(-1), 6), atol=2e-6)
+
+
+def test_det_curve_and_eer(rd):
+    rng = np.random.default_rng(9)
+    vecs = rng.standard_normal((600, 8)).astype("float64")
+    lab = rng.integers(0, 10, 600).astype("int32")
+    df = pd.DataFrame({"embedding": list(vecs), "label": lab})
+    curve = metrics.det_curve(rd.from_pandas(df).repartition(4))
+    # cumulative sweep invariants
+    assert (np.diff(curve["cum_tp"]) >= 0).all()
+    assert (np.diff(curve["cum_fp"]) >= 0).all()
+    assert curve["cum_tp"].iloc[-1] == (lab % 2 == 0).sum()
+    assert curve["cum_fp"].iloc[-1] == (lab % 2 == 1).sum()
+    # fnr falls / fpr rises as the threshold sweeps down
+    assert (np.diff(curve["fnr"]) <= 1e-12).all()
+    assert (np.diff(curve["fpr"]) >= -1e-12).all()
+    eer = metrics.eer_summary(curve)
+    assert len(eer) == 1
+    d = np.abs(curve["fnr"] - curve["fpr"])
+    assert np.isclose(
+        np.abs(eer["fnr"].iloc[0] - eer["fpr"].iloc[0]), d.min())
+
+
+def test_kmeans_converges_and_resumes(rd, vec_df, tmp_path):
+    def factory():
+        return rd.from_pandas(vec_df).repartition(3)
+
+    ck1 = str(tmp_path / "straight")
+    c_full, h_full = iterfit.kmeans_fit(
+        factory, vec_col="embedding", k=5, iters=3, ckpt_dir=ck1)
+    inert = h_full["inertia"].to_numpy()
+    assert (np.diff(inert) <= 1e-6).all(), "inertia must not increase"
+    assert iterfit.latest_ckpt(ck1) == 2  # one artifact per iteration
+
+    # resume: 1 iteration, then continue to 3 — must equal the straight run
+    ck2 = str(tmp_path / "resumed")
+    iterfit.kmeans_fit(factory, vec_col="embedding", k=5, iters=1,
+                       ckpt_dir=ck2)
+    assert iterfit.latest_ckpt(ck2) == 0
+    c_res, h_res = iterfit.kmeans_fit(
+        factory, vec_col="embedding", k=5, iters=3, ckpt_dir=ck2)
+    # partial-reduce arrival order may differ between runs → 1-ulp drift
+    np.testing.assert_allclose(c_res, c_full, rtol=1e-12)
+    np.testing.assert_allclose(h_res["inertia"], h_full["inertia"],
+                               rtol=1e-12)
+
+    # a finished run is a pure no-op
+    c_again, _ = iterfit.kmeans_fit(
+        factory, vec_col="embedding", k=5, iters=3, ckpt_dir=ck2)
+    np.testing.assert_allclose(c_again, c_full, rtol=1e-12)
