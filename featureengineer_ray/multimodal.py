@@ -88,6 +88,100 @@ class MediaFeatureExtractor:
         return out
 
 
+def _fake_image(payload: bytes, side: int) -> np.ndarray:
+    """Deterministic fake decode (shared by the stub stages)."""
+    b = np.frombuffer(payload[:8].ljust(8, b"\0"), dtype=np.uint64)
+    base = splitmix64(b ^ np.uint64(len(payload)))
+    px = splitmix64(base + np.arange(side * side, dtype=np.uint64)
+                    ).astype(np.float64) % 256.0
+    return px.reshape(side, side)
+
+
+class MediaResizer:
+    """Actor-pool resize stage: block-mean pooling to a target (h, w).
+
+    The pooling math is REAL (it is what a CPU resize does); only the
+    decode feeding it is the deterministic stub (no imaging lib here). A
+    real deployment swaps ``_decode_image`` in and keeps this stage."""
+
+    def __init__(self, out_hw: int = 8, src_hw: int = 32,
+                 use_stub_decode: bool = True):
+        if src_hw % out_hw != 0:
+            raise ValueError("out_hw must divide src_hw (block pooling)")
+        self.out_hw, self.src_hw = out_hw, src_hw
+        self.use_stub = use_stub_decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        f = self.src_hw // self.out_hw
+        thumbs = np.zeros((len(payloads), self.out_hw * self.out_hw))
+        for i, p in enumerate(payloads):
+            img = (_fake_image(p, self.src_hw) if self.use_stub
+                   else _decode_image(p))
+            t = img.reshape(self.out_hw, f, self.out_hw, f).mean(axis=(1, 3))
+            thumbs[i] = t.reshape(-1)
+        flat = pa.array(thumbs.reshape(-1), type=pa.float64())
+        offs = pa.array(np.arange(len(payloads) + 1, dtype=np.int32)
+                        * (self.out_hw * self.out_hw), type=pa.int32())
+        out = batch.append_column(
+            "thumb", pa.ListArray.from_arrays(offs, flat))
+        out = out.append_column(
+            "thumb_hw", pa.array([self.out_hw] * len(payloads),
+                                 type=pa.int64()))
+        return out
+
+
+class FrameSampler:
+    """Actor-pool frame-sampling stage for video payloads: one input row
+    → one OUTPUT ROW PER SAMPLED FRAME (explode), every ``stride``-th
+    frame. Frame count derives from payload length (stub decode); the
+    explode/bounded-batch plumbing is the real, tested part."""
+
+    def __init__(self, stride: int = 4, frame_bytes: int = 256,
+                 fake_hw: int = 16, use_stub_decode: bool = True):
+        self.stride = stride
+        self.frame_bytes = frame_bytes
+        self.fake_hw = fake_hw
+        self.use_stub = use_stub_decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_numpy(zero_copy_only=False)
+        payloads = batch.column("payload").to_pylist()
+        out_id, out_fi, out_n, out_mean = [], [], [], []
+        for mid, p in zip(ids, payloads):
+            if not self.use_stub:
+                _decode_image(p)  # NotImplementedError path
+            n_frames = max(1, len(p) // self.frame_bytes)
+            for fi in range(0, n_frames, self.stride):
+                frame = _fake_image(
+                    p[fi * self.frame_bytes:(fi + 1) * self.frame_bytes]
+                    or p[:1], self.fake_hw)
+                out_id.append(int(mid))
+                out_fi.append(fi)
+                out_n.append(n_frames)
+                out_mean.append(float(frame.mean()))
+        return pa.table({
+            "media_id": pa.array(out_id, type=pa.int64()),
+            "frame_idx": pa.array(out_fi, type=pa.int64()),
+            "n_frames": pa.array(out_n, type=pa.int64()),
+            "frame_mean": pa.array(out_mean, type=pa.float64()),
+        })
+
+
+def frame_pipeline(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                   stride: int = 4, batch_size: int = 128,
+                   concurrency=(1, 4)):
+    """documents → payloads → frame-sampled rows (video-style explode)."""
+
+    def attach(batch: pa.Table) -> pa.Table:
+        return attach_payload(batch, text_col=text_col, id_col=id_col)
+
+    return ds.map_batches(attach, batch_format="pyarrow").map_batches(
+        FrameSampler, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"stride": stride})
+
+
 def media_pipeline(ds, *, text_col: str = "text", id_col: str = "doc_id",
                    batch_size: int = 256, concurrency=(1, 4)):
     """documents → payload table → actor-pool feature extraction.

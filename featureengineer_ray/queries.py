@@ -993,6 +993,62 @@ FROM documents
 """
 
 
+def q_multimodal_frames(sf_dir: str):
+    """Video-style frame sampling (explode: one row per sampled frame).
+    Frame COUNTS derive from payload length alone, so the explode shape
+    is SQL-checkable even though the decode is stubbed; frame_mean (stub
+    content) is excluded from the compared columns."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = multimodal.frame_pipeline(docs, stride=4)
+
+    def cast_cols(batch: pa.Table) -> pa.Table:
+        return batch.select(["media_id", "frame_idx", "n_frames"])
+
+    return out.map_batches(cast_cols, batch_format="pyarrow")
+
+
+SQL_MULTIMODAL_FRAMES = """
+WITH d AS (
+  SELECT doc_id AS media_id,
+         greatest(1, octet_length(encode(text)) // 256) AS n_frames
+  FROM documents
+)
+SELECT media_id,
+       unnest(generate_series(0, CAST(n_frames - 1 AS BIGINT), 4))
+         AS frame_idx,
+       CAST(n_frames AS BIGINT) AS n_frames
+FROM d
+"""
+
+
+def q_multimodal_thumbs(sf_dir: str):
+    """Resize stage (block-mean pooling, actor pool) over stub decodes —
+    rows-only (thumb content is stub-derived)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def attach(batch: pa.Table) -> pa.Table:
+        return multimodal.attach_payload(batch)
+
+    thumbs = docs.map_batches(attach, batch_format="pyarrow").map_batches(
+        multimodal.MediaResizer, batch_format="pyarrow", batch_size=256,
+        concurrency=(1, 4))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        t = batch.column("thumb")
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        vals = t.values.to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        means = vals.reshape(n, -1).mean(axis=1)
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "thumb_hw": batch.column("thumb_hw"),
+            "thumb_mean": pa.array(np.round(means, 6)),
+        })
+
+    return thumbs.map_batches(finish, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------------------
 # embeddings: similarity search
 # --------------------------------------------------------------------------
@@ -1323,6 +1379,7 @@ QUERIES = {
     "dedup_docs": q_dedup_docs,
     "docs_by_lang": q_docs_by_lang,
     "multimodal_meta": q_multimodal_meta,
+    "multimodal_frames": q_multimodal_frames,
     "knn_cosine": q_knn_cosine,
     "embedding_norms": q_embedding_norms,
     "det_curve": q_det_curve,
@@ -1331,6 +1388,7 @@ QUERIES = {
     # rows-only (no SQL oracle)
     "kmeans_embeddings": q_kmeans_embeddings,
     "whiten_embeddings": q_whiten_embeddings,
+    "multimodal_thumbs": q_multimodal_thumbs,
     "minhash_near_dup": q_minhash_near_dup,
     "simhash_fingerprints": q_simhash_fingerprints,
     "lang_id_quality": q_lang_id_quality,
@@ -1373,6 +1431,7 @@ ORACLE_SQL = {
     "dedup_docs": SQL_DEDUP_DOCS,
     "docs_by_lang": SQL_DOCS_BY_LANG,
     "multimodal_meta": SQL_MULTIMODAL_META,
+    "multimodal_frames": SQL_MULTIMODAL_FRAMES,
     "knn_cosine": SQL_KNN,
     "embedding_norms": SQL_EMB_NORMS,
     "det_curve": SQL_DET_CURVE,

@@ -407,6 +407,45 @@ def test_multimodal_stub_pipeline(rd):
         out2.sort_values("media_id").reset_index(drop=True))
 
 
+def test_media_resizer_block_pool(rd):
+    docs = rd.from_items([{"doc_id": i, "text": "x" * (100 + i)}
+                          for i in range(6)])
+
+    def attach(b):
+        return multimodal.attach_payload(b)
+
+    out = docs.map_batches(attach, batch_format="pyarrow").map_batches(
+        multimodal.MediaResizer, batch_format="pyarrow",
+        fn_constructor_kwargs={"out_hw": 8, "src_hw": 32},
+        concurrency=1).to_pandas()
+    assert len(out) == 6 and (out["thumb_hw"] == 8).all()
+    # block-mean of the deterministic fake image, verified directly
+    for _, row in out.iterrows():
+        img = multimodal._fake_image(
+            ("x" * (100 + int(row["media_id"]))).encode(), 32)
+        exp = img.reshape(8, 4, 8, 4).mean(axis=(1, 3)).reshape(-1)
+        np.testing.assert_allclose(np.asarray(row["thumb"]), exp, rtol=1e-12)
+
+
+def test_frame_sampler_explode(rd):
+    docs = rd.from_items([{"doc_id": i, "text": "y" * (i * 300 + 10)}
+                          for i in range(5)])
+    out = multimodal.frame_pipeline(docs, stride=4).to_pandas()
+    for i in range(5):
+        n_bytes = i * 300 + 10
+        n_frames = max(1, n_bytes // 256)
+        rows = out[out["media_id"] == i]
+        assert len(rows) == len(range(0, n_frames, 4))
+        assert (rows["n_frames"] == n_frames).all()
+    # deterministic across runs
+    out2 = multimodal.frame_pipeline(
+        rd.from_items([{"doc_id": i, "text": "y" * (i * 300 + 10)}
+                       for i in range(5)]), stride=4).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values(["media_id", "frame_idx"]).reset_index(drop=True),
+        out2.sort_values(["media_id", "frame_idx"]).reset_index(drop=True))
+
+
 def test_decode_stub_raises_without_fake():
     ext = multimodal.MediaFeatureExtractor(use_stub_decode=False)
     tbl = pa.table({"payload": [b"xxx"], "media_id": [1]})
