@@ -79,6 +79,32 @@ def det_curve(emb_ds, *, vec_col: str = "embedding",
     })
 
 
+def write_metrics_artifact(curve: pd.DataFrame, out_dir: str) -> dict:
+    """Persist the curve + summary the way the reference's result stage
+    writes its score artifacts (S8 sink): curve.parquet + summary.json +
+    an atomic _SUCCESS marker so a resumed run can skip the stage."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    marker = os.path.join(out_dir, "_SUCCESS.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return json.load(f)
+    pq.write_table(pa.Table.from_pandas(curve, preserve_index=False),
+                   os.path.join(out_dir, "curve.parquet"))
+    summary = eer_summary(curve).iloc[0].to_dict()
+    summary = {k: (int(v) if k == "eer_bucket" else float(v))
+               for k, v in summary.items()}
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(summary, f)
+    os.replace(tmp, marker)
+    return summary
+
+
 def eer_summary(curve: pd.DataFrame) -> pd.DataFrame:
     """The curve's argmin-|fnr−fpr| row (reference's EER threshold pick,
     jyh/result.py:70-88): one-row summary (threshold bucket + EER)."""

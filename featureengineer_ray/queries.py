@@ -922,6 +922,37 @@ SELECT n_nationkey, n_name, n_regionkey FROM nation
 """
 
 
+def q_json_roundtrip(sf_dir: str):
+    """JSON-lines source coverage (S9 pluggable formats): nation exported
+    to NDJSON, read back with ray.data.read_json; oracle reads the
+    parquet view (lossless roundtrip)."""
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name", "n_regionkey"])
+    path = f"/tmp/fe_json_{abs(hash(sf_dir)) % 10**8}_nation.jsonl"
+    with open(path, "w") as f:
+        for row in tbl.to_pylist():
+            f.write(_json.dumps(row) + "\n")
+    ds = _rd().read_json(path)
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_nationkey": batch.column("n_nationkey").cast(pa.int32()),
+            "n_name": batch.column("n_name"),
+            "n_regionkey": batch.column("n_regionkey").cast(pa.int32()),
+        })
+
+    return ds.map_batches(cast, batch_format="pyarrow")
+
+
+SQL_JSON_ROUNDTRIP = """
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+"""
+
+
 # --------------------------------------------------------------------------
 # documents: text analysis + dedup
 # --------------------------------------------------------------------------
@@ -1366,6 +1397,7 @@ QUERIES = {
     "cumsum_per_user": q_cumsum_per_user,
     "sample_per_user": q_sample_per_user,
     "csv_roundtrip": q_csv_roundtrip,
+    "json_roundtrip": q_json_roundtrip,
     "join_lineitem_orders": q_join_lineitem_orders,
     "tumbling_hourly": q_tumbling_hourly,
     "top10_orders": q_top10_orders,
@@ -1418,6 +1450,7 @@ ORACLE_SQL = {
     "cumsum_per_user": SQL_CUMSUM,
     "sample_per_user": SQL_SAMPLE_PER_USER,
     "csv_roundtrip": SQL_CSV_ROUNDTRIP,
+    "json_roundtrip": SQL_JSON_ROUNDTRIP,
     "join_lineitem_orders": SQL_JOIN_LARGE,
     "tumbling_hourly": SQL_TUMBLING,
     "top10_orders": SQL_TOP10,

@@ -3,6 +3,7 @@ iterative k-means lifecycle — numpy-oracle conformance + resume."""
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 
 from featureengineer_ray import iterfit, metrics, vecops
@@ -90,6 +91,42 @@ def test_det_curve_and_eer(rd):
     d = np.abs(curve["fnr"] - curve["fpr"])
     assert np.isclose(
         np.abs(eer["fnr"].iloc[0] - eer["fpr"].iloc[0]), d.min())
+
+
+def test_metrics_artifact_sink(rd, tmp_path):
+    rng = np.random.default_rng(2)
+    df = pd.DataFrame({"embedding": list(rng.standard_normal((200, 8))),
+                       "label": rng.integers(0, 10, 200).astype("int32")})
+    curve = metrics.det_curve(rd.from_pandas(df))
+    out = str(tmp_path / "metrics")
+    s1 = metrics.write_metrics_artifact(curve, out)
+    assert (tmp_path / "metrics" / "curve.parquet").exists()
+    assert (tmp_path / "metrics" / "_SUCCESS.json").exists()
+    # idempotent resume: second call is a no-op returning the same summary
+    s2 = metrics.write_metrics_artifact(curve.iloc[:1], out)
+    assert s1 == s2
+
+
+def test_small_file_consolidation(rd, tmp_path):
+    """S6: many tiny parquet files → consolidated output with far fewer
+    files and identical content."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "tiny"
+    src.mkdir()
+    for i in range(40):
+        pq.write_table(
+            pa.table({"k": np.arange(5) + i * 5,
+                      "v": np.arange(5.0) + i}), str(src / f"f{i:03d}.parquet"))
+    out = tmp_path / "consolidated"
+    ds = rd.read_parquet(str(src))
+    ds.repartition(2).write_parquet(str(out))
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert 1 <= len(files) <= 4
+    got = pq.read_table(str(out)).to_pandas().sort_values("k")
+    assert list(got["k"]) == list(range(200))
 
 
 def test_kmeans_converges_and_resumes(rd, vec_df, tmp_path):
