@@ -165,11 +165,14 @@ def write_feature_stack(
     plan = _load_or_save_plan(out_dir, plan)
     skip = sorted(done_pids(out_dir))
 
+    # same zero-leakage exclusions as engine.feature_stack: retrospective
+    # session_len and entity-global {col}_z never cross the as-of boundary
+    leaky = ("session_len",) + tuple(f"{c}_z" for c in spec.zscore)
     tagged, kern, plan = engine._build_asof(
         events, spine, key=spec.key, ts=spec.ts, spine_ts="as_of_ts",
         value_cols=value_cols, tolerance_us=tolerance_us,
         tiebreak=spec.tiebreak, dedup=dedup, spec=spec, plan=plan,
-        exclude_feats=("session_len",))
+        exclude_feats=leaky)
     if skip:
         skip_arr = np.array(skip, dtype=np.int64)
 

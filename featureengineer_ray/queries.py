@@ -1365,6 +1365,20 @@ def q_embedding_near_dup(sf_dir: str):
     return out
 
 
+def q_token_features(sf_dir: str):
+    """Per-record token-content featurizer (M1): tokenize → per-event
+    64-bit order-sensitive fingerprint + min/max/sum token ids, all via
+    segment reduceat over the flat token stream (rows-only: hash
+    tokenization is not SQL-expressible)."""
+    from .pipelines import documents_to_token_events, featurize_tokens
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    events = documents_to_token_events(docs)
+    out = events.map_batches(featurize_tokens, batch_format="pyarrow")
+    return _select(out, ["doc_id", "event_seq", "n_tok", "tok_fp",
+                         "tok_min", "tok_max", "tok_sum"])
+
+
 def flagship_token_stack(sf_dir: str):
     """The flagship pipeline over the input_hint token-table shape:
     documents → deterministic tokenize → chunk into per-doc event sequences
@@ -1421,6 +1435,7 @@ QUERIES = {
     "kmeans_embeddings": q_kmeans_embeddings,
     "whiten_embeddings": q_whiten_embeddings,
     "multimodal_thumbs": q_multimodal_thumbs,
+    "token_features": q_token_features,
     "minhash_near_dup": q_minhash_near_dup,
     "simhash_fingerprints": q_simhash_fingerprints,
     "lang_id_quality": q_lang_id_quality,
