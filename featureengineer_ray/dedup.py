@@ -71,42 +71,70 @@ def exact_dedup(ds, keys: list[str], order: list[str],
 # --------------------------------------------------------------------------
 
 def _char_shingle_hashes(texts: np.ndarray, k: int, seed: int) -> list[np.ndarray]:
-    """Per text: uint64 hashes of its k-char shingles (vectorized per text)."""
-    out = []
-    for t in texts:
-        b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
-        if len(b) < k:
-            out.append(splitmix64(
-                np.frombuffer(b.tobytes().ljust(8, b"\0"), dtype=np.uint64)))
-            continue
-        win = np.lib.stride_tricks.sliding_window_view(b, k)
-        # fold k bytes into uint64 lanes then mix (vectorized rolling hash)
+    """Per text: uint64 hashes of its k-byte shingles.
+
+    Vectorized across the WHOLE batch: texts are flattened into one utf-8
+    byte stream (zero-copy through Arrow), the k-byte rolling fold runs
+    once over every window in the stream, and per-doc results are O(1)
+    slices (windows spanning doc boundaries are simply outside each doc's
+    slice). Identical values to the former per-text formulation."""
+    import pyarrow as pa
+
+    from .text import _flat_utf8
+
+    n = len(texts)
+    if n == 0:
+        return []
+    data, offsets = _flat_utf8(pa.array(list(texts), type=pa.string()))
+    lens = np.diff(offsets)
+    h = np.zeros(0, dtype=np.uint64)
+    if len(data) >= k:
+        win = np.lib.stride_tricks.sliding_window_view(data, k)
         acc = np.zeros(len(win), dtype=np.uint64)
         with np.errstate(over="ignore"):
             for j in range(k):
                 acc = acc * np.uint64(1099511628211) + win[:, j].astype(np.uint64)
-        out.append(splitmix64(mix64(acc, np.uint64(seed))))
+        h = splitmix64(mix64(acc, np.uint64(seed)))
+    out = []
+    for i in range(n):
+        ln = int(lens[i])
+        if ln < k:
+            b = data[offsets[i]:offsets[i + 1]].tobytes()
+            out.append(splitmix64(
+                np.frombuffer(b.ljust(8, b"\0"), dtype=np.uint64)))
+        else:
+            out.append(h[offsets[i]:offsets[i] + ln - k + 1])
     return out
 
 
 def minhash_signatures(
-    texts: np.ndarray, num_perm: int = 64, k: int = 5, seed: int = 1
+    texts: np.ndarray, num_perm: int = 64, k: int = 5, seed: int = 1,
+    perm_chunk: int = 16,
 ) -> np.ndarray:
     """(n_docs × num_perm) uint64 MinHash signature matrix.
 
     Universal-hash permutations: h_i(x) = splitmix64(x ^ mix(i)); the min
-    over a doc's shingle set per permutation.
-    """
+    over a doc's shingle set per permutation. The permutation-min sweep —
+    the hot loop — is vectorized across the WHOLE batch: all docs' unique
+    shingles are concatenated and each chunk of permutations is one
+    (total_shingles × chunk) mix + per-doc ``minimum.reduceat``; Python
+    cost is O(num_perm / chunk), not O(docs × perms)."""
+    n = len(texts)
     perm_salt = splitmix64(np.arange(num_perm, dtype=np.uint64) + np.uint64(seed))
-    sig = np.full((len(texts), num_perm), np.iinfo(np.uint64).max,
-                  dtype=np.uint64)
-    for r, sh in enumerate(_char_shingle_hashes(texts, k, seed)):
-        if len(sh) == 0:
-            continue
-        u = np.unique(sh)
-        with np.errstate(over="ignore"):
-            m = splitmix64(u[:, None] ^ perm_salt[None, :])
-        sig[r] = m.min(axis=0)
+    sig = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if n == 0:
+        return sig
+    uniqs = [np.unique(sh) for sh in _char_shingle_hashes(texts, k, seed)]
+    lens = np.array([len(u) for u in uniqs], dtype=np.int64)
+    # _char_shingle_hashes emits ≥1 hash per doc (short docs get the
+    # padded-prefix hash), so every reduceat segment is non-empty
+    flat = np.concatenate(uniqs)
+    starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    with np.errstate(over="ignore"):
+        for c0 in range(0, num_perm, perm_chunk):
+            c1 = min(num_perm, c0 + perm_chunk)
+            m = splitmix64(flat[:, None] ^ perm_salt[None, c0:c1])
+            sig[:, c0:c1] = np.minimum.reduceat(m, starts, axis=0)
     return sig
 
 

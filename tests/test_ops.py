@@ -245,6 +245,50 @@ def _naive_simhash(texts, seed=2):
     return out
 
 
+def _naive_shingle_hashes(texts, k, seed):
+    """Round-1 per-text shingle hashing — the pinned oracle."""
+    from featureengineer_ray.hashing import mix64, splitmix64
+
+    out = []
+    for t in texts:
+        b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+        if len(b) < k:
+            out.append(splitmix64(
+                np.frombuffer(b.tobytes().ljust(8, b"\0"), dtype=np.uint64)))
+            continue
+        win = np.lib.stride_tricks.sliding_window_view(b, k)
+        acc = np.zeros(len(win), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(k):
+                acc = acc * np.uint64(1099511628211) + win[:, j].astype(
+                    np.uint64)
+        out.append(splitmix64(mix64(acc, np.uint64(seed))))
+    return out
+
+
+def test_minhash_signatures_batched_matches_naive():
+    """Batch-vectorized shingling + permutation-min == the per-doc
+    round-1 formulation, bit for bit."""
+    from featureengineer_ray.dedup import (_char_shingle_hashes,
+                                           minhash_signatures)
+    from featureengineer_ray.hashing import splitmix64
+
+    naive = _naive_shingle_hashes(TEXTS, 5, 1)
+    vect = _char_shingle_hashes(TEXTS, 5, 1)
+    assert len(naive) == len(vect)
+    for a, b in zip(naive, vect):
+        np.testing.assert_array_equal(a, b)
+
+    got = minhash_signatures(TEXTS, num_perm=32, k=5, seed=1, perm_chunk=7)
+    salt = splitmix64(np.arange(32, dtype=np.uint64) + np.uint64(1))
+    exp = np.full((len(TEXTS), 32), np.iinfo(np.uint64).max, dtype=np.uint64)
+    for r, sh in enumerate(naive):
+        u = np.unique(sh)
+        with np.errstate(over="ignore"):
+            exp[r] = splitmix64(u[:, None] ^ salt[None, :]).min(axis=0)
+    np.testing.assert_array_equal(got, exp)
+
+
 def test_simhash_vectorized_matches_naive():
     np.testing.assert_array_equal(dd.simhash64(TEXTS), _naive_simhash(TEXTS))
 
