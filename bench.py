@@ -50,6 +50,9 @@ def ensure_corpus() -> dict:
 def run_bench(sf_dir: str, num_cpus: int) -> dict:
     import ray
 
+    # a starved object store (Ray's 30-40% default) forces spilling on
+    # payload-heavy shuffles long before RAM is exhausted
+    os.environ.setdefault("RAY_DEFAULT_OBJECT_STORE_MEMORY_PROPORTION", "0.5")
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     import ray.data as rd
@@ -86,8 +89,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     from featureengineer_ray.partition import plan_partitions
 
     # plan once (pinned partitioning — resumable runs would reuse it);
-    # headline = best of 3 (single-node VM timing noise is ±40%)
-    n_blocks = 2 * num_cpus
+    # headline = best of 3 (single-node VM timing noise is ±40%).
+    # Read blocks are sized by ROWS (~250k ≈ 150-300 MB of token payload),
+    # floored at 2×CPUs: block count tied to CPUs alone hands the sort
+    # shuffle multi-GB map blocks at 24M+ rows and the merge stage
+    # anti-scales (measured: 8-cpu 24M sort 723s with 16 blocks).
+    n_blocks = max(2 * num_cpus, BENCH_ROWS // 250_000)
     plan = plan_partitions(
         rd.read_parquet(paths["events"], override_num_blocks=n_blocks),
         "doc_id", "ts", split_hot_keys=True)
@@ -97,14 +104,25 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     out_dir = f"/tmp/fe_bench_out_{num_cpus}"
     for _ in range(reps):
         ev = rd.read_parquet(paths["events"], override_num_blocks=n_blocks)
-        sp = rd.read_parquet(paths["spine"])
+        sp = rd.read_parquet(paths["spine"],
+                             override_num_blocks=max(2 * num_cpus,
+                                                     n_blocks // 4))
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.time()
-        out = run_token_stack(ev, sp, plan=plan)
+        # late materialization (tokens never enter the all-to-all) wins
+        # once the payload bytes dominate the exchange: measured 24M rows
+        # @8cpu eager 597s vs late 245s. Small corpora keep the eager
+        # single-exchange (local bytes cheap, extra phase latency not).
+        late_env = os.environ.get("FE_BENCH_LATE")
+        late = (BENCH_ROWS >= 8_000_000 if late_env is None
+                else late_env == "1")
+        out = run_token_stack(ev, sp, plan=plan, late_materialize=late)
         # parallel parquet sink — draining via driver iter_batches
         # serializes the whole output through one process and caps scaling
         out.write_parquet(out_dir)
         times.append(time.time() - t0)
+        if os.environ.get("FE_BENCH_STATS") == "1":
+            print(out.stats(), file=sys.stderr)
         n_out = sum(
             _pq.ParquetFile(os.path.join(out_dir, p)).metadata.num_rows
             for p in os.listdir(out_dir) if p.endswith(".parquet"))

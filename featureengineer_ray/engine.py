@@ -600,41 +600,57 @@ class _AssignPart:
         out = batch.append_column(PART_COL, pa.array(pid, type=pa.int32()))
         if not self.ctx_map:
             return out
-        # candidate rows for ctx duplication: only split hot keys (C++ is_in)
-        cand = pc.is_in(
-            key_col.combine_chunks() if isinstance(key_col, pa.ChunkedArray)
-            else key_col,
-            value_set=pa.array(list(self.ctx_map.keys()))).to_numpy(
-            zero_copy_only=False)
-        side = (batch.column(SIDE_COL).to_numpy(zero_copy_only=False)
-                if SIDE_COL in batch.column_names else None)
         out = out.append_column(
             CTX_COL, pa.array(np.zeros(batch.num_rows, dtype=np.int8)))
-        if not cand.any():
+        # map rows → ctx-key index through C++ dictionary codes: Python
+        # work is O(unique keys in batch), never an object-equality scan
+        # per split key per row (that was O(split_keys × rows) and became
+        # the dominant cost once a 24M corpus produced ~27 split keys)
+        kc = key_col.combine_chunks() if isinstance(
+            key_col, pa.ChunkedArray) else key_col
+        d = kc.dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = d.dictionary.to_pylist()
+        ctx_keys = list(self.ctx_map.keys())
+        ctx_idx_of = {k: j for j, k in enumerate(ctx_keys)}
+        code_to_ctx = np.array([ctx_idx_of.get(u, -1) for u in uniq],
+                               dtype=np.int64)
+        row_ctx = (code_to_ctx[codes] if len(codes)
+                   else np.zeros(0, dtype=np.int64))
+        if SIDE_COL in batch.column_names:
+            side = batch.column(SIDE_COL).to_numpy(zero_copy_only=False)
+            row_ctx = np.where(side == 0, row_ctx, -1)  # spine carries no ctx
+        cand_rows = np.flatnonzero(row_ctx >= 0)
+        if len(cand_rows) == 0:
             return out
-        keys = key_col.to_numpy(zero_copy_only=False)
-        dup_rows: list[int] = []
-        dup_pids: list[int] = []
-        for k, (cts, cpids) in self.ctx_map.items():
-            m = cand & (keys == k)
-            if side is not None:
-                m &= side == 0  # only event rows carry context
-            if not m.any():
-                continue
-            rows = np.flatnonzero(m)
+        dup_rows_parts: list[np.ndarray] = []
+        dup_pids_parts: list[np.ndarray] = []
+        for j in np.unique(row_ctx[cand_rows]):
+            cts, cpids = self.ctx_map[ctx_keys[int(j)]]
+            rows = cand_rows[row_ctx[cand_rows] == j]
             rts = tsv[rows]
             lo = np.searchsorted(cts, rts, side="left")
             hi = np.searchsorted(cts, rts, side="right")
-            hit = np.flatnonzero(hi > lo)
-            for r in hit:
-                for j in range(lo[r], hi[r]):
-                    dup_rows.append(int(rows[r]))
-                    dup_pids.append(int(cpids[j]))
-        if not dup_rows:
+            n_dup = hi - lo
+            hit = np.flatnonzero(n_dup > 0)
+            if len(hit) == 0:
+                continue
+            # expand (row, lo..hi) ranges vectorized
+            counts = n_dup[hit]
+            rep_rows = np.repeat(rows[hit], counts)
+            starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+            within = (np.arange(int(counts.sum()), dtype=np.int64)
+                      - np.repeat(starts, counts))
+            rep_j = np.repeat(lo[hit], counts) + within
+            dup_rows_parts.append(rep_rows)
+            dup_pids_parts.append(cpids[rep_j])
+        if not dup_rows_parts:
             return out
+        dup_rows = np.concatenate(dup_rows_parts)
+        dup_pids = np.concatenate(dup_pids_parts)
         dup = batch.take(pa.array(dup_rows, type=pa.int64()))
         dup = dup.append_column(
-            PART_COL, pa.array(np.asarray(dup_pids, dtype=np.int32)))
+            PART_COL, pa.array(dup_pids.astype(np.int32)))
         dup = dup.append_column(
             CTX_COL, pa.array(np.ones(len(dup_rows), dtype=np.int8)))
         return pa.concat_tables([out, dup])

@@ -76,8 +76,21 @@ class PartitionPlan:
         )
 
 
+SKETCH_K = 64  # bottom-k ts sketch size per (key, batch)
+
+
 class _SamplePartials:
-    """Per-batch deterministic row sample → (key, n, ts_lo, ts_hi) partials."""
+    """Per-batch deterministic row sample → per-key partials:
+    (n, ts_lo, ts_hi, bottom-k ts sketch).
+
+    The sketch keeps the K sampled rows with the SMALLEST sample hash per
+    key — merging bottom-k sketches across batches yields a uniform,
+    layout-independent sample of each key's timestamps, from which
+    hot-key sub-split boundaries are computed as real quantiles. (Round 1
+    used only per-batch (ts_lo, ts_hi); with shuffled ingestion every
+    batch spans the whole time range, the "quantiles" collapsed to ~3
+    distinct values, and one sub inherited almost the entire hot entity —
+    a 3.5M-row straggler partition at 24M rows.)"""
 
     def __init__(self, key: str, ts: str | None, rate: float, seed: int):
         self.key, self.ts, self.rate, self.seed = key, ts, rate, seed
@@ -94,6 +107,7 @@ class _SamplePartials:
             # (no stable ts: per-batch index sampling — plan quality only)
         take = (h % _MOD) < np.uint64(int(self.rate * float(_MOD)))
         keys = batch.column(self.key).to_numpy(zero_copy_only=False)[take]
+        hs = h[take]
         if self.ts is not None:
             tsv = tsv[take]
         else:
@@ -104,9 +118,24 @@ class _SamplePartials:
         hi = np.full(len(uniq), np.iinfo(np.int64).min, dtype=np.int64)
         np.minimum.at(lo, inv, tsv)
         np.maximum.at(hi, inv, tsv)
+        # bottom-k (by sample hash) ts sketch per key: sort rows by
+        # (key, hash) once, slice the first ≤K of each key segment
+        order = np.lexsort((hs, inv))
+        inv_s, ts_s, h_s = inv[order], tsv[order], hs[order]
+        seg_start = np.concatenate(([0], np.cumsum(n)))[:-1]
+        pos_in_seg = np.arange(len(inv_s)) - seg_start[inv_s]
+        keep = pos_in_seg < SKETCH_K
+        kept_per_key = np.bincount(inv_s[keep], minlength=len(uniq))
+        offs = np.concatenate(([0], np.cumsum(kept_per_key))).astype(np.int64)
         return pa.table({
             "key": pa.array(uniq),
             "n": pa.array(n), "ts_lo": pa.array(lo), "ts_hi": pa.array(hi),
+            "ts_sketch": pa.ListArray.from_arrays(
+                pa.array(offs, type=pa.int32()),
+                pa.array(ts_s[keep], type=pa.int64())),
+            "h_sketch": pa.ListArray.from_arrays(
+                pa.array(offs, type=pa.int32()),
+                pa.array(h_s[keep].view(np.int64))),
         })
 
 
@@ -186,11 +215,24 @@ def plan_partitions(
         n_sub = max(1, int(np.ceil(est / per_part_budget))) if split_hot_keys else 1
         hot[k] = next_pid
         if n_sub > 1:
-            # ts quantile bounds from the sampled rows of this key
+            # ts quantile bounds from the key's merged bottom-k sketch —
+            # a uniform sample of ITS OWN rows' timestamps (per-batch
+            # lo/hi alone degenerate under shuffled ingestion)
             ksample = sample[sample["key"] == k]
-            tvals = np.sort(
-                np.concatenate([ksample["ts_lo"].to_numpy(), ksample["ts_hi"].to_numpy()])
-            )
+            ts_all = np.concatenate([
+                np.asarray(x, dtype=np.int64)
+                for x in ksample["ts_sketch"]]) if len(ksample) else \
+                np.zeros(0, dtype=np.int64)
+            if len(ts_all):
+                h_all = np.concatenate([
+                    np.asarray(x, dtype=np.int64)
+                    for x in ksample["h_sketch"]]).view(np.uint64)
+                kk = min(len(ts_all), max(256, 8 * n_sub))
+                sel = np.argsort(h_all, kind="stable")[:kk]
+                tvals = np.sort(ts_all[sel])
+            else:  # fallback: per-batch extrema only
+                tvals = np.sort(np.concatenate([
+                    ksample["ts_lo"].to_numpy(), ksample["ts_hi"].to_numpy()]))
             qs = np.quantile(tvals, np.arange(1, n_sub) / n_sub).astype(np.int64)
             hot_splits[k] = sorted(set(int(q) for q in qs))
             n_sub = len(hot_splits[k]) + 1
