@@ -956,9 +956,9 @@ def feature_stack_late(
     (key, tiebreak) join that re-uses the SAME partition plan — both sides
     are routed by the matched event's ts so even context-matched rows of
     sub-split hot entities land with their payload row. The payload side is
-    pre-filtered by a broadcast locator-hash set (at extreme scale,
-    substitute a Bloom filter — the filter is an optimization only;
-    correctness comes from the exact join).
+    pre-filtered by a broadcast BLOOM locator (~2 bytes per matched row —
+    bounded at any scale; the filter is an optimization only, correctness
+    comes from the exact join, so false positives are harmless).
 
     Output rows equal feature_stack's (same columns up to order).
     """
@@ -984,8 +984,13 @@ def feature_stack_late(
         spec=spec, plan=plan, exclude_feats=("session_len",))
     mat = outA.materialize()  # narrow output only — payloads never shuffled
 
-    # broadcast locator set (hash of key × matched tiebreak)
-    hashes = []
+    # broadcast Bloom locator (hash of key × matched tiebreak): bounded
+    # memory (~2 B/matched row) instead of the exact hash array; false
+    # positives only admit extra payload rows into the exact attach join
+    from .hashing import Bloom
+
+    n_rows = mat.count()
+    bloom = Bloom(n_rows)
     for b in mat.select_columns([spec.key, spec.tiebreak]).iter_batches(
             batch_size=1 << 20, batch_format="pyarrow"):
         k = b.column(spec.key).to_numpy(zero_copy_only=False)
@@ -993,28 +998,21 @@ def feature_stack_late(
             zero_copy_only=False).astype(np.int64)
         ok = s >= 0
         if ok.any():
-            hashes.append(np.unique(
-                mix64(hash_str_array(k[ok]), s[ok].astype(np.uint64))))
-    loc = np.unique(np.concatenate(hashes)) if hashes else np.zeros(
-        0, dtype=np.uint64)
-    loc_ref = ray.put(loc)
+            bloom.add(mix64(hash_str_array(k[ok]), s[ok].astype(np.uint64)))
+    loc_ref = ray.put(bloom)
 
     payload_side_cols = [spec.key, spec.tiebreak, spec.ts] + list(payload_cols)
 
     class _FilterPayload:
         def __init__(self):
-            self.loc = ray.get(loc_ref)
+            self.bloom = ray.get(loc_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             k = batch.column(spec.key).to_numpy(zero_copy_only=False)
             s = batch.column(spec.tiebreak).cast(pa.int64()).to_numpy(
                 zero_copy_only=False).astype(np.int64)
             h = mix64(hash_str_array(k), s.astype(np.uint64))
-            pos = np.searchsorted(self.loc, h)
-            pos = np.clip(pos, 0, max(len(self.loc) - 1, 0))
-            hit = (self.loc[pos] == h) if len(self.loc) else np.zeros(
-                len(h), dtype=bool)
-            return batch.filter(pa.array(hit))
+            return batch.filter(pa.array(self.bloom.contains(h)))
 
     payload = events.select_columns(payload_side_cols).map_batches(
         _FilterPayload, batch_format="pyarrow", concurrency=(1, 8))

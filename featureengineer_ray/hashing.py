@@ -97,3 +97,42 @@ def hash_pa_array(col, seed: int = 0) -> np.ndarray:
 def uniform_from_hash(h: np.ndarray, mod: int) -> np.ndarray:
     """Map uint64 hashes into [0, mod) as int64 (deterministic 'randint')."""
     return (h % _U64(mod)).astype(np.int64)
+
+
+class Bloom:
+    """Vectorized Bloom filter over uint64 hashes (k=4 derived probes).
+
+    ~`bits_per_key` bits of memory per inserted key regardless of key
+    count — the bounded-memory replacement for an exact locator-hash set
+    (false positives only admit extra rows into a downstream exact join).
+    """
+
+    K = 4
+
+    def __init__(self, n_keys: int, bits_per_key: int = 16):
+        m = 1 << max(10, int(np.ceil(np.log2(max(n_keys, 1)
+                                             * bits_per_key))))
+        self.mask = _U64(m - 1)
+        self.words = np.zeros(m // 64, dtype=np.uint64)
+
+    def _probes(self, h: np.ndarray) -> np.ndarray:
+        """(K × n) bit positions per hash."""
+        out = np.empty((self.K, len(h)), dtype=np.uint64)
+        x = np.asarray(h, dtype=_U64)
+        for i in range(self.K):
+            x = splitmix64(x ^ _U64(0xB10F + i))
+            out[i] = x & self.mask
+        return out
+
+    def add(self, h: np.ndarray) -> None:
+        pos = self._probes(h).reshape(-1)
+        np.bitwise_or.at(self.words, (pos >> _U64(6)).astype(np.int64),
+                         _U64(1) << (pos & _U64(63)))
+
+    def contains(self, h: np.ndarray) -> np.ndarray:
+        pos = self._probes(h)
+        hit = np.ones(len(h), dtype=bool)
+        for i in range(self.K):
+            w = self.words[(pos[i] >> _U64(6)).astype(np.int64)]
+            hit &= (w >> (pos[i] & _U64(63))) & _U64(1) != 0
+        return hit

@@ -81,6 +81,18 @@ def test_grouped_top_k(rd):
     assert sorted(got["x"]) == sorted(exp["x"])
 
 
+def test_bloom_filter():
+    from featureengineer_ray.hashing import Bloom, splitmix64
+
+    keys = splitmix64(np.arange(50_000, dtype=np.uint64))
+    other = splitmix64(np.arange(50_000, 120_000, dtype=np.uint64))
+    b = Bloom(len(keys))
+    b.add(keys)
+    assert b.contains(keys).all()  # no false negatives, ever
+    fp = b.contains(other).mean()
+    assert fp < 0.02, fp  # ~0.2% expected at 16 bits/key, k=4
+
+
 def test_hash_shuffle_width_data_sized():
     from featureengineer_ray.partition import hash_shuffle_width
 

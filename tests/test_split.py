@@ -215,6 +215,36 @@ def test_split_dedup_with_duplicate_rows(ray_session, events_tbl):
             exp[col].to_numpy().astype("int64"), err_msg=col)
 
 
+def test_hot_split_subs_are_balanced(ray_session):
+    """Sub-split boundaries must be REAL time quantiles of each hot
+    entity, even though events arrive globally shuffled (regression: the
+    per-batch lo/hi-only sample collapsed boundaries and one sub
+    inherited nearly the whole entity — a 3.5M-row straggler at 24M)."""
+    import ray.data as rd
+
+    from featureengineer_ray.partition import (assign_partition_ids,
+                                               plan_partitions)
+
+    spec = GenSpec(n_rows=20_000, n_entities=40, zipf_a=1.4, seed=5)
+    tbl = generate_events(spec)  # shuffled ingestion order
+    ds = rd.from_arrow(tbl).repartition(8)
+    budget = 600
+    plan = plan_partitions(ds, "doc_id", "ts",
+                           target_rows_per_part=budget, sample_rate=0.5,
+                           split_hot_keys=True)
+    assert plan.hot_splits
+    tsv = tbl.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    pids = assign_partition_ids(tbl.column("doc_id"), plan, tsv)
+    counts = np.bincount(pids, minlength=plan.n_parts)
+    # every hot-split sub holds well under the pathological
+    # whole-entity-in-one-sub regime: ≤ 3× the per-partition budget
+    for k in plan.hot_splits:
+        base = plan.hot[k]
+        n_sub = len(plan.hot_splits[k]) + 1
+        sub_counts = counts[base:base + n_sub]
+        assert sub_counts.max() <= 3 * budget, (k, sub_counts)
+
+
 def test_split_rolling_time(ray_session, events_tbl, split_plan):
     import ray.data as rd
 
