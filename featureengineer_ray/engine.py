@@ -962,9 +962,19 @@ def feature_stack_late(
 
     Output rows equal feature_stack's (same columns up to order).
     """
+    import time as _time
+
     import ray
 
     from .hashing import hash_str_array, mix64
+
+    _t0 = _time.time()
+    _timing = _os.environ.get("FE_PHASE_TIMING") == "1"
+
+    def _mark(label):
+        if _timing:
+            print(f"[late-phase] {label}: +{_time.time() - _t0:.1f}s",
+                  flush=True)
 
     if spec.tiebreak is None:
         raise ValueError("feature_stack_late requires a tiebreak column")
@@ -972,6 +982,7 @@ def feature_stack_late(
                    if c not in payload_cols]
     narrow = events.select_columns(narrow_cols)
     plan = _ensure_plan(narrow, spec.key, spec.ts, plan, **plan_kwargs)
+    _mark("plan")
 
     emit = [c for c in value_cols if c not in payload_cols]
     if spec.tiebreak not in emit:
@@ -982,24 +993,44 @@ def feature_stack_late(
         narrow, spine, key=spec.key, ts=spec.ts, value_cols=emit,
         tolerance_us=tolerance_us, tiebreak=spec.tiebreak, dedup=dedup,
         spec=spec, plan=plan, exclude_feats=("session_len",))
+    _mark("narrow asof built (incl split-state pre-pass)")
     mat = outA.materialize()  # narrow output only — payloads never shuffled
+    _mark("narrow asof materialized")
 
     # broadcast Bloom locator (hash of key × matched tiebreak): bounded
     # memory (~2 B/matched row) instead of the exact hash array; false
-    # positives only admit extra payload rows into the exact attach join
+    # positives only admit extra payload rows into the exact attach join.
+    # Built DISTRIBUTED: each batch hashes its own keys and emits a full
+    # bitmap partial; the driver only ORs the (few-MB) bitmaps — the
+    # driver-side row iteration this replaces was a 40s serial phase at
+    # 24M rows.
     from .hashing import Bloom
 
     n_rows = mat.count()
     bloom = Bloom(n_rows)
-    for b in mat.select_columns([spec.key, spec.tiebreak]).iter_batches(
-            batch_size=1 << 20, batch_format="pyarrow"):
+    m_words = len(bloom.words)
+
+    def bloom_partial(b: pa.Table) -> pa.Table:
+        part = Bloom(1)
+        part.mask = bloom.mask
+        part.words = np.zeros(m_words, dtype=np.uint64)
         k = b.column(spec.key).to_numpy(zero_copy_only=False)
         s = b.column(spec.tiebreak).cast(pa.int64()).fill_null(-1).to_numpy(
             zero_copy_only=False).astype(np.int64)
         ok = s >= 0
         if ok.any():
-            bloom.add(mix64(hash_str_array(k[ok]), s[ok].astype(np.uint64)))
+            part.add(mix64(hash_str_array(k[ok]), s[ok].astype(np.uint64)))
+        return pa.table({"words": pa.array([part.words.tobytes()],
+                                           type=pa.large_binary())})
+
+    for b in mat.select_columns([spec.key, spec.tiebreak]).map_batches(
+            bloom_partial, batch_size=1 << 20,
+            batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        for i in range(b.num_rows):
+            buf = b.column("words")[i].as_py()
+            bloom.words |= np.frombuffer(buf, dtype=np.uint64)
     loc_ref = ray.put(bloom)
+    _mark("bloom locator built")
 
     payload_side_cols = [spec.key, spec.tiebreak, spec.ts] + list(payload_cols)
 
@@ -1077,4 +1108,5 @@ def feature_stack_late(
         return g.drop_columns([c for c in ("__route_ts",)
                                if c in g.column_names])
 
+    _mark("attach pipeline built (lazy)")
     return _exchange_by_part(tagged, plan, attach_kernel)
