@@ -440,6 +440,89 @@ def simhash64(texts: np.ndarray, seed: int = 2) -> np.ndarray:
     return out
 
 
+def simhash_near_dup_pairs(
+    ds, *, id_col: str, text_col: str, max_hamming: int = 3,
+    seed: int = 2, bucket_cap: int = 1024,
+) -> pd.DataFrame:
+    """Near-duplicate pairs by SimHash banding — EXACT for
+    ``max_hamming ≤ 3``: the 64-bit fingerprint splits into 4 × 16-bit
+    bands, and ≤3 differing bits cannot touch all 4 bands (pigeonhole),
+    so every qualifying pair shares at least one band bucket. One shuffle
+    of (band, band_value, id, fingerprint) rows — documents never move;
+    hamming is verified in-bucket (the fingerprints ride along)."""
+    import pyarrow as pa
+
+    from .partition import hash_shuffle_width
+
+    if max_hamming > 3:
+        raise ValueError("4x16 banding is exact only for max_hamming <= 3")
+    P = hash_shuffle_width(None)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_numpy(zero_copy_only=False)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        fp = simhash64(texts, seed=seed)
+        n = len(ids)
+        band = np.tile(np.arange(4, dtype=np.int64), n)
+        rep_ids = np.repeat(ids, 4)
+        rep_fp = np.repeat(fp, 4)
+        shift = (band.astype(np.uint64) * np.uint64(16))
+        bval = ((rep_fp >> shift) & np.uint64(0xFFFF)).astype(np.int64)
+        h = mix64(band.astype(np.uint64), bval.astype(np.uint64))
+        return pa.table({
+            "band": pa.array(band), "bval": pa.array(bval),
+            "doc_id_": pa.array(rep_ids),
+            "fp": pa.array(rep_fp.view(np.int64)),
+            "__part": pa.array((h % np.uint64(P)).astype(np.int32)),
+        })
+
+    def pairs_vec(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["band", "bval", "doc_id_"], kind="stable")
+        band = g["band"].to_numpy()
+        bval = g["bval"].to_numpy()
+        ids = g["doc_id_"].to_numpy()
+        fp = g["fp"].to_numpy().view(np.uint64)
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = (np.diff(band) != 0) | (np.diff(bval) != 0)
+        starts = np.flatnonzero(new)
+        ends = np.concatenate((starts[1:], [n]))
+        out_a, out_b, out_h = [], [], []
+        for s, e in zip(starts, ends):
+            m = min(e - s, bucket_cap)
+            if m < 2:
+                continue
+            a, b = np.triu_indices(m, 1)
+            d = hamming64(fp[s + a], fp[s + b])
+            hit = d <= max_hamming
+            out_a.append(ids[s + a[hit]])
+            out_b.append(ids[s + b[hit]])
+            out_h.append(d[hit])
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b),
+                             "hamming": np.concatenate(out_h)})
+
+    tagged = ds.map_batches(explode, batch_format="pyarrow")
+    from .engine import use_push_shuffle
+
+    use_push_shuffle(tagged)
+    cand = tagged.groupby("__part").map_groups(
+        pairs_vec, batch_format="pandas").to_pandas()
+    if len(cand) == 0:
+        return pd.DataFrame(columns=["id_a", "id_b", "hamming"])
+    lo = np.minimum(cand["id_a"], cand["id_b"])
+    hi = np.maximum(cand["id_a"], cand["id_b"])
+    out = pd.DataFrame({"id_a": lo, "id_b": hi,
+                        "hamming": cand["hamming"].astype("int64")})
+    return out.drop_duplicates(["id_a", "id_b"]).sort_values(
+        ["id_a", "id_b"]).reset_index(drop=True)
+
+
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     x = (a ^ b)
     cnt = np.zeros(x.shape, dtype=np.int64)

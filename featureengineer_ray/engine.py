@@ -430,6 +430,7 @@ class _AsofKernel:
         dedup: bool = False,
         corrections: dict[int, SubCorrection] | None = None,
         exclude_feats: tuple[str, ...] = (),
+        range_windows: dict[str, tuple[int, str | None]] | None = None,
     ):
         self.key, self.ts, self.tiebreak = key, ts, tiebreak
         self.value_cols = value_cols
@@ -439,6 +440,9 @@ class _AsofKernel:
         self.dedup = dedup
         self.corrections = corrections or {}
         self.exclude_feats = set(exclude_feats)
+        # name -> (window_us, value_col | None): per spine row, count (and
+        # optionally sum of value_col) of events in [as_of_ts - W, as_of_ts]
+        self.range_windows = range_windows or {}
 
     def __call__(self, group: pa.Table) -> pa.Table:
         """Multi-partition block: non-split partitions merge in one pass;
@@ -461,6 +465,44 @@ class _AsofKernel:
             sub = group.filter(pa.array(pids == p))
             outs.append(self._one(sub, self.corrections[int(p)]))
         return pa.concat_tables(outs, promote_options="default")
+
+    def _range_agg(self, part, sp_codes, present, sp_ts, W: int,
+                   vcol: str | None):
+        """Per spine row: count (and optional sum of vcol) of events with
+        the same key in [as_of_ts − W, as_of_ts] — the range-join kernel
+        (vectorized composite binary search; SURVEY.md §2.4 J8 extended
+        to true interval semantics)."""
+        n_sp = len(sp_ts)
+        if part.n == 0 or n_sp == 0:
+            z = np.zeros(n_sp, dtype=np.int64)
+            return z, np.full(n_sp, np.nan)
+        all_min = min(int(part.ts.min()), int(sp_ts.min()))
+        ev_rel = part.ts - all_min
+        sp_rel = sp_ts - all_min
+        span = max(int(ev_rel.max()), int(sp_rel.max()) if n_sp else 0)
+        off = np.int64(span + 2)
+        max_code = int(max(part.codes.max(),
+                           sp_codes.max() if n_sp else 0))
+        if (max_code + 1) * int(off) >= (1 << 62):
+            raise OverflowError(
+                "range-join composite overflow; partition too wide")
+        comp_ev = part.codes * off + ev_rel
+        spc = np.where(present, sp_codes, 0)
+        lo = np.searchsorted(comp_ev,
+                             spc * off + np.maximum(sp_rel - W, 0),
+                             side="left")
+        hi = np.searchsorted(comp_ev, spc * off + sp_rel, side="right")
+        cnt = np.where(present, hi - lo, 0).astype(np.int64)
+        vsum = np.full(n_sp, np.nan)
+        if vcol is not None:
+            x = _num_sorted(part, vcol)
+            valid = ~np.isnan(x)
+            cs = np.concatenate(([0.0], np.cumsum(np.where(valid, x, 0.0))))
+            cc = np.concatenate(([0], np.cumsum(valid.astype(np.int64))))
+            nval = cc[hi] - cc[lo]
+            s = cs[hi] - cs[lo]
+            vsum = np.where(present & (nval > 0), s, np.nan)
+        return cnt, vsum
 
     def _one(self, group: pa.Table, corr: SubCorrection | None) -> pa.Table:
         side = (group.column(SIDE_COL).to_numpy(zero_copy_only=False)
@@ -505,6 +547,13 @@ class _AsofKernel:
         out = sp_tbl.select(self.spine_cols)
         out = out.rename_columns(
             [c if c != self.ts else "as_of_ts" for c in self.spine_cols])
+        for name, (W, vcol) in self.range_windows.items():
+            cnt, vsum = self._range_agg(part, sp_codes, present, sp_ts,
+                                        int(W), vcol)
+            out = out.append_column(f"{name}_count", pa.array(cnt))
+            if vcol is not None:
+                out = out.append_column(f"{name}_sum",
+                                        pa.array(vsum, from_pandas=True))
         safe_idx = np.clip(idx, 0, max(part.n - 1, 0))
         orig_idx = (part.order[safe_idx] if part.n
                     else np.zeros(len(idx), dtype=np.int64))
@@ -661,7 +710,8 @@ CTX_CAP_LIMIT = 1_000_000  # sanity bound on carried boundary context rows
 
 def _split_state(ds, plan: PartitionPlan, spec: WindowSpec | None,
                  key: str, ts: str, tiebreak: str | None,
-                 fused_asof: bool = False, dedup: bool = False):
+                 fused_asof: bool = False, dedup: bool = False,
+                 extra_time_windows: list[int] | None = None):
     """Narrow pre-pass + driver fold when the plan sub-splits hot keys."""
     if not plan.hot_splits:
         return None, None
@@ -680,6 +730,7 @@ def _split_state(ds, plan: PartitionPlan, spec: WindowSpec | None,
                 "disable split_hot_keys or drop leads/bfill")
     else:
         numeric, gap, ctx_rows, twins = [], None, 1, []
+    twins = twins + list(extra_time_windows or [])
     if ctx_rows > CTX_CAP_LIMIT:
         # a row window this deep would make the boundary-context carry as
         # expensive as the data itself — refuse rather than silently
@@ -779,7 +830,8 @@ def _union_schema(ev_schema: pa.Schema, sp_schema: pa.Schema,
 
 def _build_asof(
     events, spine, *, key, ts, spine_ts, value_cols, tolerance_us,
-    tiebreak, dedup, spec, plan, exclude_feats, **plan_kwargs,
+    tiebreak, dedup, spec, plan, exclude_feats,
+    range_windows: dict | None = None, **plan_kwargs,
 ):
     """Shared construction for asof_join and the resumable lineage sink:
     (tagged union dataset, per-partition kernel callable, plan)."""
@@ -788,8 +840,10 @@ def _build_asof(
     schema = _union_schema(ev_schema, sp_schema, key, ts, spine_ts)
 
     plan = _ensure_plan(events, key, ts, plan, **plan_kwargs)
+    extra_tw = [int(w) for (w, _) in (range_windows or {}).values()]
     corrections, ctx_map = _split_state(events, plan, spec, key, ts, tiebreak,
-                                        fused_asof=True, dedup=dedup)
+                                        fused_asof=True, dedup=dedup,
+                                        extra_time_windows=extra_tw)
 
     # ONE fused map per side: rename(spine) + harmonize + partition assign
     # (each extra map stage re-materializes every block in the object
@@ -813,7 +867,8 @@ def _build_asof(
     kern = _AsofKernel(
         key, ts, tiebreak, value_cols=value_cols, spine_cols=spine_cols,
         tolerance_us=tolerance_us, spec=spec, dedup=dedup,
-        corrections=corrections, exclude_feats=exclude_feats)
+        corrections=corrections, exclude_feats=exclude_feats,
+        range_windows=range_windows)
     return tagged, kern, plan
 
 
@@ -831,19 +886,25 @@ def asof_join(
     spec: WindowSpec | None = None,
     plan: PartitionPlan | None = None,
     exclude_feats: tuple[str, ...] = (),
+    range_windows: dict[str, tuple[int, str | None]] | None = None,
     **plan_kwargs,
 ):
-    """Point-in-time backward as-of join (optionally fused with windows).
+    """Point-in-time backward as-of join (optionally fused with windows
+    and spine-anchored range aggregates).
 
     Both sides are tagged with the SAME partition plan and unioned, so the
     whole operator costs exactly one all-to-all exchange; the per-partition
     kernel separates sides and runs the galloping binary-search merge.
+    ``range_windows``: name -> (window_us, value_col|None) emits
+    ``{name}_count`` (and ``{name}_sum``) of events in
+    ``[as_of_ts − W, as_of_ts]`` per spine row — a true range/interval
+    join fused into the same exchange.
     """
     tagged, kern, plan = _build_asof(
         events, spine, key=key, ts=ts, spine_ts=spine_ts,
         value_cols=value_cols, tolerance_us=tolerance_us, tiebreak=tiebreak,
         dedup=dedup, spec=spec, plan=plan, exclude_feats=exclude_feats,
-        **plan_kwargs)
+        range_windows=range_windows, **plan_kwargs)
 
     def asof_kernel(group: pa.Table) -> pa.Table:
         return kern(group)

@@ -142,6 +142,43 @@ def _events(sf_dir, cols=("event_id", "ts", "user_id", "event_type", "value")):
     return _read(sf_dir, "events", list(cols))
 
 
+def q_range_join_1h(sf_dir: str):
+    """True range/interval join fused with the as-of exchange: per
+    purchase, count + value-sum of the user's clicks in the trailing
+    hour ending at the purchase time."""
+    out = engine.asof_join(
+        _click_events(sf_dir), _purchase_spine(sf_dir),
+        key="user_id", ts="ts", value_cols=["ts"],
+        tiebreak="event_id",
+        range_windows={"clicks_1h": (HOUR_US, "value")})
+    out = _round_cols(out, {"clicks_1h_sum": 6})
+
+    def cast_cnt(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("clicks_1h_count")
+        return batch.set_column(
+            i, "clicks_1h_count",
+            batch.column("clicks_1h_count").cast(pa.int64()))
+
+    out = out.map_batches(cast_cnt, batch_format="pyarrow")
+    return _select(out, ["user_id", "as_of_ts", "spine_event_id",
+                         "clicks_1h_count", "clicks_1h_sum"])
+
+
+SQL_RANGE_JOIN = """
+SELECT p.user_id, p.ts AS as_of_ts, p.event_id AS spine_event_id,
+       (SELECT count(*) FROM events c
+        WHERE c.event_type = 'click' AND c.user_id = p.user_id
+          AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts)
+         AS clicks_1h_count,
+       (SELECT ROUND_EVEN(sum(c.value), 6) FROM events c
+        WHERE c.event_type = 'click' AND c.user_id = p.user_id
+          AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts)
+         AS clicks_1h_sum
+FROM events p
+WHERE p.event_type = 'purchase'
+"""
+
+
 def q_window_lag_lead(sf_dir: str):
     spec = engine.WindowSpec(
         key="user_id", ts="ts", tiebreak="event_id",
@@ -1316,6 +1353,13 @@ def q_simhash_fingerprints(sf_dir: str):
     return docs.map_batches(fn, batch_format="pyarrow")
 
 
+def q_simhash_near_dup(sf_dir: str):
+    """SimHash near-dup pairs, exact for hamming ≤ 3 (4×16-bit pigeonhole
+    banding; rows-only — the fingerprint hash is not SQL-expressible)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dd.simhash_near_dup_pairs(docs, id_col="doc_id", text_col="text")
+
+
 def q_lang_id_quality(sf_dir: str):
     """Heuristic language-ID + quality scoring (actor pool).
 
@@ -1395,6 +1439,7 @@ def flagship_token_stack(sf_dir: str):
 QUERIES = {
     "asof_purchase_click": q_asof_purchase_click,
     "asof_tolerance_1h": q_asof_tolerance_1h,
+    "range_join_1h": q_range_join_1h,
     "window_lag_lead": q_window_lag_lead,
     "window_rolling5": q_window_rolling5,
     "window_rolling_time_1h": q_window_rolling_time_1h,
@@ -1438,6 +1483,7 @@ QUERIES = {
     "token_features": q_token_features,
     "minhash_near_dup": q_minhash_near_dup,
     "simhash_fingerprints": q_simhash_fingerprints,
+    "simhash_near_dup": q_simhash_near_dup,
     "lang_id_quality": q_lang_id_quality,
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_decode_stub": q_multimodal_decode_stub,
@@ -1449,6 +1495,7 @@ QUERIES = {
 ORACLE_SQL = {
     "asof_purchase_click": SQL_ASOF,
     "asof_tolerance_1h": SQL_ASOF_TOL,
+    "range_join_1h": SQL_RANGE_JOIN,
     "window_lag_lead": SQL_LAG_LEAD,
     "window_rolling5": SQL_ROLLING5,
     "window_rolling_time_1h": SQL_ROLLING_TIME,

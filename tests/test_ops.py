@@ -179,6 +179,31 @@ def test_minhash_bucket_cap_bounds_pairs(rd):
     assert involved <= set(range(8))
 
 
+def test_simhash_near_dup_lsh_exact_vs_bruteforce(rd):
+    """4×16 banding must find EXACTLY the hamming≤3 pairs (pigeonhole) —
+    compared against brute force over all pairs of the sf0.001 docs."""
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.001"
+    got = dd.simhash_near_dup_pairs(
+        rd.read_parquet(f"{sf}/documents.parquet",
+                        columns=["doc_id", "text"]),
+        id_col="doc_id", text_col="text")
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    fp = dd.simhash64(t.column("text").to_numpy(zero_copy_only=False))
+    a, b = np.triu_indices(len(ids), 1)
+    d = dd.hamming64(fp[a], fp[b])
+    hit = d <= 3
+    exp = pd.DataFrame({
+        "id_a": np.minimum(ids[a[hit]], ids[b[hit]]),
+        "id_b": np.maximum(ids[a[hit]], ids[b[hit]]),
+        "hamming": d[hit].astype("int64"),
+    }).sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype({"id_a": exp["id_a"].dtype}),
+                                  exp.astype({"id_a": exp["id_a"].dtype}))
+
+
 def test_simhash_similar_texts_close():
     a = "the quick brown fox jumps over the lazy dog " * 4
     b = a.replace("dog", "cat")

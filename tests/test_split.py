@@ -215,6 +215,32 @@ def test_split_dedup_with_duplicate_rows(ray_session, events_tbl):
             exp[col].to_numpy().astype("int64"), err_msg=col)
 
 
+def test_split_range_join_vs_unsplit(ray_session, events_tbl, spine_tbl,
+                                     split_plan):
+    """Spine-anchored range aggregates must be exact across hot-entity
+    sub-splits (the fold carries W-deep boundary context)."""
+    import ray.data as rd
+
+    W = 10 * 60 * 1_000_000  # 10 minutes
+    kw = dict(key="doc_id", ts="ts", spine_ts="as_of_ts",
+              value_cols=["n_tok"], tiebreak="event_seq",
+              range_windows={"w10m": (W, "n_tok")})
+    got = engine.asof_join(
+        rd.from_arrow(events_tbl).repartition(4),
+        rd.from_arrow(spine_tbl).repartition(2), plan=split_plan, **kw,
+    ).to_pandas().sort_values("spine_id").reset_index(drop=True)
+    ref = engine.asof_join(
+        rd.from_arrow(events_tbl), rd.from_arrow(spine_tbl),
+        target_rows_per_part=10_000, sample_rate=1.0, min_parts=1, **kw,
+    ).to_pandas().sort_values("spine_id").reset_index(drop=True)
+    np.testing.assert_array_equal(got["w10m_count"].to_numpy(),
+                                  ref["w10m_count"].to_numpy())
+    np.testing.assert_allclose(
+        got["w10m_sum"].to_numpy(dtype="float64"),
+        ref["w10m_sum"].to_numpy(dtype="float64"),
+        rtol=1e-12, equal_nan=True)
+
+
 def test_hot_split_subs_are_balanced(ray_session):
     """Sub-split boundaries must be REAL time quantiles of each hot
     entity, even though events arrive globally shuffled (regression: the
