@@ -1402,6 +1402,33 @@ def q_knn_ivf(sf_dir: str):
                         vec_col="embedding", k=5)
 
 
+def q_knn_ivf_index(sf_dir: str):
+    """Persisted IVF index path: build bucket-partitioned parquet once,
+    then answer queries reading ONLY the probed bucket directories."""
+    import hashlib
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]).to_pandas()
+    queries = qdf[qdf["vec_id"] < 10].reset_index(drop=True)
+
+    def corpus_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch.column("vec_id"), 10))
+
+    corpus = emb.map_batches(corpus_only, batch_format="pyarrow")
+    idx = "/tmp/fe_ivf_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    shutil.rmtree(idx, ignore_errors=True)
+    knn.ivf_build(corpus, idx, vec_col="embedding", n_centroids=16)
+    out = knn.ivf_search(idx, queries, id_col="vec_id", vec_col="embedding",
+                         k=5, n_probe=4)
+    out["cosine"] = np.round(out["cosine"].astype(float), 6)
+    out["rank"] = out["rank"].astype("int64")
+    return out[["query_id", "neighbor_id", "cosine", "rank"]]
+
+
 def q_embedding_near_dup(sf_dir: str):
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = dd.embedding_near_dup_pairs(emb, id_col="vec_id",
@@ -1488,6 +1515,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_decode_stub": q_multimodal_decode_stub,
     "knn_ivf": q_knn_ivf,
+    "knn_ivf_index": q_knn_ivf_index,
     "embedding_near_dup": q_embedding_near_dup,
     "flagship_token_stack": flagship_token_stack,
 }
