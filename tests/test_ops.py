@@ -366,6 +366,24 @@ def test_langid_vectorized_matches_naive():
                                   np.array(exp_quals))
 
 
+def test_langid_detects_planted_languages():
+    """Ground-truth-by-construction correctness for the M2 predicate:
+    stopword-rich sentences in each profiled language must be identified;
+    contentless/neutral text falls back to 'und'."""
+    samples = {
+        "en": "the cat and the dog ran to the park and it was a good day",
+        "de": "der hund und die katze sind nicht mit der maus zu haus",
+        "fr": "le chat est dans la maison et les chiens sont pour une vie",
+        "es": "el perro y la casa es una de los gatos que por con ellos",
+        "und": "zzz qqq xxx www kkk jjj",
+    }
+    tbl = pa.table({"text": list(samples.values())})
+    out = text.LangIdQuality()(tbl)
+    assert out["lang_pred"].to_pylist() == list(samples.keys())
+    q = out["quality"].to_numpy()
+    assert (q[:4] > q[4]).all()  # real language scores above noise
+
+
 def test_tokenizer_deterministic_and_consistent():
     tbl = pa.table({"text": ["Hello, world!", "", "a b c"]})
     tok = text.Tokenizer()
