@@ -1459,6 +1459,104 @@ def flagship_token_stack(sf_dir: str):
     return token_feature_stack(sf_dir)
 
 
+def q_feature_stack_asof(sf_dir: str):
+    """The fused flagship ENGINE path — dedup + windowed features + as-of
+    join in ONE all-to-all (engine.feature_stack) — hash-checked end-to-end
+    against a single composed SQL oracle. Clicks are the event stream
+    (deduped first-wins on (user_id, ts)), purchases the spine; every
+    emitted feature is the leak-free trailing form (lags, rolling row/time
+    windows, session counters, expanding z) so the whole output is
+    SQL-expressible. The token flagship runs this same code path; only its
+    hash tokenization keeps it rows-only."""
+    spec = engine.WindowSpec(
+        key="user_id", ts="ts", tiebreak="event_id",
+        lags={"value": [1, 2]},
+        rolling={"value": [4]},
+        rolling_time={"value": [HOUR_US]},
+        session_gap_us=30 * 60 * 1_000_000,
+        expanding_zscore=["value"],
+    )
+    out = engine.feature_stack(
+        _click_events(sf_dir), _purchase_spine(sf_dir), spec,
+        value_cols=["value", "ts"], dedup=True)
+
+    def fix_types(batch: pa.Table) -> pa.Table:
+        names = [c.replace(f"_troll_sum_{HOUR_US}", "_troll_sum_1h")
+                 .replace(f"_troll_count_{HOUR_US}", "_troll_count_1h")
+                 for c in batch.column_names]
+        batch = batch.rename_columns(names)
+        for c in ("value_roll_count_4", "value_troll_count_1h"):
+            i = batch.column_names.index(c)
+            batch = batch.set_column(i, c, batch.column(c).cast(pa.int64()))
+        return batch
+
+    out = out.map_batches(fix_types, batch_format="pyarrow")
+    out = _round_cols(out, {"value_roll_sum_4": 6, "value_roll_mean_4": 6,
+                            "value_roll_std_4": 6, "value_troll_sum_1h": 6,
+                            "value_ez": 6})
+    return _select(out, [
+        "user_id", "as_of_ts", "spine_event_id", "value", "matched_ts",
+        "value_lag_1", "value_lag_2",
+        "value_roll_sum_4", "value_roll_mean_4", "value_roll_min_4",
+        "value_roll_max_4", "value_roll_std_4", "value_roll_count_4",
+        "value_troll_sum_1h", "value_troll_count_1h",
+        "session_idx", "session_event_idx", "value_ez"])
+
+
+SQL_FEATURE_STACK_ASOF = """
+WITH c0 AS (
+  SELECT event_id, user_id, ts, value
+  FROM events WHERE event_type = 'click'
+  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) = 1
+), g AS (
+  SELECT *, CASE WHEN lag(ts) OVER wo IS NULL
+                      OR ts - lag(ts) OVER wo > INTERVAL 30 MINUTE
+                 THEN 1 ELSE 0 END AS new_s
+  FROM c0
+  WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+  FROM g
+), f AS (
+  SELECT event_id, user_id, ts, value,
+         lag(value, 1) OVER wo AS value_lag_1,
+         lag(value, 2) OVER wo AS value_lag_2,
+         ROUND_EVEN(sum(value) OVER w4, 6) AS value_roll_sum_4,
+         ROUND_EVEN(avg(value) OVER w4, 6) AS value_roll_mean_4,
+         min(value) OVER w4 AS value_roll_min_4,
+         max(value) OVER w4 AS value_roll_max_4,
+         ROUND_EVEN(stddev_samp(value) OVER w4, 6) AS value_roll_std_4,
+         count(value) OVER w4 AS value_roll_count_4,
+         ROUND_EVEN(sum(value) OVER wt, 6) AS value_troll_sum_1h,
+         count(value) OVER wt AS value_troll_count_1h,
+         session_idx,
+         row_number() OVER (PARTITION BY user_id, session_idx
+                            ORDER BY ts, event_id) AS session_event_idx,
+         ROUND_EVEN((value - avg(value) OVER we)
+               / NULLIF(stddev_samp(value) OVER we, 0), 6) AS value_ez
+  FROM s
+  WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id),
+         w4 AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+         wt AS (PARTITION BY user_id ORDER BY ts
+                RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW),
+         we AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT p.user_id, p.ts AS as_of_ts, p.event_id AS spine_event_id,
+       f.value, f.ts AS matched_ts,
+       f.value_lag_1, f.value_lag_2,
+       f.value_roll_sum_4, f.value_roll_mean_4, f.value_roll_min_4,
+       f.value_roll_max_4, f.value_roll_std_4, f.value_roll_count_4,
+       f.value_troll_sum_1h, f.value_troll_count_1h,
+       f.session_idx, f.session_event_idx, f.value_ez
+FROM (SELECT user_id, ts, event_id FROM events
+      WHERE event_type = 'purchase') p
+ASOF LEFT JOIN f ON p.user_id = f.user_id AND p.ts >= f.ts
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1503,6 +1601,7 @@ QUERIES = {
     "det_curve": q_det_curve,
     "eer_summary": q_eer_summary,
     "whiten_dims": q_whiten_dims,
+    "feature_stack_asof": q_feature_stack_asof,
     # rows-only (no SQL oracle)
     "kmeans_embeddings": q_kmeans_embeddings,
     "whiten_embeddings": q_whiten_embeddings,
@@ -1560,4 +1659,5 @@ ORACLE_SQL = {
     "det_curve": SQL_DET_CURVE,
     "eer_summary": SQL_EER,
     "whiten_dims": SQL_WHITEN_DIMS,
+    "feature_stack_asof": SQL_FEATURE_STACK_ASOF,
 }
