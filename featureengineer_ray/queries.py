@@ -1324,6 +1324,121 @@ def q_whiten_embeddings(sf_dir: str):
     return proj.map_batches(norms, batch_format="pyarrow")
 
 
+def q_vocab_top_terms(sf_dir: str):
+    """Corpus vocabulary / term-frequency builder: word explode with
+    map-side combined counts, one partial shuffle, global top-100 by
+    (count desc, term). The LLM-pipeline vocab op (A4 grouped-sum shape
+    over text)."""
+    docs = _read(sf_dir, "documents", ["text"])
+    tf = text.term_frequencies(docs)
+    return relational.top_k(tf, 100, by=["n", "term"],
+                            descending=[True, False])
+
+
+SQL_VOCAB_TOP = """
+WITH w AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+                                                  '[^a-z0-9]+'),
+                            x -> x <> '')) AS term
+  FROM documents
+)
+SELECT term, COUNT(*) AS n FROM w GROUP BY term
+ORDER BY n DESC, term LIMIT 100
+"""
+
+
+def q_word_rep_ratio(sf_dir: str):
+    """Duplicate-word repetition ratio per document (Gopher-style
+    quality signal): 1 - distinct/total words."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = docs.map_batches(text.rep_ratio_batch, batch_format="pyarrow")
+    return _select(out, ["doc_id", "n_words", "n_distinct", "rep_ratio"])
+
+
+SQL_REP_RATIO = """
+WITH b AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS words
+  FROM documents
+)
+SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words,
+       CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct,
+       ROUND_EVEN(1.0 - CAST(len(list_distinct(words)) AS DOUBLE)
+                  / NULLIF(len(words), 0), 6) AS rep_ratio
+FROM b
+"""
+
+
+def q_doc_quality_flags(sf_dir: str):
+    """Gopher-rule document quality filter flags (word count, mean word
+    length, alnum ratio) with a 0/1 pass column."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = docs.map_batches(text.quality_flags_batch, batch_format="pyarrow")
+    return _select(out, ["doc_id", "n_words", "mean_word_len",
+                         "alnum_ratio", "pass_gopher"])
+
+
+SQL_QUALITY_FLAGS = """
+WITH b AS (
+  SELECT doc_id, lower(text) AS lt,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS words
+  FROM documents
+), s AS (
+  SELECT doc_id, lt, len(words) AS n_words,
+         CAST(list_sum(list_transform(words, w -> length(w)))
+              AS DOUBLE) AS wchars,
+         CAST(length(regexp_replace(lt, '[^a-z0-9 ]', '', 'g'))
+              AS DOUBLE) AS alnum_chars,
+         CAST(length(lt) AS DOUBLE) AS tlen
+  FROM b
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       ROUND_EVEN(wchars / NULLIF(n_words, 0), 6) AS mean_word_len,
+       ROUND_EVEN(alnum_chars / NULLIF(tlen, 0), 6) AS alnum_ratio,
+       CAST(((n_words BETWEEN 5 AND 10000)
+             AND (wchars / NULLIF(n_words, 0) BETWEEN 2 AND 12)
+             AND (alnum_chars >= 0.8 * tlen)) AS BIGINT) AS pass_gopher
+FROM s
+"""
+
+
+def q_token_len_quantiles(sf_dir: str):
+    """Exact per-language token-count quantiles via the histogram path
+    (bounded-cardinality integer stat): the shuffle moves partial counts,
+    never rows."""
+    docs = _read(sf_dir, "documents", ["lang", "text"])
+
+    def tc(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": batch.column("lang"),
+            "token_count": pc.count_substring_regex(
+                batch.column("text"), text.WORD_RE).cast(pa.int64()),
+        })
+
+    stats = docs.map_batches(tc, batch_format="pyarrow")
+    return relational.grouped_quantiles_hist(
+        stats, "lang", "token_count", [0.25, 0.5, 0.75, 0.95],
+        ["p25", "p50", "p75", "p95"])
+
+
+SQL_TOKEN_LEN_QUANTILES = """
+WITH t AS (
+  SELECT lang,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+           AS token_count
+  FROM documents
+)
+SELECT lang,
+       CAST(quantile_disc(token_count, 0.25) AS BIGINT) AS p25,
+       CAST(quantile_disc(token_count, 0.50) AS BIGINT) AS p50,
+       CAST(quantile_disc(token_count, 0.75) AS BIGINT) AS p75,
+       CAST(quantile_disc(token_count, 0.95) AS BIGINT) AS p95
+FROM t GROUP BY lang
+"""
+
+
 # --------------------------------------------------------------------------
 # rows-only (non-SQL-expressible) pipelines
 # --------------------------------------------------------------------------
@@ -1602,6 +1717,10 @@ QUERIES = {
     "eer_summary": q_eer_summary,
     "whiten_dims": q_whiten_dims,
     "feature_stack_asof": q_feature_stack_asof,
+    "vocab_top_terms": q_vocab_top_terms,
+    "word_rep_ratio": q_word_rep_ratio,
+    "doc_quality_flags": q_doc_quality_flags,
+    "token_len_quantiles": q_token_len_quantiles,
     # rows-only (no SQL oracle)
     "kmeans_embeddings": q_kmeans_embeddings,
     "whiten_embeddings": q_whiten_embeddings,
@@ -1660,4 +1779,8 @@ ORACLE_SQL = {
     "eer_summary": SQL_EER,
     "whiten_dims": SQL_WHITEN_DIMS,
     "feature_stack_asof": SQL_FEATURE_STACK_ASOF,
+    "vocab_top_terms": SQL_VOCAB_TOP,
+    "word_rep_ratio": SQL_REP_RATIO,
+    "doc_quality_flags": SQL_QUALITY_FLAGS,
+    "token_len_quantiles": SQL_TOKEN_LEN_QUANTILES,
 }

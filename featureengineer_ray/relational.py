@@ -352,3 +352,33 @@ def top_k(ds, k: int, *, by: list[str], descending: list[bool]):
 
     pruned = ds.map_batches(local, batch_format="pyarrow")
     return pruned.sort(by, descending=descending).limit(k)
+
+
+def grouped_quantiles_hist(ds, key: str, value_col: str, qs: list[float],
+                           names: list[str]):
+    """Exact per-group discrete quantiles of a bounded-cardinality value
+    column via a VALUE HISTOGRAM, not a sort: one map-side-combined
+    (key, value) count shuffle, then per-key cumulative counts over the
+    tiny histogram. Matches SQL quantile_disc(q) = sorted[ceil(q*n) - 1].
+
+    Scale shape: the all-to-all moves O(groups x distinct values) partial
+    counts -- independent of row count -- which is the right design for
+    integer stats (token counts, lengths) over 100 TB."""
+    hist = grouped_agg(ds, [key, value_col], {}, count_alias="__n")
+
+    def quants(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        # one frame may pack several key groups -- re-group inside
+        for kv, sub in g.groupby(key, sort=False):
+            sub = sub.sort_values(value_col, kind="stable")
+            cum = sub["__n"].to_numpy().cumsum()
+            total = cum[-1]
+            row = {key: kv}
+            vals = sub[value_col].to_numpy()
+            for q, name in zip(qs, names):
+                rank = int(np.ceil(q * total))
+                row[name] = vals[np.searchsorted(cum, max(rank, 1))]
+            outs.append(row)
+        return pd.DataFrame(outs)
+
+    return hist.groupby(key).map_groups(quants, batch_format="pandas")

@@ -168,6 +168,103 @@ class LangIdQuality:
         return out
 
 
+def term_frequencies(ds, text_col: str = "text",
+                     pattern: str = "[^a-z0-9]+"):
+    """Corpus vocabulary builder: lowercase word explode → map-side
+    combined term counts → one partial-count shuffle (A4-style grouped
+    sum re-expressed for text; the LLM-pipeline vocab/TF op).
+
+    Map side emits (term, n) PARTIALS — one row per distinct term per
+    batch, never one row per occurrence — so the all-to-all moves
+    O(unique terms × batches), not O(words)."""
+    from . import relational
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lowered = pc.utf8_lower(batch.column(text_col))
+        flat, _, _ = _split_words(lowered, pattern)
+        if len(flat) == 0:
+            return pa.table({"term": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        uniq, counts = np.unique(flat, return_counts=True)
+        return pa.table({"term": pa.array(uniq, type=pa.string()),
+                         "n": pa.array(counts.astype(np.int64))})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return relational.grouped_agg(partials, ["term"], {"n": ("n", "sum")})
+
+
+def _word_lists(batch: pa.Table, text_col: str,
+                pattern: str = "[^a-z0-9]+"):
+    """Shared per-batch word explode: (flat words, doc index, word lens,
+    n_words per doc, lowered column)."""
+    lowered = pc.utf8_lower(batch.column(text_col))
+    flat, doc_of, wlens = _split_words(lowered, pattern)
+    n_words = np.bincount(doc_of, minlength=batch.num_rows).astype(np.int64)
+    return flat, doc_of, wlens, n_words, lowered
+
+
+def rep_ratio_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Duplicate-word repetition ratio (Gopher-style quality signal):
+    1 − distinct_words/words per document. Distinct counting is
+    vectorized: dictionary-encode the flat words once, then unique
+    (doc, code) pairs via one int64 np.unique — no per-doc Python."""
+    n = batch.num_rows
+    flat, doc_of, _, n_words, _ = _word_lists(batch, text_col)
+    if len(flat):
+        codes_arr = pa.array(flat, type=pa.string()).dictionary_encode()
+        codes = codes_arr.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        base = np.int64(len(codes_arr.dictionary) + 1)
+        combo = np.unique(doc_of * base + codes)
+        n_distinct = np.bincount((combo // base).astype(np.int64),
+                                 minlength=n).astype(np.int64)
+    else:
+        n_distinct = np.zeros(n, dtype=np.int64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        ratio = 1.0 - n_distinct / n_words.astype(np.float64)
+    mask = n_words == 0
+    out = batch.append_column("n_words", pa.array(n_words))
+    out = out.append_column("n_distinct", pa.array(n_distinct))
+    out = out.append_column(
+        "rep_ratio",
+        pa.array(np.where(mask, 0.0, np.round(ratio, 6)), mask=mask))
+    return out
+
+
+def quality_flags_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher-rule quality flags: word count in [5, 10000], mean word
+    length in [2, 12], alphanumeric+space character ratio ≥ 0.8. Emits
+    the raw measures plus a 0/1 pass flag (M2 per-record predicate
+    surface; all pyarrow.compute / bincount, no per-row Python)."""
+    n = batch.num_rows
+    _, doc_of, wlens, n_words, lowered = _word_lists(batch, text_col)
+    wchars = np.bincount(doc_of, weights=wlens.astype(np.float64),
+                         minlength=n)
+    alnum = pc.utf8_length(
+        pc.replace_substring_regex(lowered, pattern="[^a-z0-9 ]",
+                                   replacement="")
+    ).to_numpy(zero_copy_only=False).astype(np.float64)
+    tlen = pc.utf8_length(lowered).to_numpy(zero_copy_only=False).astype(
+        np.float64)
+    nw_mask = n_words == 0
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mwl = wchars / n_words.astype(np.float64)
+        alnum_ratio = alnum / tlen
+    ok = ((n_words >= 5) & (n_words <= 10_000)
+          & (mwl >= 2.0) & (mwl <= 12.0) & (alnum >= 0.8 * tlen))
+    out = batch.append_column("n_words", pa.array(n_words))
+    out = out.append_column(
+        "mean_word_len",
+        pa.array(np.where(nw_mask, 0.0, np.round(mwl, 6)), mask=nw_mask))
+    out = out.append_column(
+        "alnum_ratio",
+        pa.array(np.where(tlen == 0, 0.0, np.round(alnum_ratio, 6)),
+                 mask=tlen == 0))
+    out = out.append_column("pass_gopher",
+                            pa.array(ok.astype(np.int64)))
+    return out
+
+
 _FNV_OFFSET = np.uint64(1469598103934665603)
 
 

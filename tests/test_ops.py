@@ -550,3 +550,68 @@ def test_decode_stub_raises_without_fake():
     tbl = pa.table({"payload": [b"xxx"], "media_id": [1]})
     with pytest.raises(NotImplementedError):
         ext(tbl)
+
+
+# ---------------------------------------------------------------- corpus ops
+
+def _docs_batch(texts):
+    return pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                     "text": pa.array(texts, type=pa.string())})
+
+
+def test_term_frequencies_matches_python_counts(rd):
+    texts = ["the cat sat on the mat", "a cat! a CAT, a hat",
+             "", "punct-only !!! ???", "mat mat mat"]
+    from collections import Counter
+    import re
+
+    want = Counter(w for t in texts
+                   for w in re.split("[^a-z0-9]+", t.lower()) if w)
+    ds = rd.from_arrow(_docs_batch(texts))
+    got = {r["term"]: r["n"] for r in
+           text.term_frequencies(ds).take_all()}
+    assert got == dict(want)
+
+
+def test_rep_ratio_matches_python_sets():
+    texts = ["a a a a", "a b c d", "x y x y z", ""]
+    out = text.rep_ratio_batch(_docs_batch(texts)).to_pandas()
+    import re
+
+    for i, t in enumerate(texts):
+        words = [w for w in re.split("[^a-z0-9]+", t.lower()) if w]
+        assert out.loc[i, "n_words"] == len(words)
+        assert out.loc[i, "n_distinct"] == len(set(words))
+        if words:
+            assert out.loc[i, "rep_ratio"] == pytest.approx(
+                round(1 - len(set(words)) / len(words), 6))
+        else:
+            assert pd.isna(out.loc[i, "rep_ratio"])
+
+
+def test_quality_flags_rule_boundaries():
+    texts = [
+        "one two three four five six",        # passes all rules
+        "a b c",                              # too few words
+        "ab " * 100,                          # mean word len 2.0 -> passes
+        "x " * 6,                             # mean word len 1 -> fails
+        "words here ok fine yes !!!!!!!!!!!!!!!!!!!!!!!!!!!!!!",  # symbols
+    ]
+    out = text.quality_flags_batch(_docs_batch(texts)).to_pandas()
+    assert list(out["pass_gopher"]) == [1, 0, 1, 0, 0]
+
+
+def test_grouped_quantiles_hist_matches_quantile_disc(rd):
+    rng = np.random.default_rng(7)
+    ks = rng.integers(0, 3, 500)
+    vs = rng.integers(0, 40, 500)
+    ds = rd.from_arrow(pa.table({"k": pa.array([f"g{k}" for k in ks]),
+                                 "v": pa.array(vs, type=pa.int64())}))
+    got = relational.grouped_quantiles_hist(
+        ds, "k", "v", [0.25, 0.5, 0.95], ["p25", "p50", "p95"]
+    ).to_pandas().set_index("k").sort_index()
+    for k in ["g0", "g1", "g2"]:
+        v = np.sort(vs[ks == int(k[1])])
+        for q, name in [(0.25, "p25"), (0.5, "p50"), (0.95, "p95")]:
+            want = v[int(np.ceil(q * len(v))) - 1]
+            assert got.loc[k, name] == want, (k, name)
