@@ -604,3 +604,74 @@ def embedding_near_dup_pairs(
 
     return ds.map_batches(bucketize, batch_format="pyarrow").groupby(
         "bucket").map_groups(pairs, batch_format="pandas")
+
+
+def resolve_duplicate_clusters(pairs_df: pd.DataFrame,
+                               keep: str = "min") -> pd.DataFrame:
+    """Union-find over the verified near-duplicate pair graph ->
+    (doc, kept representative) for every non-representative member.
+
+    The pair list is tiny relative to the corpus (LSH output, already
+    threshold-verified), so cluster resolution on the driver is the
+    standard scale design (the corpus itself never moves); the output
+    drop-set is broadcast back into a vectorized filter.
+    ``keep``: 'min' keeps the smallest id per cluster (deterministic)."""
+    if len(pairs_df) == 0:
+        return pd.DataFrame(columns=["id", "kept"])
+    ids = pd.unique(pd.concat([pairs_df["id_a"], pairs_df["id_b"]],
+                              ignore_index=True))
+    idx = {v: i for i, v in enumerate(ids)}
+    parent = np.arange(len(ids), dtype=np.int64)
+
+    def find(i: int) -> int:
+        root = i
+        while parent[root] != root:
+            root = parent[root]
+        while parent[i] != root:  # path compression
+            parent[i], i = root, parent[i]
+        return root
+
+    for a, b in zip(pairs_df["id_a"], pairs_df["id_b"]):
+        ra, rb = find(idx[a]), find(idx[b])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    roots = np.array([find(i) for i in range(len(ids))])
+    order = np.argsort(ids, kind="stable") if keep == "min" else None
+    # representative = min id within each root's members
+    rep_of_root: dict[int, object] = {}
+    for i in (order if order is not None else range(len(ids))):
+        r = roots[i]
+        if r not in rep_of_root:
+            rep_of_root[r] = ids[i]
+    rows = [(ids[i], rep_of_root[roots[i]]) for i in range(len(ids))
+            if ids[i] != rep_of_root[roots[i]]]
+    return pd.DataFrame(rows, columns=["id", "kept"])
+
+
+def near_dup_dedup(docs_ds, *, id_col: str, text_col: str,
+                   threshold: float = 0.7, k: int = 5):
+    """End-to-end near-duplicate DEDUP: MinHash+LSH candidates ->
+    distributed exact shingle-Jaccard verify -> union-find cluster
+    resolution -> broadcast drop-set filter. Keeps the min-id member of
+    each duplicate cluster plus every unclustered document; the corpus
+    streams through filters, only signatures/pairs ever gather."""
+    import ray
+
+    cand = minhash_candidate_pairs(docs_ds, id_col=id_col,
+                                   text_col=text_col)
+    verified = verify_jaccard_distributed(
+        docs_ds, cand, id_col=id_col, text_col=text_col, k=k,
+        threshold=threshold)
+    drops = resolve_duplicate_clusters(verified)
+    drop_sorted = ray.put(np.sort(drops["id"].to_numpy()))
+
+    def keep_filter(batch: pa.Table) -> pa.Table:
+        ds_ids = np.asarray(ray.get(drop_sorted))
+        vals = batch.column(id_col).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ds_ids, vals)
+        pos = np.clip(pos, 0, max(len(ds_ids) - 1, 0))
+        hit = (ds_ids[pos] == vals) if len(ds_ids) else np.zeros(
+            len(vals), dtype=bool)
+        return batch.filter(pa.array(~hit))
+
+    return docs_ds.map_batches(keep_filter, batch_format="pyarrow")

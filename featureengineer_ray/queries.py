@@ -1455,6 +1455,16 @@ def q_minhash_near_dup(sf_dir: str):
                                          text_col="text", threshold=0.5)
 
 
+def q_near_dup_dedup_docs(sf_dir: str):
+    """End-to-end near-duplicate dedup: LSH candidates → distributed
+    Jaccard verify → union-find clusters → broadcast drop-set filter
+    (rows-only: LSH candidate generation is not SQL-expressible)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    out = dd.near_dup_dedup(docs, id_col="doc_id", text_col="text",
+                            threshold=0.5)
+    return _select(out, ["doc_id", "lang"])
+
+
 def q_simhash_fingerprints(sf_dir: str):
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
@@ -1727,6 +1737,7 @@ QUERIES = {
     "multimodal_thumbs": q_multimodal_thumbs,
     "token_features": q_token_features,
     "minhash_near_dup": q_minhash_near_dup,
+    "near_dup_dedup_docs": q_near_dup_dedup_docs,
     "simhash_fingerprints": q_simhash_fingerprints,
     "simhash_near_dup": q_simhash_near_dup,
     "lang_id_quality": q_lang_id_quality,

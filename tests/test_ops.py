@@ -615,3 +615,41 @@ def test_grouped_quantiles_hist_matches_quantile_disc(rd):
         for q, name in [(0.25, "p25"), (0.5, "p50"), (0.95, "p95")]:
             want = v[int(np.ceil(q * len(v))) - 1]
             assert got.loc[k, name] == want, (k, name)
+
+
+def test_grouped_agg_all_null_group_sums_to_null(rd):
+    # SQL SUM over an all-null group is NULL, not 0 (ADVICE r01)
+    t = pa.table({
+        "k": pa.array(["a", "a", "b", "b", "c"]),
+        "v": pa.array([1.0, 2.0, None, None, None], type=pa.float64()),
+    })
+    out = relational.grouped_agg(rd.from_arrow(t), ["k"],
+                                 {"s": ("v", "sum")}).to_pandas()
+    out = out.set_index("k").sort_index()
+    assert out.loc["a", "s"] == 3.0
+    assert pd.isna(out.loc["b", "s"])
+    assert pd.isna(out.loc["c", "s"])
+
+
+def test_resolve_duplicate_clusters_unionfind():
+    pairs = pd.DataFrame({"id_a": [3, 5, 10], "id_b": [5, 7, 11]})
+    out = dd.resolve_duplicate_clusters(pairs).sort_values("id")
+    # chain 3-5-7 -> keep 3; pair 10-11 -> keep 10
+    assert dict(zip(out["id"], out["kept"])) == {5: 3, 7: 3, 11: 10}
+
+
+def test_near_dup_dedup_keeps_min_id_per_cluster(rd):
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark forest tonight") * 3
+    texts = [base, base + " extra", base + " other tail",
+             "completely different content about ray data shuffles "
+             "and arrow batches streaming through the object store",
+             "yet another unrelated document talking about parquet "
+             "row groups and column pruning at scale"]
+    t = pa.table({"doc_id": pa.array([10, 11, 12, 20, 30],
+                                     type=pa.int64()),
+                  "text": pa.array(texts)})
+    out = dd.near_dup_dedup(rd.from_arrow(t), id_col="doc_id",
+                            text_col="text", threshold=0.5)
+    kept = sorted(r["doc_id"] for r in out.take_all())
+    assert kept == [10, 20, 30]
