@@ -1324,6 +1324,153 @@ def q_whiten_embeddings(sf_dir: str):
     return proj.map_batches(norms, batch_format="pyarrow")
 
 
+_EVENT_CATS = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_one_hot_event_counts(sf_dir: str):
+    """Categorical one-hot encode + grouped sum: per-user counts of each
+    event_type (the classic feature-eng pivot/dummy encoding), map-side
+    combined so the shuffle carries one row per (user, batch)."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def enc(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type")
+        cols = {"user_id": batch.column("user_id")}
+        for c in _EVENT_CATS:
+            cols[f"n_{c}"] = pc.equal(et, c).cast(pa.int64())
+        return pa.table(cols)
+
+    agg = relational.grouped_agg(
+        ev.map_batches(enc, batch_format="pyarrow"), ["user_id"],
+        {f"n_{c}": (f"n_{c}", "sum") for c in _EVENT_CATS},
+        count_alias="n_total")
+
+    def cast_all(batch: pa.Table) -> pa.Table:
+        for c in [f"n_{c}" for c in _EVENT_CATS] + ["n_total"]:
+            i = batch.column_names.index(c)
+            batch = batch.set_column(i, c,
+                                     batch.column(c).cast(pa.int64()))
+        return batch
+
+    return _select(agg.map_batches(cast_all, batch_format="pyarrow"),
+                   ["user_id"] + [f"n_{c}" for c in _EVENT_CATS]
+                   + ["n_total"])
+
+
+SQL_ONE_HOT = """
+SELECT user_id,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_view,
+       COUNT(*) AS n_total
+FROM events GROUP BY user_id
+"""
+
+_HOP_US = 900_000_000  # 15 min
+_HOP_PER_WINDOW = 4    # 1 h window / 15 min hop
+
+
+def q_hop_window_counts(sf_dir: str):
+    """Hopping (sliding) event-time window aggregate: 1 h windows every
+    15 min — each event lands in exactly 4 windows; emitted per window
+    start (int64 µs). Map-side combine keeps the shuffle at one row per
+    (window, batch), never 4× the events."""
+    ev = _events(sf_dir, cols=("event_id", "ts", "value"))
+
+    def hop(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        base = (ts // _HOP_US) * _HOP_US
+        starts = np.concatenate(
+            [base - np.int64(k * _HOP_US)
+             for k in range(_HOP_PER_WINDOW)])
+        vals = np.tile(
+            batch.column("value").to_numpy(zero_copy_only=False),
+            _HOP_PER_WINDOW)
+        return pa.table({"w_start": pa.array(starts),
+                         "value": pa.array(vals)})
+
+    agg = relational.grouped_agg(
+        ev.map_batches(hop, batch_format="pyarrow"), ["w_start"],
+        {"value_sum": ("value", "sum")}, count_alias="n_events")
+    agg = _round_cols(agg, {"value_sum": 6})
+
+    def cast_cnt(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("n_events")
+        return batch.set_column(i, "n_events",
+                                batch.column("n_events").cast(pa.int64()))
+
+    return _select(agg.map_batches(cast_cnt, batch_format="pyarrow"),
+                   ["w_start", "n_events", "value_sum"])
+
+
+SQL_HOP_WINDOW = """
+SELECT ((epoch_us(ts) // 900000000) - t.k) * 900000000 AS w_start,
+       COUNT(*) AS n_events,
+       ROUND_EVEN(SUM(value), 6) AS value_sum
+FROM events CROSS JOIN range(4) t(k)
+GROUP BY 1
+"""
+
+
+def q_price_quantile_bins(sf_dir: str):
+    """Quantile-bin discretization (feature binning): exact global
+    p25/p50/p75 boundaries of o_totalprice (int cents, histogram path)
+    then a broadcast compare assigns bin 1–4 per order — the
+    global-stats-then-apply two-pass shape on a relational column."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        x = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_orderkey": batch.column("o_orderkey"),
+            "cents": pa.array(np.rint(x * 100.0).astype(np.int64)),
+            "__g": pa.array(np.zeros(batch.num_rows, dtype=np.int64)),
+        })
+
+    c = orders.map_batches(cents, batch_format="pyarrow")
+    qrow = relational.grouped_quantiles_hist(
+        c, "__g", "cents", [0.25, 0.5, 0.75],
+        ["q1", "q2", "q3"]).take_all()[0]
+    q1, q2, q3 = (np.int64(qrow["q1"]), np.int64(qrow["q2"]),
+                  np.int64(qrow["q3"]))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        v = batch.column("cents").to_numpy(zero_copy_only=False)
+        b = 1 + (v > q1).astype(np.int64) + (v > q2) + (v > q3)
+        return pa.table({"o_orderkey": batch.column("o_orderkey"),
+                         "price_bin": pa.array(b.astype(np.int64))})
+
+    return c.map_batches(assign, batch_format="pyarrow")
+
+
+SQL_PRICE_BINS = """
+WITH c AS (
+  SELECT o_orderkey,
+         CAST(ROUND_EVEN(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+), q AS (
+  SELECT quantile_disc(cents, 0.25) AS q1,
+         quantile_disc(cents, 0.50) AS q2,
+         quantile_disc(cents, 0.75) AS q3
+  FROM c
+)
+SELECT o_orderkey,
+       CAST(CASE WHEN cents <= q1 THEN 1
+                 WHEN cents <= q2 THEN 2
+                 WHEN cents <= q3 THEN 3
+                 ELSE 4 END AS BIGINT) AS price_bin
+FROM c, q
+"""
+
+
 def q_vocab_top_terms(sf_dir: str):
     """Corpus vocabulary / term-frequency builder: word explode with
     map-side combined counts, one partial shuffle, global top-100 by
@@ -1731,6 +1878,9 @@ QUERIES = {
     "word_rep_ratio": q_word_rep_ratio,
     "doc_quality_flags": q_doc_quality_flags,
     "token_len_quantiles": q_token_len_quantiles,
+    "one_hot_event_counts": q_one_hot_event_counts,
+    "hop_window_counts": q_hop_window_counts,
+    "price_quantile_bins": q_price_quantile_bins,
     # rows-only (no SQL oracle)
     "kmeans_embeddings": q_kmeans_embeddings,
     "whiten_embeddings": q_whiten_embeddings,
@@ -1794,4 +1944,7 @@ ORACLE_SQL = {
     "word_rep_ratio": SQL_REP_RATIO,
     "doc_quality_flags": SQL_QUALITY_FLAGS,
     "token_len_quantiles": SQL_TOKEN_LEN_QUANTILES,
+    "one_hot_event_counts": SQL_ONE_HOT,
+    "hop_window_counts": SQL_HOP_WINDOW,
+    "price_quantile_bins": SQL_PRICE_BINS,
 }
