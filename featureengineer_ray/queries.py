@@ -1471,6 +1471,39 @@ FROM c, q
 """
 
 
+def q_tfidf_top_term(sf_dir: str):
+    """Per-document top TF-IDF term: vocab-sized df table broadcast,
+    documents stream through one vectorized map_batches (ties broken by
+    smallest term; docs with no words drop out on both sides)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return text.tfidf_top_term(docs, id_col="doc_id", text_col="text")
+
+
+SQL_TFIDF_TOP = """
+WITH w AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+                                                  '[^a-z0-9]+'),
+                            x -> x <> '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY term
+), n AS (SELECT COUNT(*) AS n FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term AS top_term, ROUND_EVEN(tfidf, 6) AS tfidf
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rn
+      FROM s)
+WHERE rn = 1
+"""
+
+
 def q_vocab_top_terms(sf_dir: str):
     """Corpus vocabulary / term-frequency builder: word explode with
     map-side combined counts, one partial shuffle, global top-100 by
@@ -1881,6 +1914,7 @@ QUERIES = {
     "one_hot_event_counts": q_one_hot_event_counts,
     "hop_window_counts": q_hop_window_counts,
     "price_quantile_bins": q_price_quantile_bins,
+    "tfidf_top_term": q_tfidf_top_term,
     # rows-only (no SQL oracle)
     "kmeans_embeddings": q_kmeans_embeddings,
     "whiten_embeddings": q_whiten_embeddings,
@@ -1947,4 +1981,5 @@ ORACLE_SQL = {
     "one_hot_event_counts": SQL_ONE_HOT,
     "hop_window_counts": SQL_HOP_WINDOW,
     "price_quantile_bins": SQL_PRICE_BINS,
+    "tfidf_top_term": SQL_TFIDF_TOP,
 }

@@ -318,3 +318,87 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text",
             r0 = r1
     return batch.append_column(
         "fingerprint", pa.array(fps.view(np.int64)))
+
+
+def doc_frequencies(ds, text_col: str = "text",
+                    pattern: str = "[^a-z0-9]+"):
+    """Document frequency per term: each batch emits one row per
+    (term, docs-in-batch-containing-it) partial, combined by one
+    grouped shuffle (vocab-sized, not corpus-sized)."""
+    from . import relational
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, doc_of, _, _, _ = _word_lists(batch, text_col, pattern)
+        if len(flat) == 0:
+            return pa.table({"term": pa.array([], type=pa.string()),
+                             "df": pa.array([], type=pa.int64())})
+        codes_arr = pa.array(flat, type=pa.string()).dictionary_encode()
+        codes = codes_arr.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        base = np.int64(len(codes_arr.dictionary) + 1)
+        pairs = np.unique(doc_of * base + codes)
+        uniq_codes, counts = np.unique(pairs % base, return_counts=True)
+        terms = codes_arr.dictionary.take(
+            pa.array(uniq_codes.astype(np.int32)))
+        return pa.table({"term": terms,
+                         "df": pa.array(counts.astype(np.int64))})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return relational.grouped_agg(partials, ["term"], {"df": ("df", "sum")})
+
+
+def tfidf_top_term(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                   pattern: str = "[^a-z0-9]+"):
+    """Per-document top TF-IDF term (tf × ln(N/df); ties → smallest
+    term). The document-frequency table is vocab-sized and broadcast via
+    ray.put (the standard small-side design: vocab ≪ corpus); documents
+    stream through one vectorized map_batches."""
+    import ray
+
+    n_docs = ds.count()
+    df_rows = doc_frequencies(ds, text_col, pattern).take_all()
+    terms_sorted = np.sort(np.array([r["term"] for r in df_rows],
+                                    dtype=object))
+    df_by_term = {r["term"]: r["df"] for r in df_rows}
+    idf_sorted = np.array([np.log(n_docs / df_by_term[t])
+                           for t in terms_sorted], dtype=np.float64)
+    ref = ray.put((terms_sorted, idf_sorted))
+
+    class _TopTerm:
+        def __init__(self):
+            self.terms, self.idf = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            flat, doc_of, _, _, _ = _word_lists(batch, text_col, pattern)
+            if len(flat) == 0:
+                return pa.table({
+                    id_col: batch.column(id_col).slice(0, 0),
+                    "top_term": pa.array([], type=pa.string()),
+                    "tfidf": pa.array([], type=pa.float64())})
+            codes_arr = pa.array(flat, type=pa.string()).dictionary_encode()
+            codes = codes_arr.indices.to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            base = np.int64(len(codes_arr.dictionary) + 1)
+            pairs, tf = np.unique(doc_of * base + codes,
+                                  return_counts=True)
+            p_doc = (pairs // base).astype(np.int64)
+            p_code = (pairs % base).astype(np.int64)
+            p_terms = np.asarray(
+                codes_arr.dictionary.take(
+                    pa.array(p_code.astype(np.int32))
+                ).to_numpy(zero_copy_only=False), dtype=object)
+            pos = np.searchsorted(self.terms, p_terms)
+            tfidf = tf.astype(np.float64) * self.idf[pos]
+            order = np.lexsort((p_terms, -tfidf, p_doc))
+            first = np.concatenate(
+                ([True], p_doc[order][1:] != p_doc[order][:-1]))
+            sel = order[first]
+            ids = batch.column(id_col).take(pa.array(p_doc[sel]))
+            return pa.table({
+                id_col: ids,
+                "top_term": pa.array(p_terms[sel], type=pa.string()),
+                "tfidf": pa.array(np.round(tfidf[sel], 6)),
+            })
+
+    return ds.map_batches(_TopTerm, batch_format="pyarrow",
+                          concurrency=(1, 8))

@@ -653,3 +653,34 @@ def test_near_dup_dedup_keeps_min_id_per_cluster(rd):
                             text_col="text", threshold=0.5)
     kept = sorted(r["doc_id"] for r in out.take_all())
     assert kept == [10, 20, 30]
+
+
+def test_tfidf_top_term_matches_naive(rd):
+    texts = ["apple banana apple cherry", "banana banana date",
+             "cherry date egg egg egg", "apple egg"]
+    t = pa.table({"doc_id": pa.array(range(4), type=pa.int64()),
+                  "text": pa.array(texts)})
+    got = {r["doc_id"]: (r["top_term"], r["tfidf"]) for r in
+           text.tfidf_top_term(rd.from_arrow(t)).take_all()}
+    import math
+    from collections import Counter
+
+    docs = [t.split() for t in texts]
+    df = Counter(w for d in docs for w in set(d))
+    for i, d in enumerate(docs):
+        tf = Counter(d)
+        scored = sorted(((-c * math.log(4 / df[w]), w) for w, c in
+                         tf.items()))
+        want_term = scored[0][1]
+        want_val = round(-scored[0][0], 6)
+        assert got[i][0] == want_term, (i, got[i], scored)
+        assert got[i][1] == pytest.approx(want_val, abs=1e-9)
+
+
+def test_doc_frequencies_counts_docs_not_occurrences(rd):
+    texts = ["a a a b", "a c", "b b"]
+    t = pa.table({"doc_id": pa.array(range(3), type=pa.int64()),
+                  "text": pa.array(texts)})
+    got = {r["term"]: r["df"] for r in
+           text.doc_frequencies(rd.from_arrow(t)).take_all()}
+    assert got == {"a": 2, "b": 2, "c": 1}
