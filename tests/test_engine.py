@@ -221,3 +221,50 @@ def test_determinism_across_parallelism(ray_session, events_tbl, spine_tbl):
             np.testing.assert_allclose(
                 av.to_numpy(dtype="float64"), bv.to_numpy(dtype="float64"),
                 rtol=0, atol=0, equal_nan=True, err_msg=col)
+
+
+def test_feature_stack_empty_events(ray_session, spine_tbl):
+    """No events at all: every spine row emits with null payload/features."""
+    import ray.data as rd
+
+    spec = engine.WindowSpec(key="doc_id", ts="ts", tiebreak="event_seq",
+                             lags={"n_tok": [1]})
+    empty = generate_events(SPEC).slice(0, 0)
+    out = engine.feature_stack(
+        rd.from_arrow(empty), rd.from_arrow(spine_tbl), spec,
+        value_cols=["n_tok"], **_plan_kwargs()).to_pandas()
+    assert len(out) == spine_tbl.num_rows
+    assert out["n_tok"].isna().all()
+
+
+def test_feature_stack_empty_spine(ray_session, events_tbl):
+    """No spine rows: output is empty but the pipeline must not crash."""
+    import ray.data as rd
+
+    spec = engine.WindowSpec(key="doc_id", ts="ts", tiebreak="event_seq",
+                             lags={"n_tok": [1]})
+    out = engine.feature_stack(
+        rd.from_arrow(events_tbl),
+        rd.from_arrow(generate_spine(SPEC).slice(0, 0)), spec,
+        value_cols=["n_tok"], **_plan_kwargs()).to_pandas()
+    assert len(out) == 0
+
+
+def test_window_features_single_row_entities(ray_session):
+    """One event per entity: lags are null, rolling count is 1."""
+    import ray.data as rd
+
+    t = pa.table({
+        "doc_id": pa.array(["a", "b", "c"]),
+        "ts": pa.array([1_000_000, 2_000_000, 3_000_000],
+                       type=pa.timestamp("us")),
+        "event_seq": pa.array([0, 0, 0], type=pa.int64()),
+        "n_tok": pa.array([1.0, 2.0, 3.0]),
+    })
+    spec = engine.WindowSpec(key="doc_id", ts="ts", tiebreak="event_seq",
+                             lags={"n_tok": [1]}, rolling={"n_tok": [3]})
+    out = engine.window_features(
+        rd.from_arrow(t), spec, **_plan_kwargs()).to_pandas()
+    assert len(out) == 3
+    assert out["n_tok_lag_1"].isna().all()
+    assert (out["n_tok_roll_count_3"] == 1.0).all()
