@@ -31,8 +31,12 @@ def _rd():
     return rd
 
 
-def _read(sf_dir: str, table: str, columns=None):
-    return _rd().read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+def _read(sf_dir: str, table: str, columns=None, filter=None):
+    """Pruned read: only the needed columns leave storage, and an optional
+    pyarrow filter expression pushes the predicate into the parquet scan
+    (row-group statistics pruning + row-level filter at the source)."""
+    return _rd().read_parquet(f"{sf_dir}/{table}.parquet", columns=columns,
+                              filter=filter)
 
 
 def _np_round(col, d: int) -> pa.Array:
@@ -64,28 +68,22 @@ def _select(ds, cols):
 # --------------------------------------------------------------------------
 
 def _purchase_spine(sf_dir):
-    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"],
+               filter=pc.field("event_type") == "purchase")
 
     def mk(batch: pa.Table) -> pa.Table:
-        b = batch.filter(pc.equal(batch.column("event_type"), "purchase"))
         return pa.table({
-            "user_id": b.column("user_id"),
-            "as_of_ts": b.column("ts"),
-            "spine_event_id": b.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "as_of_ts": batch.column("ts"),
+            "spine_event_id": batch.column("event_id"),
         })
 
     return ev.map_batches(mk, batch_format="pyarrow")
 
 
 def _click_events(sf_dir):
-    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type",
-                                  "value"])
-
-    def mk(batch: pa.Table) -> pa.Table:
-        b = batch.filter(pc.equal(batch.column("event_type"), "click"))
-        return b.drop_columns(["event_type"])
-
-    return ev.map_batches(mk, batch_format="pyarrow")
+    return _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"],
+                 filter=pc.field("event_type") == "click")
 
 
 def q_asof_purchase_click(sf_dir: str):
@@ -442,12 +440,12 @@ def q_q1_pricing(sf_dir: str):
     half-even boundary made the hash flaky across layouts.)"""
     li = _read(sf_dir, "lineitem",
                ["l_returnflag", "l_linestatus", "l_quantity",
-                "l_extendedprice", "l_discount", "l_tax", "l_shipdate"])
+                "l_extendedprice", "l_discount", "l_tax"],
+               filter=pc.field("l_shipdate")
+               <= pa.scalar(pd.Timestamp("1998-09-02")))
 
     def prep(batch: pa.Table) -> pa.Table:
-        b = batch.filter(
-            pc.less_equal(batch.column("l_shipdate"),
-                          pa.scalar(pd.Timestamp("1998-09-02"))))
+        b = batch
         qty = b.column("l_quantity").to_numpy(zero_copy_only=False)
         price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
         disc = b.column("l_discount").to_numpy(zero_copy_only=False)
@@ -771,19 +769,12 @@ QUALIFY row_number() OVER (PARTITION BY o_custkey
 def q_union_dedup_orders(sf_dir: str):
     """Union + distinct (D3/D2): high-value ∪ urgent orders."""
     cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"]
-    a = _read(sf_dir, "orders", cols)
-    b = _read(sf_dir, "orders", cols)
+    a = _read(sf_dir, "orders", cols,
+              filter=pc.field("o_totalprice") > 200000.0)
+    b = _read(sf_dir, "orders", cols,
+              filter=pc.field("o_orderpriority") == "1-URGENT")
 
-    def high(batch: pa.Table) -> pa.Table:
-        return batch.filter(
-            pc.greater(batch.column("o_totalprice"), pa.scalar(200000.0)))
-
-    def urgent(batch: pa.Table) -> pa.Table:
-        return batch.filter(
-            pc.equal(batch.column("o_orderpriority"), "1-URGENT"))
-
-    u = a.map_batches(high, batch_format="pyarrow").union(
-        b.map_batches(urgent, batch_format="pyarrow"))
+    u = a.union(b)
     out = dd.exact_dedup(u, keys=["o_orderkey"], order=["o_orderkey"])
     return _select(out, cols)
 
@@ -1122,17 +1113,13 @@ def q_multimodal_thumbs(sf_dir: str):
 # --------------------------------------------------------------------------
 
 def q_knn_cosine(sf_dir: str):
-    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     import pyarrow.parquet as pq
 
     qdf = pq.read_table(f"{sf_dir}/embeddings.parquet",
                         columns=["vec_id", "embedding"]).to_pandas()
     queries = qdf[qdf["vec_id"] < 10].reset_index(drop=True)
-
-    def corpus_only(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.greater_equal(batch.column("vec_id"), 10))
-
-    corpus = emb.map_batches(corpus_only, batch_format="pyarrow")
+    corpus = _read(sf_dir, "embeddings", ["vec_id", "embedding"],
+                   filter=pc.field("vec_id") >= 10)
     df = knn.brute_force_topk(corpus, queries, id_col="vec_id",
                               vec_col="embedding", k=5)
     df["cosine"] = np.round(df["cosine"].astype(float), 6)
@@ -1692,17 +1679,13 @@ def q_multimodal_decode_stub(sf_dir: str):
 
 
 def q_knn_ivf(sf_dir: str):
-    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     import pyarrow.parquet as pq
 
     qdf = pq.read_table(f"{sf_dir}/embeddings.parquet",
                         columns=["vec_id", "embedding"]).to_pandas()
     queries = qdf[qdf["vec_id"] < 10].reset_index(drop=True)
-
-    def corpus_only(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.greater_equal(batch.column("vec_id"), 10))
-
-    corpus = emb.map_batches(corpus_only, batch_format="pyarrow")
+    corpus = _read(sf_dir, "embeddings", ["vec_id", "embedding"],
+                   filter=pc.field("vec_id") >= 10)
     return knn.ivf_topk(corpus, queries, id_col="vec_id",
                         vec_col="embedding", k=5)
 
@@ -1715,15 +1698,11 @@ def q_knn_ivf_index(sf_dir: str):
 
     import pyarrow.parquet as pq
 
-    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     qdf = pq.read_table(f"{sf_dir}/embeddings.parquet",
                         columns=["vec_id", "embedding"]).to_pandas()
     queries = qdf[qdf["vec_id"] < 10].reset_index(drop=True)
-
-    def corpus_only(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.greater_equal(batch.column("vec_id"), 10))
-
-    corpus = emb.map_batches(corpus_only, batch_format="pyarrow")
+    corpus = _read(sf_dir, "embeddings", ["vec_id", "embedding"],
+                   filter=pc.field("vec_id") >= 10)
     idx = "/tmp/fe_ivf_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     shutil.rmtree(idx, ignore_errors=True)
     knn.ivf_build(corpus, idx, vec_col="embedding", n_centroids=16)
