@@ -1116,8 +1116,9 @@ def q_knn_cosine(sf_dir: str):
     import pyarrow.parquet as pq
 
     qdf = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                        columns=["vec_id", "embedding"]).to_pandas()
-    queries = qdf[qdf["vec_id"] < 10].reset_index(drop=True)
+                        columns=["vec_id", "embedding"],
+                        filters=[("vec_id", "<", 10)]).to_pandas()
+    queries = qdf.reset_index(drop=True)
     corpus = _read(sf_dir, "embeddings", ["vec_id", "embedding"],
                    filter=pc.field("vec_id") >= 10)
     df = knn.brute_force_topk(corpus, queries, id_col="vec_id",
@@ -1682,8 +1683,9 @@ def q_knn_ivf(sf_dir: str):
     import pyarrow.parquet as pq
 
     qdf = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                        columns=["vec_id", "embedding"]).to_pandas()
-    queries = qdf[qdf["vec_id"] < 10].reset_index(drop=True)
+                        columns=["vec_id", "embedding"],
+                        filters=[("vec_id", "<", 10)]).to_pandas()
+    queries = qdf.reset_index(drop=True)
     corpus = _read(sf_dir, "embeddings", ["vec_id", "embedding"],
                    filter=pc.field("vec_id") >= 10)
     return knn.ivf_topk(corpus, queries, id_col="vec_id",
@@ -1699,8 +1701,9 @@ def q_knn_ivf_index(sf_dir: str):
     import pyarrow.parquet as pq
 
     qdf = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                        columns=["vec_id", "embedding"]).to_pandas()
-    queries = qdf[qdf["vec_id"] < 10].reset_index(drop=True)
+                        columns=["vec_id", "embedding"],
+                        filters=[("vec_id", "<", 10)]).to_pandas()
+    queries = qdf.reset_index(drop=True)
     corpus = _read(sf_dir, "embeddings", ["vec_id", "embedding"],
                    filter=pc.field("vec_id") >= 10)
     idx = "/tmp/fe_ivf_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
