@@ -1492,6 +1492,38 @@ WHERE rn = 1
 """
 
 
+def q_contamination(sf_dir: str):
+    """Benchmark decontamination: docs 0–4 act as the eval set; every
+    document reports the fraction of its distinct 5-char shingles found
+    in the broadcast benchmark shingle set."""
+    import pyarrow.parquet as pq
+
+    bench = pq.read_table(f"{sf_dir}/documents.parquet",
+                          columns=["text"],
+                          filters=[("doc_id", "<", 5)])
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return text.contamination_ratio(
+        docs, bench.column("text").to_pylist(), id_col="doc_id",
+        text_col="text", k=5)
+
+
+SQL_CONTAMINATION = """
+WITH s AS (
+  SELECT DISTINCT doc_id, substring(lower(text), i, 5) AS sh
+  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 3)) AS i
+        FROM documents)
+), b AS (SELECT DISTINCT sh FROM s WHERE doc_id < 5)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hit,
+       ROUND_EVEN(CAST(SUM(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END)
+                       AS DOUBLE) / COUNT(*), 6) AS contam_ratio
+FROM s LEFT JOIN b USING (sh)
+GROUP BY s.doc_id
+"""
+
+
 def q_vocab_top_terms(sf_dir: str):
     """Corpus vocabulary / term-frequency builder: word explode with
     map-side combined counts, one partial shuffle, global top-100 by
@@ -1897,6 +1929,7 @@ QUERIES = {
     "hop_window_counts": q_hop_window_counts,
     "price_quantile_bins": q_price_quantile_bins,
     "tfidf_top_term": q_tfidf_top_term,
+    "contamination": q_contamination,
     # rows-only (no SQL oracle)
     "kmeans_embeddings": q_kmeans_embeddings,
     "whiten_embeddings": q_whiten_embeddings,
@@ -1964,4 +1997,5 @@ ORACLE_SQL = {
     "hop_window_counts": SQL_HOP_WINDOW,
     "price_quantile_bins": SQL_PRICE_BINS,
     "tfidf_top_term": SQL_TFIDF_TOP,
+    "contamination": SQL_CONTAMINATION,
 }

@@ -402,3 +402,63 @@ def tfidf_top_term(ds, *, id_col: str = "doc_id", text_col: str = "text",
 
     return ds.map_batches(_TopTerm, batch_format="pyarrow",
                           concurrency=(1, 8))
+
+
+def contamination_ratio(ds, bench_texts, *, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 5,
+                        seed: int = 77):
+    """Benchmark decontamination: per-document fraction of distinct
+    k-char shingles that appear in the (broadcast) benchmark shingle
+    set. The benchmark side is tiny (eval sets); the corpus streams
+    through one vectorized map_batches — the standard decontamination
+    shape for training-data pipelines.
+
+    Documents shorter than k characters emit nothing (no shingles),
+    matching the SQL substring-shingle formulation."""
+    import ray
+
+    from .dedup import _char_shingle_hashes
+
+    bl = [t.lower() for t in bench_texts]
+    bench = (np.unique(np.concatenate(
+        [h for t, h in zip(bl, _char_shingle_hashes(
+            np.array(bl, dtype=object), k, seed))
+         if len(t) >= k] or [np.zeros(0, dtype=np.uint64)]))
+        if bl else np.zeros(0, dtype=np.uint64))
+    ref = ray.put(bench)
+
+    class _Contam:
+        def __init__(self):
+            self.bench = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            lowered = pc.utf8_lower(batch.column(text_col))
+            texts = lowered.to_numpy(zero_copy_only=False)
+            hl = _char_shingle_hashes(texts, k, seed)
+            tlen = pc.utf8_length(lowered).to_numpy(zero_copy_only=False)
+            keep, n_sh, n_hit = [], [], []
+            for i, h in enumerate(hl):
+                if tlen[i] < k:
+                    continue
+                uniq = np.unique(h)
+                pos = np.searchsorted(self.bench, uniq)
+                pos = np.clip(pos, 0, max(len(self.bench) - 1, 0))
+                hits = (int((self.bench[pos] == uniq).sum())
+                        if len(self.bench) else 0)
+                keep.append(i)
+                n_sh.append(len(uniq))
+                n_hit.append(hits)
+            ids = batch.column(id_col).take(pa.array(keep, type=pa.int64()))
+            ns = np.array(n_sh, dtype=np.int64)
+            nh = np.array(n_hit, dtype=np.int64)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                ratio = np.round(nh / ns, 6)
+            return pa.table({
+                id_col: ids,
+                "n_shingles": pa.array(ns),
+                "n_hit": pa.array(nh),
+                "contam_ratio": pa.array(ratio),
+            })
+
+    return ds.map_batches(_Contam, batch_format="pyarrow",
+                          concurrency=(1, 8))

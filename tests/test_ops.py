@@ -684,3 +684,26 @@ def test_doc_frequencies_counts_docs_not_occurrences(rd):
     got = {r["term"]: r["df"] for r in
            text.doc_frequencies(rd.from_arrow(t)).take_all()}
     assert got == {"a": 2, "b": 2, "c": 1}
+
+
+def test_contamination_ratio_planted(rd):
+    bench = ["alpha beta gamma delta epsilon"]
+    texts = ["alpha beta gamma something else entirely",  # partial overlap
+             "alpha beta gamma delta epsilon",            # full overlap
+             "zzzz completely disjoint shingle text",     # ~zero overlap
+             "tiny"]                                      # < k chars: dropped
+    t = pa.table({"doc_id": pa.array(range(4), type=pa.int64()),
+                  "text": pa.array(texts)})
+    out = {r["doc_id"]: r for r in text.contamination_ratio(
+        rd.from_arrow(t), bench).take_all()}
+    assert set(out) == {0, 1, 2}
+    assert out[1]["contam_ratio"] == 1.0
+    assert 0.0 < out[0]["contam_ratio"] < 1.0
+    assert out[2]["contam_ratio"] < 0.1
+
+    # exact parity with a naive python shingle-set computation
+    bset = {bench[0][i:i + 5] for i in range(len(bench[0]) - 4)}
+    for i in (0, 1, 2):
+        sh = {texts[i][j:j + 5] for j in range(len(texts[i]) - 4)}
+        assert out[i]["n_shingles"] == len(sh)
+        assert out[i]["n_hit"] == len(sh & bset)
