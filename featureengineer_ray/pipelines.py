@@ -199,3 +199,32 @@ def token_feature_stack(sf_dir: str):
                            columns=["doc_id", "text", "source"])
     events = documents_to_token_events(docs)
     return run_token_stack(events)
+
+
+def curate_corpus(docs, bench_texts, *, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  contam_threshold: float = 0.5,
+                  jaccard_threshold: float = 0.5):
+    """End-to-end LLM corpus curation: Gopher quality filter →
+    benchmark decontamination → near-duplicate cluster dedup.
+
+    Every stage streams: quality and contamination are vectorized
+    map_batches with broadcast reference sets; dedup moves only
+    signatures/pairs (see SCALE.md). Returns the surviving documents
+    with their quality/contamination measures attached."""
+    import pyarrow.compute as pc
+
+    from . import dedup as dd
+    from . import text
+
+    q = docs.map_batches(text.quality_flags_batch,
+                         batch_format="pyarrow")
+    q = q.filter(expr="pass_gopher == 1")
+    c = text.contamination_ratio(q, bench_texts, id_col=id_col,
+                                 text_col=text_col)
+    c = c.map_batches(
+        lambda b: b.filter(pc.less_equal(b.column("contam_ratio"),
+                                         contam_threshold)),
+        batch_format="pyarrow")
+    return dd.near_dup_dedup(c, id_col=id_col, text_col=text_col,
+                             threshold=jaccard_threshold)

@@ -1502,9 +1502,10 @@ def q_contamination(sf_dir: str):
                           columns=["text"],
                           filters=[("doc_id", "<", 5)])
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    return text.contamination_ratio(
+    out = text.contamination_ratio(
         docs, bench.column("text").to_pylist(), id_col="doc_id",
         text_col="text", k=5)
+    return _select(out, ["doc_id", "n_shingles", "n_hit", "contam_ratio"])
 
 
 SQL_CONTAMINATION = """
@@ -1653,6 +1654,22 @@ def q_minhash_near_dup(sf_dir: str):
     docs2 = _read(sf_dir, "documents", ["doc_id", "text"])
     return dd.verify_jaccard_distributed(docs2, cand_df, id_col="doc_id",
                                          text_col="text", threshold=0.5)
+
+
+def q_corpus_curation(sf_dir: str):
+    """Composed LLM curation pipeline: Gopher quality filter →
+    decontamination vs the doc<5 benchmark → near-dup cluster dedup
+    (rows-only: the dedup stage's LSH is not SQL-expressible)."""
+    import pyarrow.parquet as pq
+
+    from .pipelines import curate_corpus
+
+    bench = pq.read_table(f"{sf_dir}/documents.parquet",
+                          columns=["text"],
+                          filters=[("doc_id", "<", 5)])
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    out = curate_corpus(docs, bench.column("text").to_pylist())
+    return _select(out, ["doc_id", "lang", "contam_ratio"])
 
 
 def q_near_dup_dedup_docs(sf_dir: str):
@@ -1937,6 +1954,7 @@ QUERIES = {
     "token_features": q_token_features,
     "minhash_near_dup": q_minhash_near_dup,
     "near_dup_dedup_docs": q_near_dup_dedup_docs,
+    "corpus_curation": q_corpus_curation,
     "simhash_fingerprints": q_simhash_fingerprints,
     "simhash_near_dup": q_simhash_near_dup,
     "lang_id_quality": q_lang_id_quality,

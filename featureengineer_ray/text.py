@@ -448,17 +448,15 @@ def contamination_ratio(ds, bench_texts, *, id_col: str = "doc_id",
                 keep.append(i)
                 n_sh.append(len(uniq))
                 n_hit.append(hits)
-            ids = batch.column(id_col).take(pa.array(keep, type=pa.int64()))
+            out = batch.take(pa.array(keep, type=pa.int64()))
             ns = np.array(n_sh, dtype=np.int64)
             nh = np.array(n_hit, dtype=np.int64)
             with np.errstate(invalid="ignore", divide="ignore"):
                 ratio = np.round(nh / ns, 6)
-            return pa.table({
-                id_col: ids,
-                "n_shingles": pa.array(ns),
-                "n_hit": pa.array(nh),
-                "contam_ratio": pa.array(ratio),
-            })
+            # pass-through: input columns survive so stages chain
+            out = out.append_column("n_shingles", pa.array(ns))
+            out = out.append_column("n_hit", pa.array(nh))
+            return out.append_column("contam_ratio", pa.array(ratio))
 
     return ds.map_batches(_Contam, batch_format="pyarrow",
                           concurrency=(1, 8))

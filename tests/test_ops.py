@@ -707,3 +707,25 @@ def test_contamination_ratio_planted(rd):
         sh = {texts[i][j:j + 5] for j in range(len(texts[i]) - 4)}
         assert out[i]["n_shingles"] == len(sh)
         assert out[i]["n_hit"] == len(sh & bset)
+
+
+def test_curate_corpus_planted(rd):
+    from featureengineer_ray.pipelines import curate_corpus
+
+    bench = ["benchmark evaluation passage about held out questions "
+             "and answers kept far away from training data"]
+    good = ("a perfectly reasonable training document with plenty of "
+            "normal words and sensible structure throughout the text")
+    texts = [
+        good,                                # kept
+        good + " tail",                      # near-dup of 0 -> dropped
+        "x y z",                             # fails quality -> dropped
+        bench[0] + " slightly altered",      # contaminated -> dropped
+        "another clean and useful document discussing entirely "
+        "different topics with adequate length and variety here",  # kept
+    ]
+    t = pa.table({"doc_id": pa.array(range(5), type=pa.int64()),
+                  "text": pa.array(texts)})
+    out = curate_corpus(rd.from_arrow(t), bench)
+    kept = sorted(r["doc_id"] for r in out.take_all())
+    assert kept == [0, 4]
