@@ -522,6 +522,90 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_grouped_covar(sf_dir: str):
+    """Covariance-family estimators (A7: the reference's within/between
+    covariance accumulators, mpiIV.py:288-292, jyh/Utils.py covariance
+    folds) as grouped var/covar/corr with map-side combined partials.
+
+    Both operands are exact in fixed-point units (quantity integral,
+    discount in cents), so the five partial sums are int64-exact and
+    order-independent; the finalize performs the SAME IEEE double ops the
+    oracle SQL spells out, making the hash stable at any parallelism."""
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_discount"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        x = np.rint(batch.column("l_quantity")
+                    .to_numpy(zero_copy_only=False)).astype(np.int64)
+        y = np.rint(batch.column("l_discount")
+                    .to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+        return pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "x": pa.array(x), "y": pa.array(y),
+            "xy": pa.array(x * y), "xx": pa.array(x * x),
+            "yy": pa.array(y * y),
+        })
+
+    agg = relational.grouped_agg(
+        li.map_batches(prep, batch_format="pyarrow"),
+        ["l_returnflag"],
+        {"__sx": ("x", "sum"), "__sy": ("y", "sum"), "__sxy": ("xy", "sum"),
+         "__sxx": ("xx", "sum"), "__syy": ("yy", "sum")},
+        count_alias="n_rows")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        f = np.float64
+        sx = batch.column("__sx").to_numpy(zero_copy_only=False).astype(f)
+        sy = batch.column("__sy").to_numpy(zero_copy_only=False).astype(f)
+        sxy = batch.column("__sxy").to_numpy(zero_copy_only=False).astype(f)
+        sxx = batch.column("__sxx").to_numpy(zero_copy_only=False).astype(f)
+        syy = batch.column("__syy").to_numpy(zero_copy_only=False).astype(f)
+        n = batch.column("n_rows").to_numpy(zero_copy_only=False).astype(f)
+        cov_u = (sxy - sx * sy / n) / n          # qty × cents units
+        varx = (sxx - sx * sx / n) / n           # qty² units
+        vary_u = (syy - sy * sy / n) / n         # cents² units
+        return pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "n_rows": batch.column("n_rows").cast(pa.int64()),
+            "var_qty": pa.array(np.round(varx, 6)),
+            "var_disc": pa.array(np.round(vary_u / 10000.0, 6)),
+            "covar_qty_disc": pa.array(np.round(cov_u / 100.0, 6)),
+            "corr_qty_disc": pa.array(
+                np.round(cov_u / np.sqrt(varx * vary_u), 6)),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_GROUPED_COVAR = """
+WITH p AS (
+  SELECT l_returnflag,
+         CAST(ROUND_EVEN(l_quantity, 0) AS BIGINT) AS x,
+         CAST(ROUND_EVEN(l_discount * 100.0, 0) AS BIGINT) AS y
+  FROM lineitem
+), s AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(x * y) AS DOUBLE) AS sxy,
+         CAST(sum(x * x) AS DOUBLE) AS sxx,
+         CAST(sum(y * y) AS DOUBLE) AS syy
+  FROM p GROUP BY l_returnflag
+)
+SELECT l_returnflag, n_rows,
+       ROUND_EVEN((sxx - sx * sx / n_rows) / n_rows, 6) AS var_qty,
+       ROUND_EVEN(((syy - sy * sy / n_rows) / n_rows) / 10000.0, 6)
+         AS var_disc,
+       ROUND_EVEN(((sxy - sx * sy / n_rows) / n_rows) / 100.0, 6)
+         AS covar_qty_disc,
+       ROUND_EVEN(((sxy - sx * sy / n_rows) / n_rows)
+                  / sqrt(((sxx - sx * sx / n_rows) / n_rows)
+                         * ((syy - sy * sy / n_rows) / n_rows)), 6)
+         AS corr_qty_disc
+FROM s
+"""
+
+
 def _dim_pdf(sf_dir: str, table: str, cols):
     import pyarrow.parquet as pq
 
@@ -1911,6 +1995,7 @@ QUERIES = {
     "zscore_per_user": q_zscore_per_user,
     "expanding_zscore": q_expanding_zscore,
     "q1_pricing": q_q1_pricing,
+    "grouped_covar": q_grouped_covar,
     "revenue_by_nation": q_revenue_by_nation,
     "top2_orders_per_cust": q_top2_orders_per_cust,
     "union_dedup_orders": q_union_dedup_orders,
@@ -1980,6 +2065,7 @@ ORACLE_SQL = {
     "zscore_per_user": SQL_ZSCORE,
     "expanding_zscore": SQL_EXPANDING_ZSCORE,
     "q1_pricing": SQL_Q1,
+    "grouped_covar": SQL_GROUPED_COVAR,
     "revenue_by_nation": SQL_REVENUE_NATION,
     "top2_orders_per_cust": SQL_TOP2_PER_CUST,
     "union_dedup_orders": SQL_UNION_DEDUP,
