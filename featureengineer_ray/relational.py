@@ -69,42 +69,42 @@ def broadcast_join(
         small_cols[c] = pc.take(arr, pa.array(order, type=pa.int64()))
     ref = ray.put((uniqs, comp[order], small_cols))
 
-    class _Probe:
-        def __init__(self):
-            self.uniqs, self.comp_sorted, self.small_cols = ray.get(ref)
+    # plain function, not an actor pool: the probe index is fully built on
+    # the driver, so per-batch setup is a zero-copy ray.get of local plasma
+    # buffers — and a TaskPoolMapOperator fuses with the downstream maps.
+    def _probe(batch: pa.Table) -> pa.Table:
+        b_uniqs, comp_sorted, b_small_cols = ray.get(ref)
+        n = batch.num_rows
+        comp = np.zeros(n, dtype=np.int64)
+        present = np.ones(n, dtype=bool)
+        for k, uniq in zip(on, b_uniqs):
+            vals = batch.column(k).to_numpy(zero_copy_only=False)
+            codes, ok = map_keys_to_codes(uniq, vals)
+            present &= ok
+            comp = comp * np.int64(len(uniq) + 1) + np.where(ok, codes, 0)
+        lo = np.searchsorted(comp_sorted, comp, side="left")
+        hi = np.searchsorted(comp_sorted, comp, side="right")
+        counts = np.where(present, hi - lo, 0)
+        if how == "left":
+            out_counts = np.maximum(counts, 1)
+        else:
+            out_counts = counts
+        total = int(out_counts.sum())
+        row_of = np.repeat(np.arange(n, dtype=np.int64), out_counts)
+        starts = np.concatenate(([0], np.cumsum(out_counts)))[:-1]
+        within = np.arange(total, dtype=np.int64) - starts[row_of]
+        matched = counts[row_of] > 0
+        sidx = np.where(matched, lo[row_of] + within, 0)
+        out = batch.take(pa.array(row_of, type=pa.int64()))
+        names = set(out.column_names)
+        for c, arr in b_small_cols.items():
+            name = c if c not in names else c + suffix
+            idx = pa.array(np.where(matched, sidx, -1), type=pa.int64(),
+                           mask=~matched)
+            out = out.append_column(name, pc.take(arr, idx))
+        return out
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            n = batch.num_rows
-            comp = np.zeros(n, dtype=np.int64)
-            present = np.ones(n, dtype=bool)
-            for k, uniq in zip(on, self.uniqs):
-                vals = batch.column(k).to_numpy(zero_copy_only=False)
-                codes, ok = map_keys_to_codes(uniq, vals)
-                present &= ok
-                comp = comp * np.int64(len(uniq) + 1) + np.where(ok, codes, 0)
-            lo = np.searchsorted(self.comp_sorted, comp, side="left")
-            hi = np.searchsorted(self.comp_sorted, comp, side="right")
-            counts = np.where(present, hi - lo, 0)
-            if how == "left":
-                out_counts = np.maximum(counts, 1)
-            else:
-                out_counts = counts
-            total = int(out_counts.sum())
-            row_of = np.repeat(np.arange(n, dtype=np.int64), out_counts)
-            starts = np.concatenate(([0], np.cumsum(out_counts)))[:-1]
-            within = np.arange(total, dtype=np.int64) - starts[row_of]
-            matched = counts[row_of] > 0
-            sidx = np.where(matched, lo[row_of] + within, 0)
-            out = batch.take(pa.array(row_of, type=pa.int64()))
-            names = set(out.column_names)
-            for c, arr in self.small_cols.items():
-                name = c if c not in names else c + suffix
-                idx = pa.array(np.where(matched, sidx, -1), type=pa.int64(),
-                               mask=~matched)
-                out = out.append_column(name, pc.take(arr, idx))
-            return out
-
-    return ds.map_batches(_Probe, batch_format="pyarrow", concurrency=(1, 8))
+    return ds.map_batches(_probe, batch_format="pyarrow")
 
 
 def semi_join(ds, keys: set | np.ndarray | pd.Series, *, on: str,
@@ -115,19 +115,16 @@ def semi_join(ds, keys: set | np.ndarray | pd.Series, *, on: str,
     arr = np.asarray(list(keys) if isinstance(keys, set) else keys)
     ref = ray.put(np.unique(arr))
 
-    class _Filter:
-        def __init__(self):
-            self.keys = ray.get(ref)
+    def _filter(batch: pa.Table) -> pa.Table:
+        skeys = ray.get(ref)  # zero-copy local get; fuses as a task op
+        vals = batch.column(on).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(skeys, vals)
+        pos = np.clip(pos, 0, max(len(skeys) - 1, 0))
+        hit = (skeys[pos] == vals) if len(skeys) else np.zeros(
+            len(vals), dtype=bool)
+        return batch.filter(pa.array(~hit if anti else hit))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            vals = batch.column(on).to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(self.keys, vals)
-            pos = np.clip(pos, 0, max(len(self.keys) - 1, 0))
-            hit = (self.keys[pos] == vals) if len(self.keys) else np.zeros(
-                len(vals), dtype=bool)
-            return batch.filter(pa.array(~hit if anti else hit))
-
-    return ds.map_batches(_Filter, batch_format="pyarrow", concurrency=(1, 8))
+    return ds.map_batches(_filter, batch_format="pyarrow")
 
 
 def grouped_agg(
