@@ -1124,6 +1124,36 @@ FROM documents GROUP BY lang, source
 """
 
 
+def q_text_clean(sf_dir: str):
+    """Corpus cleaning sweep (lowercase → denylist redaction with per-doc
+    counts → whitespace collapse): one streaming map_batches of RE2
+    kernels; both sides share the RE2 dialect so the hash is exact."""
+    from .text import clean_text_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = docs.map_batches(clean_text_batch, batch_format="pyarrow")
+    return _select(out, ["doc_id", "clean_text", "n_redacted",
+                         "n_chars_clean"])
+
+
+SQL_TEXT_CLEAN = r"""
+WITH r AS (
+  SELECT doc_id,
+         regexp_replace(lower(text), '\b(value|hash)\b', '<MASK>', 'g')
+           AS redacted,
+         CAST(len(regexp_extract_all(lower(text), '\b(value|hash)\b'))
+              AS BIGINT) AS n_redacted
+  FROM documents
+)
+SELECT doc_id,
+       trim(regexp_replace(redacted, '\s+', ' ', 'g')) AS clean_text,
+       n_redacted,
+       CAST(length(trim(regexp_replace(redacted, '\s+', ' ', 'g')))
+            AS BIGINT) AS n_chars_clean
+FROM r
+"""
+
+
 def q_multimodal_meta(sf_dir: str):
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     out = multimodal.media_pipeline(docs)
@@ -2015,6 +2045,7 @@ QUERIES = {
     "doc_stats": q_doc_stats,
     "dedup_docs": q_dedup_docs,
     "docs_by_lang": q_docs_by_lang,
+    "text_clean": q_text_clean,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_frames": q_multimodal_frames,
     "knn_cosine": q_knn_cosine,
@@ -2085,6 +2116,7 @@ ORACLE_SQL = {
     "doc_stats": SQL_DOC_STATS,
     "dedup_docs": SQL_DEDUP_DOCS,
     "docs_by_lang": SQL_DOCS_BY_LANG,
+    "text_clean": SQL_TEXT_CLEAN,
     "multimodal_meta": SQL_MULTIMODAL_META,
     "multimodal_frames": SQL_MULTIMODAL_FRAMES,
     "knn_cosine": SQL_KNN,

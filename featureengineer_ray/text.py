@@ -460,3 +460,25 @@ def contamination_ratio(ds, bench_texts, *, id_col: str = "doc_id",
 
     return ds.map_batches(_Contam, batch_format="pyarrow",
                           concurrency=(1, 8))
+
+
+def clean_text_batch(batch: pa.Table, *, text_col: str = "text",
+                     deny_terms: tuple[str, ...] = ("value", "hash"),
+                     mask: str = "<MASK>") -> pa.Table:
+    """Corpus-cleaning stage: lowercase → redact denylist terms (PII-scrub
+    shape, counted per doc) → collapse whitespace runs → trim. Every step
+    is one RE2 kernel over the whole batch (pyarrow.compute shares the RE2
+    dialect with DuckDB, so the oracle SQL hashes identically). Reference
+    analog: the per-record key/text normalizers, PrepareData.py:214-233."""
+    pat = r"\b(" + "|".join(deny_terms) + r")\b"
+    lowered = pc.utf8_lower(batch.column(text_col))
+    n_redacted = pc.count_substring_regex(lowered, pattern=pat)
+    redacted = pc.replace_substring_regex(lowered, pattern=pat,
+                                          replacement=mask)
+    collapsed = pc.utf8_trim_whitespace(
+        pc.replace_substring_regex(redacted, pattern=r"\s+",
+                                   replacement=" "))
+    out = batch.append_column("clean_text", collapsed)
+    out = out.append_column("n_redacted", n_redacted.cast(pa.int64()))
+    return out.append_column("n_chars_clean",
+                             pc.utf8_length(collapsed).cast(pa.int64()))
