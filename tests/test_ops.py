@@ -729,3 +729,17 @@ def test_curate_corpus_planted(rd):
     out = curate_corpus(rd.from_arrow(t), bench)
     kept = sorted(r["doc_id"] for r in out.take_all())
     assert kept == [0, 4]
+
+
+def test_seeded_shuffle_deterministic_and_rechunk(rd):
+    """O6: global shuffle + rechunk — same seed => identical order across
+    independent executions; repartition preserves the multiset."""
+    t = pa.table({"k": pa.array(np.arange(5000, dtype=np.int64)),
+                  "v": pa.array(np.arange(5000, dtype=np.int64) * 7 % 101)})
+    a = rd.from_arrow(t).random_shuffle(seed=42).to_pandas()
+    b = rd.from_arrow(t).random_shuffle(seed=42).to_pandas()
+    assert a["k"].tolist() == b["k"].tolist()
+    assert sorted(a["k"].tolist()) == list(range(5000))
+    c = rd.from_arrow(t).random_shuffle(seed=7).repartition(16).materialize()
+    assert c.num_blocks() == 16
+    assert sorted(r["k"] for r in c.take_all()) == list(range(5000))
