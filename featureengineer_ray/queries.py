@@ -1124,6 +1124,54 @@ FROM documents GROUP BY lang, source
 """
 
 
+def q_pack_documents(sf_dir: str):
+    """Sequence packing for training shards: assign every document to a
+    contiguous token-budget pack (pack_id = exclusive-prefix-tokens // B)
+    via the distributed global prefix scan (`relational.global_cumsum`) —
+    per-doc token counts stream once, only P partial sums reach the
+    driver, one range shuffle total."""
+    from .text import WORD_RE
+
+    B = 4096
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def toks(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tok": pc.count_substring_regex(
+                batch.column("text"), WORD_RE).cast(pa.int64()),
+        })
+
+    pre = docs.map_batches(toks, batch_format="pyarrow")
+    out = relational.global_cumsum(pre, "n_tok", order_col="doc_id",
+                                   out_col="tok_end")
+
+    def packs(batch: pa.Table) -> pa.Table:
+        end = batch.column("tok_end").to_numpy(zero_copy_only=False)
+        v = batch.column("n_tok").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "pack_id", pa.array((end - v) // np.int64(B)))
+
+    out = out.map_batches(packs, batch_format="pyarrow")
+    return _select(out, ["doc_id", "n_tok", "tok_end", "pack_id"])
+
+
+SQL_PACK_DOCS = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+           AS n_tok
+  FROM documents
+)
+SELECT doc_id, n_tok,
+       CAST(sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS tok_end,
+       CAST((sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+             - n_tok) // 4096 AS BIGINT) AS pack_id
+FROM d
+"""
+
+
 def q_text_clean(sf_dir: str):
     """Corpus cleaning sweep (lowercase → denylist redaction with per-doc
     counts → whitespace collapse): one streaming map_batches of RE2
@@ -2046,6 +2094,7 @@ QUERIES = {
     "dedup_docs": q_dedup_docs,
     "docs_by_lang": q_docs_by_lang,
     "text_clean": q_text_clean,
+    "pack_documents": q_pack_documents,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_frames": q_multimodal_frames,
     "knn_cosine": q_knn_cosine,
@@ -2117,6 +2166,7 @@ ORACLE_SQL = {
     "dedup_docs": SQL_DEDUP_DOCS,
     "docs_by_lang": SQL_DOCS_BY_LANG,
     "text_clean": SQL_TEXT_CLEAN,
+    "pack_documents": SQL_PACK_DOCS,
     "multimodal_meta": SQL_MULTIMODAL_META,
     "multimodal_frames": SQL_MULTIMODAL_FRAMES,
     "knn_cosine": SQL_KNN,

@@ -379,3 +379,91 @@ def grouped_quantiles_hist(ds, key: str, value_col: str, qs: list[float],
         return pd.DataFrame(outs)
 
     return hist.groupby(key).map_groups(quants, batch_format="pandas")
+
+
+def global_cumsum(ds, val_col: str, *, order_col: str,
+                  est_rows: int | None = None,
+                  target_rows_per_part: int = 1_000_000,
+                  out_col: str | None = None):
+    """Distributed global prefix scan: inclusive cumulative sum of
+    ``val_col`` in global ``order_col`` order (assumed unique), appended
+    as ``out_col`` (default ``{val_col}_cumsum``).
+
+    Classic two-phase scan (the reference's sequential accumulators,
+    e.g. jyh/result.py:34-45 cumulative sweeps, distributed): sample
+    order_col → P range boundaries; one streaming pass folds per-range
+    partial sums (only P×blocks tiny rows reach the driver); the driver
+    exclusive-prefixes P values and broadcasts them; the single all-to-all
+    range-shuffles rows so each task sorts + cumsums one bounded range and
+    adds its offset. Integer inputs stay int64-exact end to end.
+    """
+    import ray
+
+    from .engine import use_push_shuffle
+    from .partition import estimate_rows, hash_shuffle_width
+
+    out_col = out_col or f"{val_col}_cumsum"
+    if est_rows is None:
+        est_rows = estimate_rows(ds, order_col)
+    P = hash_shuffle_width(est_rows, target_rows_per_part)
+
+    # boundaries: stride-sample order values (layout-dependent, but the
+    # scan result is exact for ANY boundary choice)
+    def sample(batch: pa.Table) -> pa.Table:
+        v = batch.column(order_col).to_numpy(zero_copy_only=False)
+        k = min(len(v), 128)
+        idx = np.linspace(0, len(v) - 1, k).astype(np.int64) if len(v) else \
+            np.zeros(0, dtype=np.int64)
+        return pa.table({"v": pa.array(v[idx])})
+
+    sv = ds.select_columns([order_col]).map_batches(
+        sample, batch_format="pyarrow").to_pandas()["v"].to_numpy()
+    if len(sv) == 0:
+        bounds = np.zeros(0)
+    else:
+        qs = np.quantile(np.sort(sv), np.linspace(0, 1, P + 1)[1:-1])
+        bounds = np.unique(qs)
+    nparts = len(bounds) + 1
+
+    def assign(batch: pa.Table) -> pa.Table:
+        o = batch.column(order_col).to_numpy(zero_copy_only=False)
+        pid = np.searchsorted(bounds, o, side="right").astype(np.int32)
+        return batch.append_column("__part", pa.array(pid))
+
+    parted = ds.map_batches(assign, batch_format="pyarrow")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pid = batch.column("__part").to_numpy(zero_copy_only=False)
+        v = batch.column(val_col).to_numpy(zero_copy_only=False)
+        if np.issubdtype(v.dtype, np.integer):
+            acc = np.zeros(nparts, dtype=np.int64)
+            np.add.at(acc, pid, v.astype(np.int64))
+        else:
+            acc = np.zeros(nparts, dtype=np.float64)
+            np.add.at(acc, pid, v.astype(np.float64))
+        nz = np.nonzero(acc)[0]
+        return pa.table({"p": pa.array(nz.astype(np.int32)),
+                         "s": pa.array(acc[nz])})
+
+    psums = parted.map_batches(partial, batch_format="pyarrow").to_pandas()
+    totals = np.zeros(nparts, dtype=np.float64 if len(psums) == 0 or
+                      psums["s"].dtype.kind == "f" else np.int64)
+    if len(psums):
+        np.add.at(totals, psums["p"].to_numpy(), psums["s"].to_numpy())
+    offsets = np.concatenate(([totals[:0].sum()], np.cumsum(totals)[:-1]))
+    oref = ray.put(offsets)
+
+    def scan_part(g: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(oref)
+        g = g.sort_values(order_col, kind="stable")
+        v = g[val_col].to_numpy()
+        base = offs[int(g["__part"].iloc[0])]
+        if np.issubdtype(v.dtype, np.integer):
+            g[out_col] = np.int64(base) + np.cumsum(v.astype(np.int64))
+        else:
+            g[out_col] = float(base) + np.cumsum(v.astype(np.float64))
+        return g.drop(columns=["__part"])
+
+    use_push_shuffle(parted)
+    return parted.groupby("__part").map_groups(scan_part,
+                                               batch_format="pandas")

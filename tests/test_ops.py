@@ -743,3 +743,22 @@ def test_seeded_shuffle_deterministic_and_rechunk(rd):
     c = rd.from_arrow(t).random_shuffle(seed=7).repartition(16).materialize()
     assert c.num_blocks() == 16
     assert sorted(r["k"] for r in c.take_all()) == list(range(5000))
+
+
+def test_global_cumsum_exact_and_layout_independent(rd):
+    """Distributed prefix scan matches numpy exactly regardless of input
+    block layout; integer inputs stay int64-exact."""
+    from featureengineer_ray import relational as rel
+
+    n = 20000
+    order = np.random.RandomState(3).permutation(n).astype(np.int64)
+    vals = (np.arange(n, dtype=np.int64) * 13) % 997
+    t = pa.table({"k": pa.array(order), "v": pa.array(vals[order])})
+    expect = np.cumsum(vals)  # in k order, v was defined on sorted k
+    for nblocks in (1, 7):
+        ds = rd.from_arrow(t).repartition(nblocks)
+        out = rel.global_cumsum(ds, "v", order_col="k",
+                                target_rows_per_part=4000).to_pandas()
+        out = out.sort_values("k").reset_index(drop=True)
+        assert out["v_cumsum"].dtype.kind == "i"
+        assert np.array_equal(out["v_cumsum"].to_numpy(), expect)
