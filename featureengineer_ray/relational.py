@@ -456,6 +456,11 @@ def global_cumsum(ds, val_col: str, *, order_col: str,
     def scan_part(g: pd.DataFrame) -> pd.DataFrame:
         offs = ray.get(oref)
         g = g.sort_values(order_col, kind="stable")
+        if g[order_col].duplicated().any():
+            # among ties the cumsum order would depend on shuffle arrival
+            raise ValueError(
+                f"global_cumsum: duplicate {order_col!r} values — the "
+                "order column must be a unique global order")
         v = g[val_col].to_numpy()
         base = offs[int(g["__part"].iloc[0])]
         if np.issubdtype(v.dtype, np.integer):
