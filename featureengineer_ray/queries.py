@@ -1710,6 +1710,30 @@ ORDER BY n DESC, term LIMIT 100
 """
 
 
+def q_bigram_top_terms(sf_dir: str):
+    """Corpus bigram (n-gram LM) statistics: consecutive same-document
+    word pairs counted with map-side combine, one partial shuffle,
+    global top-50 by (count desc, bigram)."""
+    docs = _read(sf_dir, "documents", ["text"])
+    bf = text.bigram_frequencies(docs)
+    return relational.top_k(bf, 50, by=["n", "term"],
+                            descending=[True, False])
+
+
+SQL_BIGRAM_TOP = """
+WITH w AS (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+  FROM documents
+), b AS (
+  SELECT ws[i] || ' ' || ws[i + 1] AS term
+  FROM w, UNNEST(range(1, len(ws))) AS t(i)
+)
+SELECT term, CAST(count(*) AS BIGINT) AS n
+FROM b GROUP BY term
+ORDER BY n DESC, term LIMIT 50
+"""
+
+
 def q_word_rep_ratio(sf_dir: str):
     """Duplicate-word repetition ratio per document (Gopher-style
     quality signal): 1 - distinct/total words."""
@@ -2104,6 +2128,7 @@ QUERIES = {
     "whiten_dims": q_whiten_dims,
     "feature_stack_asof": q_feature_stack_asof,
     "vocab_top_terms": q_vocab_top_terms,
+    "bigram_top_terms": q_bigram_top_terms,
     "word_rep_ratio": q_word_rep_ratio,
     "doc_quality_flags": q_doc_quality_flags,
     "token_len_quantiles": q_token_len_quantiles,
@@ -2176,6 +2201,7 @@ ORACLE_SQL = {
     "whiten_dims": SQL_WHITEN_DIMS,
     "feature_stack_asof": SQL_FEATURE_STACK_ASOF,
     "vocab_top_terms": SQL_VOCAB_TOP,
+    "bigram_top_terms": SQL_BIGRAM_TOP,
     "word_rep_ratio": SQL_REP_RATIO,
     "doc_quality_flags": SQL_QUALITY_FLAGS,
     "token_len_quantiles": SQL_TOKEN_LEN_QUANTILES,

@@ -193,6 +193,37 @@ def term_frequencies(ds, text_col: str = "text",
     return relational.grouped_agg(partials, ["term"], {"n": ("n", "sum")})
 
 
+def bigram_frequencies(ds, text_col: str = "text",
+                       pattern: str = "[^a-z0-9]+"):
+    """Corpus bigram counts (n-gram LM statistics): word explode, join
+    consecutive same-document words with one Arrow C++ kernel
+    (``binary_join_element_wise``), map-side combine to (bigram, n)
+    partials, one partial-count shuffle — the all-to-all moves
+    O(unique bigrams × batches), never O(words)."""
+    from . import relational
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lowered = pc.utf8_lower(batch.column(text_col))
+        flat, doc_of, _ = _split_words(lowered, pattern)
+        empty = pa.table({"term": pa.array([], type=pa.string()),
+                          "n": pa.array([], type=pa.int64())})
+        if len(flat) < 2:
+            return empty
+        left = pa.array(flat[:-1], type=pa.string())
+        right = pa.array(flat[1:], type=pa.string())
+        big = pc.binary_join_element_wise(left, right, " ")
+        big = big.filter(pa.array(doc_of[:-1] == doc_of[1:]))
+        if len(big) == 0:
+            return empty
+        uniq, counts = np.unique(
+            big.to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({"term": pa.array(uniq, type=pa.string()),
+                         "n": pa.array(counts.astype(np.int64))})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return relational.grouped_agg(partials, ["term"], {"n": ("n", "sum")})
+
+
 def _word_lists(batch: pa.Table, text_col: str,
                 pattern: str = "[^a-z0-9]+"):
     """Shared per-batch word explode: (flat words, doc index, word lens,
