@@ -1395,6 +1395,30 @@ LIMIT 1
 """
 
 
+def q_class_means(sf_dir: str):
+    """Per-class per-dim embedding means (LDA/WCCN class-means prep):
+    (label, dim) int64 fixed-point partial sums, one tiny shuffle."""
+    from . import vecops
+
+    emb = _read(sf_dir, "embeddings", ["embedding", "label"])
+    out = vecops.class_vector_means(emb, vec_col="embedding",
+                                    label_col="label")
+    return _select(out, ["label", "dim", "n", "mu"])
+
+
+SQL_CLASS_MEANS = """
+WITH e AS (
+  SELECT CAST(label AS BIGINT) AS label, t.i AS dim,
+         CAST(ROUND_EVEN(CAST(embedding[t.i] AS DOUBLE) * 1048576.0, 0)
+              AS BIGINT) AS q
+  FROM embeddings, generate_series(1, 64) AS t(i)
+)
+SELECT label, CAST(dim AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n,
+       (CAST(sum(q) AS DOUBLE) / 1048576.0) / count(*) AS mu
+FROM e GROUP BY label, dim
+"""
+
+
 def q_whiten_dims(sf_dir: str):
     """Per-dimension standardization of the embedding column (M10's
     global-stats-then-apply shape, SQL-checkable diagonal case)."""
@@ -2126,6 +2150,7 @@ QUERIES = {
     "det_curve": q_det_curve,
     "eer_summary": q_eer_summary,
     "whiten_dims": q_whiten_dims,
+    "class_means": q_class_means,
     "feature_stack_asof": q_feature_stack_asof,
     "vocab_top_terms": q_vocab_top_terms,
     "bigram_top_terms": q_bigram_top_terms,
@@ -2199,6 +2224,7 @@ ORACLE_SQL = {
     "det_curve": SQL_DET_CURVE,
     "eer_summary": SQL_EER,
     "whiten_dims": SQL_WHITEN_DIMS,
+    "class_means": SQL_CLASS_MEANS,
     "feature_stack_asof": SQL_FEATURE_STACK_ASOF,
     "vocab_top_terms": SQL_VOCAB_TOP,
     "bigram_top_terms": SQL_BIGRAM_TOP,

@@ -150,3 +150,54 @@ def standardize_dims(ds, *, id_col: str, vec_col: str):
 
     return ds.map_batches(_Standardize, batch_format="pyarrow",
                           concurrency=(1, 8))
+
+
+def class_vector_means(ds, *, vec_col: str, label_col: str,
+                       q_bits: int = 20):
+    """Per-class per-dimension vector means — the LDA/WCCN class-means
+    prep (reference per-model mean i-vectors, IVector.py:849-850,
+    1336-1343). Each batch folds its vectors into (label, dim) int64
+    partial sums — power-of-two fixed-point (2^q_bits) quantization makes
+    the fold order-independent-exact at any layout — then one tiny
+    partial shuffle merges and finalizes mu = (sum/2^q)/n. Emits
+    (label, dim[1-based], n, mu)."""
+    from . import relational
+
+    scale = float(1 << q_bits)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mat = _stack(batch, vec_col)            # (n, d) float64
+        q = np.rint(mat * scale).astype(np.int64)
+        labels = batch.column(label_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        d = q.shape[1]
+        sums = np.zeros((len(uniq), d), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        lab = np.repeat(uniq, d)
+        dim = np.tile(np.arange(1, d + 1, dtype=np.int64), len(uniq))
+        return pa.table({
+            "label": pa.array(lab),
+            "dim": pa.array(dim),
+            "s": pa.array(sums.reshape(-1)),
+            "n": pa.array(np.repeat(counts, d)),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    agg = relational.grouped_agg(partials, ["label", "dim"],
+                                 {"s": ("s", "sum"), "n": ("n", "sum")})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        s = batch.column("s").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        n = batch.column("n").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        return pa.table({
+            "label": batch.column("label"),
+            "dim": batch.column("dim"),
+            "n": batch.column("n").cast(pa.int64()),
+            "mu": pa.array((s / scale) / n),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
