@@ -1419,6 +1419,22 @@ FROM e GROUP BY label, dim
 """
 
 
+def q_lda_project(sf_dir: str):
+    """LDA lifecycle (the reference's LDA/WCCN rotation,
+    IVector.py:1336-1343): fit the Fisher projection from streaming
+    per-class scatter partials, then broadcast-project every embedding
+    to 8 dims. Rows-only (eig is not SQL-expressible); lda_fit itself is
+    numpy-oracle-checked in tests/test_vecops.py."""
+    from . import vecops
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    mat = vecops.lda_fit(emb, vec_col="embedding", label_col="label",
+                         out_dim=8)
+    emb2 = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = vecops.project(emb2, mat, vec_col="embedding", out_col="lda_vec")
+    return _select(out, ["vec_id", "lda_vec"])
+
+
 def q_whiten_dims(sf_dir: str):
     """Per-dimension standardization of the embedding column (M10's
     global-stats-then-apply shape, SQL-checkable diagonal case)."""
@@ -2150,6 +2166,7 @@ QUERIES = {
     "det_curve": q_det_curve,
     "eer_summary": q_eer_summary,
     "whiten_dims": q_whiten_dims,
+    "lda_project": q_lda_project,
     "class_means": q_class_means,
     "feature_stack_asof": q_feature_stack_asof,
     "vocab_top_terms": q_vocab_top_terms,

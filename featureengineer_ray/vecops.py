@@ -201,3 +201,74 @@ def class_vector_means(ds, *, vec_col: str, label_col: str,
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def lda_fit(ds, *, vec_col: str, label_col: str, out_dim: int,
+            shrink: float = 1e-6) -> np.ndarray:
+    """Fisher LDA projection matrix (d × out_dim) — the reference's
+    LDA/WCCN rotation trainer (IVector.py:1336-1343, get_lda_matrix
+    shape) as ONE streaming pass of per-class scatter partials.
+
+    Each batch folds (per class) count, Σx and one global ΣxᵀX — only
+    (k·d + d² + k) numbers leave a batch. The driver assembles
+    within-class scatter Sw = Σxᵀx − Σ_c n_c·μ_cμ_cᵀ and between-class
+    Sb = Σ_c n_c·(μ_c−μ)(μ_c−μ)ᵀ, whitens Sw (Cholesky, shrinkage on
+    the diagonal), and eig-decomposes the whitened Sb; eigenvector sign
+    fixed by the max-|component| convention so the matrix is
+    deterministic."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = _stack(batch, vec_col)
+        labels = batch.column(label_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        d = v.shape[1]
+        sums = np.zeros((len(uniq), d), dtype=np.float64)
+        np.add.at(sums, inv, v)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            "lab": pa.array(uniq),
+            "cnt": pa.array(counts),
+            "s": _list_col(sums),
+            "ss": _list_col(np.vstack([(v.T @ v).reshape(-1)]
+                                      + [np.zeros(d * d)] *
+                                      (len(uniq) - 1))),
+        })
+
+    cls_n: dict[int, int] = {}
+    cls_s: dict[int, np.ndarray] = {}
+    ss = None
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        labs = b.column("lab").to_numpy(zero_copy_only=False)
+        cnts = b.column("cnt").to_numpy(zero_copy_only=False)
+        for i in range(b.num_rows):
+            lab = int(labs[i])
+            sv = np.asarray(b.column("s")[i].as_py(), dtype=np.float64)
+            cls_n[lab] = cls_n.get(lab, 0) + int(cnts[i])
+            cls_s[lab] = cls_s.get(lab, 0) + sv
+            qv = np.asarray(b.column("ss")[i].as_py(), dtype=np.float64)
+            ss = qv if ss is None else ss + qv
+    if not cls_n:
+        raise ValueError("lda_fit over an empty dataset")
+    d = len(next(iter(cls_s.values())))
+    n = sum(cls_n.values())
+    mu = sum(cls_s.values()) / n
+    sw = ss.reshape(d, d).copy()
+    sb = np.zeros((d, d))
+    for lab in sorted(cls_n):
+        nc, mc = cls_n[lab], cls_s[lab] / cls_n[lab]
+        sw -= nc * np.outer(mc, mc)
+        sb += nc * np.outer(mc - mu, mc - mu)
+    sw += shrink * np.trace(sw) / d * np.eye(d)
+    L = np.linalg.cholesky(sw)
+    li = np.linalg.inv(L)
+    m = li @ sb @ li.T
+    w, vecs = np.linalg.eigh((m + m.T) / 2.0)
+    top = vecs[:, np.argsort(w)[::-1][:out_dim]]
+    proj = li.T @ top                       # (d, out_dim)
+    # deterministic sign: max-|component| of each column positive
+    sign = np.sign(proj[np.abs(proj).argmax(axis=0),
+                        np.arange(proj.shape[1])])
+    sign[sign == 0] = 1.0
+    return proj * sign

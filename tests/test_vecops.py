@@ -156,3 +156,49 @@ def test_kmeans_converges_and_resumes(rd, vec_df, tmp_path):
     c_again, _ = iterfit.kmeans_fit(
         factory, vec_col="embedding", k=5, iters=3, ckpt_dir=ck2)
     np.testing.assert_allclose(c_again, c_full, rtol=1e-12)
+
+
+def test_lda_fit_matches_numpy_oracle(rd):
+    """Distributed scatter partials == direct numpy LDA on the same data;
+    projection separates the planted classes."""
+    import numpy as np
+    import pyarrow as pa
+
+    from featureengineer_ray import vecops
+
+    rng = np.random.RandomState(11)
+    d, per = 12, 120
+    centers = rng.randn(3, d) * 4.0
+    X = np.vstack([centers[c] + rng.randn(per, d) for c in range(3)])
+    y = np.repeat(np.arange(3), per)
+    t = pa.table({"vec_id": pa.array(np.arange(len(y), dtype=np.int64)),
+                  "embedding": vecops._list_col(X),
+                  "label": pa.array(y.astype(np.int64))})
+    got = vecops.lda_fit(rd.from_arrow(t).repartition(5),
+                         vec_col="embedding", label_col="label", out_dim=2)
+
+    # direct oracle, identical math on the driver
+    mu = X.mean(axis=0)
+    sw = np.zeros((d, d)); sb = np.zeros((d, d))
+    for c in range(3):
+        xc = X[y == c]; mc = xc.mean(axis=0)
+        sw += (xc - mc).T @ (xc - mc)
+        sb += len(xc) * np.outer(mc - mu, mc - mu)
+    sw += 1e-6 * np.trace(sw) / d * np.eye(d)
+    L = np.linalg.cholesky(sw); li = np.linalg.inv(L)
+    m = li @ sb @ li.T
+    w, vecs = np.linalg.eigh((m + m.T) / 2.0)
+    proj = li.T @ vecs[:, np.argsort(w)[::-1][:2]]
+    sign = np.sign(proj[np.abs(proj).argmax(axis=0), np.arange(2)])
+    sign[sign == 0] = 1.0
+    exp = proj * sign
+    np.testing.assert_allclose(got, exp, rtol=1e-8, atol=1e-10)
+
+    # projected class centroids are far apart vs within-class spread
+    Z = X @ got
+    cent = np.array([Z[y == c].mean(axis=0) for c in range(3)])
+    within = max(np.linalg.norm(Z[y == c] - cent[c], axis=1).mean()
+                 for c in range(3))
+    between = min(np.linalg.norm(cent[a] - cent[b])
+                  for a in range(3) for b in range(a + 1, 3))
+    assert between > 3 * within
