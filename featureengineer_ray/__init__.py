@@ -18,14 +18,15 @@ __version__ = "0.2.0"
 #                 feature_stack, feature_stack_late
 #   partition   — plan_partitions, estimate_rows, hash_shuffle_width
 #   relational  — broadcast_join, semi_join, grouped_agg, grouped_top_k,
-#                 top_k, global_rank
+#                 top_k, global_rank, global_cumsum (distributed prefix scan)
 #   dedup       — exact_dedup, minhash_*, verify_jaccard_distributed,
 #                 simhash64, simhash_near_dup_pairs, embedding_near_dup_pairs
 #   knn         — brute_force_topk, ivf_topk, ivf_build, ivf_search
 #   vecops      — project, whiten, vector_moments, length_norm,
-#                 standardize_dims
+#                 standardize_dims, class_vector_means, lda_fit
 #   metrics     — det_curve, eer_summary, write_metrics_artifact
 #   iterfit     — kmeans_fit, kmeans_assign (EM lifecycle + checkpoints)
-#   text        — Tokenizer, LangIdQuality, doc_stats_batch, fingerprint_batch
+#   text        — Tokenizer, LangIdQuality, doc_stats_batch,
+#                 fingerprint_batch, clean_text_batch, bigram_frequencies
 #   multimodal  — media_pipeline, MediaResizer, FrameSampler
 #   lineage     — write_feature_stack (resumable partitioned sink)
