@@ -2119,6 +2119,216 @@ ASOF LEFT JOIN f ON p.user_id = f.user_id AND p.ts >= f.ts
 """
 
 
+def _knuth_bucket(ids: np.ndarray, mod: int, salt: int = 0) -> np.ndarray:
+    """Deterministic bucket in [0, mod) from an int id — EXACTLY mirrored by
+    the HUGEINT expression in SQL (two multiplicative-hash rounds mod 2^32;
+    uint64 wraparound is exact because 2^32 divides 2^64). Vectorized: no
+    per-row Python, unlike the md5-parity path in q_sample_per_user."""
+    u32 = np.uint64(1 << 32)
+    with np.errstate(over="ignore"):
+        h = ((ids.astype(np.uint64) + np.uint64(salt))
+             * np.uint64(2654435761)) % u32
+        h = (h * np.uint64(2246822519) + np.uint64(3266489917)) % u32
+    return (h % np.uint64(mod)).astype(np.int64)
+
+
+def _sql_bucket(id_expr: str, mod: int, salt: int = 0) -> str:
+    return (f"((CAST({id_expr} + {salt} AS HUGEINT) * 2654435761) "
+            f"% 4294967296 * 2246822519 + 3266489917) "
+            f"% 4294967296 % {mod}")
+
+
+def q_train_val_split(sf_dir: str):
+    """Deterministic train/val/test split assignment (80/10/10) by a
+    content-independent id hash — the standard holdout protocol for a
+    training corpus. Split follows the document forever (stable across
+    re-runs, cluster sizes, and corpus growth); output is the per
+    (split, source) audit table. One partial-count shuffle."""
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        b = _knuth_bucket(ids, 1000)
+        split = np.where(b < 800, "train", np.where(b < 900, "val", "test"))
+        return pa.table({
+            "split": pa.array(split, type=pa.string()),
+            "source": batch.column("source"),
+            "n_chars": batch.column("n_chars"),
+        })
+
+    out = relational.grouped_agg(
+        docs.map_batches(assign, batch_format="pyarrow"),
+        ["split", "source"], {"sum_chars": ("n_chars", "sum")},
+        count_alias="n_docs")
+    return _select(out, ["split", "source", "n_docs", "sum_chars"])
+
+
+SQL_TRAIN_VAL_SPLIT = f"""
+WITH b AS (
+  SELECT source, n_chars, {_sql_bucket('doc_id', 1000)} AS bucket
+  FROM documents)
+SELECT CASE WHEN bucket < 800 THEN 'train'
+            WHEN bucket < 900 THEN 'val' ELSE 'test' END AS split,
+       source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM b GROUP BY 1, 2
+"""
+
+
+_MIXTURE_PERMILLE = {f"src{i}": 1000 - 100 * i for i in range(10)}
+
+
+def q_corpus_mixture(sf_dir: str):
+    """Weighted corpus-mixture sampling: each source is down-sampled to a
+    per-source permille rate by the same deterministic id hash (salt 7).
+    The training-data 'mixture weights' op — e.g. keep 100% of src0 but
+    10% of src9 — with a per-source audit of kept vs total. Selection is
+    a stateless vectorized filter (no shuffle); the audit is one
+    partial-count exchange."""
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    rates = _MIXTURE_PERMILLE
+
+    def flag(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        b = _knuth_bucket(ids, 1000, salt=7)
+        src = batch.column("source").to_numpy(zero_copy_only=False)
+        rate = np.array([rates.get(s, 0) for s in src], dtype=np.int64)
+        keep = (b < rate).astype(np.int64)
+        nch = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "source": batch.column("source"),
+            "kept": pa.array(keep),
+            "kept_chars": pa.array(keep * nch.astype(np.int64)),
+        })
+
+    out = relational.grouped_agg(
+        docs.map_batches(flag, batch_format="pyarrow"),
+        ["source"], {"n_kept": ("kept", "sum"),
+                     "kept_chars": ("kept_chars", "sum")},
+        count_alias="n_total")
+    return _select(out, ["source", "n_total", "n_kept", "kept_chars"])
+
+
+_SQL_MIXTURE_CASE = " ".join(
+    f"WHEN '{s}' THEN {r}" for s, r in _MIXTURE_PERMILLE.items())
+
+SQL_CORPUS_MIXTURE = f"""
+WITH b AS (
+  SELECT source, n_chars, {_sql_bucket('doc_id', 1000, salt=7)} AS bucket,
+         CASE source {_SQL_MIXTURE_CASE} ELSE 0 END AS rate
+  FROM documents)
+SELECT source, count(*) AS n_total,
+       CAST(sum(CASE WHEN bucket < rate THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(sum(CASE WHEN bucket < rate THEN n_chars ELSE 0 END) AS BIGINT)
+         AS kept_chars
+FROM b GROUP BY source
+"""
+
+
+def q_asof_forward(sf_dir: str):
+    """FORWARD as-of join (next event at-or-after the as-of point): the
+    time-mirror of J9, run through the SAME backward engine kernel on
+    negated microsecond timestamps — one all-to-all, no new kernel.
+    Ties (equal event ts) resolve to the larger event_id, spelled out
+    explicitly in the oracle's window ordering."""
+    ev = _click_events(sf_dir)
+    sp = _purchase_spine(sf_dir)
+
+    def ev_neg(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return batch.append_column("ts_neg", pa.array(-ts))
+
+    def sp_neg(batch: pa.Table) -> pa.Table:
+        ts = batch.column("as_of_ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        # the engine republishes the spine join column AS "as_of_ts", so
+        # the negated column replaces (not shadows) the original
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "spine_event_id": batch.column("spine_event_id"),
+            "as_of_neg": pa.array(-ts),
+        })
+
+    out = engine.asof_join(
+        ev.map_batches(ev_neg, batch_format="pyarrow"),
+        sp.map_batches(sp_neg, batch_format="pyarrow"),
+        key="user_id", ts="ts_neg", spine_ts="as_of_neg",
+        value_cols=["value", "ts"], tiebreak="event_id")
+
+    def rename(batch: pa.Table) -> pa.Table:
+        neg = batch.column("as_of_ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "as_of_ts": pa.array(-neg).cast(pa.timestamp("us")),
+            "spine_event_id": batch.column("spine_event_id"),
+            "value": batch.column("value"),
+            "matched_ts": batch.column("ts"),
+        })
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+SQL_ASOF_FORWARD = """
+SELECT user_id, as_of_ts, spine_event_id, value, matched_ts FROM (
+  SELECT p.user_id, p.ts AS as_of_ts, p.event_id AS spine_event_id,
+         c.value AS value, c.ts AS matched_ts,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY c.ts, c.event_id DESC) AS rn
+  FROM (SELECT user_id, ts, event_id FROM events
+        WHERE event_type='purchase') p
+  LEFT JOIN (SELECT user_id, ts, value, event_id FROM events
+             WHERE event_type='click') c
+    ON p.user_id = c.user_id AND c.ts >= p.ts
+) WHERE rn = 1
+"""
+
+
+def q_approx_distinct_users(sf_dir: str):
+    """HyperLogLog approximate COUNT(DISTINCT user_id) per event_type —
+    the A8 scale path: fixed 2^14-byte registers per (group, batch) enter
+    the shuffle instead of the id stream. No SQL oracle (approximate);
+    tests/test_sketches.py bounds the relative error vs the exact count."""
+    from . import sketches
+
+    ev = _events(sf_dir, cols=("user_id", "event_type"))
+    out = sketches.approx_distinct(ev, ["event_type"], "user_id", p=14)
+    return _select(out, ["event_type", "approx_n"])
+
+
+def q_heavy_hitters_terms(sf_dir: str):
+    """Two-pass certified heavy hitters: per-block term counts truncated
+    to a bounded local top-m (shuffle ≤ m rows/block regardless of
+    vocabulary size), Misra-Gries-style undercount bound, then an EXACT
+    recount of the surviving candidates against a broadcast set. The
+    result equals the exact top-20 whenever the certificate holds — it
+    does on this corpus, so the DuckDB oracle is the plain exact top-20."""
+    from . import sketches
+
+    docs = _read(sf_dir, "documents", ["text"])
+    partials = text.term_frequencies_partials(docs)
+    top, certified = sketches.heavy_hitters(partials, 20, local_m=4096)
+    if not certified:  # surface loudly rather than return a wrong top-k
+        raise RuntimeError("heavy_hitters certificate failed; "
+                           "raise local_m")
+    return _select(top, ["term", "n"])
+
+
+SQL_HEAVY_HITTERS = """
+WITH w AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+                                                  '[^a-z0-9]+'),
+                            x -> x <> '')) AS term
+  FROM documents
+)
+SELECT term, COUNT(*) AS n FROM w GROUP BY term
+ORDER BY n DESC, term LIMIT 20
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2195,6 +2405,11 @@ QUERIES = {
     "knn_ivf": q_knn_ivf,
     "knn_ivf_index": q_knn_ivf_index,
     "embedding_near_dup": q_embedding_near_dup,
+    "train_val_split": q_train_val_split,
+    "corpus_mixture": q_corpus_mixture,
+    "asof_forward": q_asof_forward,
+    "approx_distinct_users": q_approx_distinct_users,
+    "heavy_hitters_terms": q_heavy_hitters_terms,
     "flagship_token_stack": flagship_token_stack,
 }
 
@@ -2253,4 +2468,8 @@ ORACLE_SQL = {
     "price_quantile_bins": SQL_PRICE_BINS,
     "tfidf_top_term": SQL_TFIDF_TOP,
     "contamination": SQL_CONTAMINATION,
+    "train_val_split": SQL_TRAIN_VAL_SPLIT,
+    "corpus_mixture": SQL_CORPUS_MIXTURE,
+    "asof_forward": SQL_ASOF_FORWARD,
+    "heavy_hitters_terms": SQL_HEAVY_HITTERS,
 }

@@ -1,0 +1,212 @@
+"""Mergeable sketches for cardinality and frequency at 100 TB scale.
+
+Exact `distinct_users_per_type` (A8) and `vocab_top_terms` (A4-over-text)
+shuffle one row per distinct value — fine while distincts fit a shuffle,
+wrong when the distinct set itself is web-scale (billions of unique terms /
+ids). These are the bounded-state alternatives:
+
+- **HyperLogLog** (`approx_distinct`): per-batch 2^p-byte register arrays,
+  merged with an element-wise max — the all-to-all moves
+  O(groups × batches) fixed-size register rows, never the value stream.
+  Flajolet et al. 2007 + the small-range linear-counting correction.
+- **Two-pass heavy hitters** (`heavy_hitters`): pass 1 truncates each
+  block's exact counts to its local top-m ("lossy" SpaceSaving-style
+  partials, shuffle bounded to m rows per block) and keeps each block's
+  dropped-tail bound; candidates whose partial sum + total possible
+  undercount still reaches the provisional k-th count are recounted
+  EXACTLY in pass 2 against a broadcast candidate set. Output is exact
+  top-k whenever the per-block bound certifies the candidate set (the
+  usual Misra-Gries/SpaceSaving merge guarantee), and the certificate is
+  returned so callers can assert it.
+
+Reference parity: the reference's statistics accumulators are exact
+gathers (SURVEY.md §2.7 A1-A8, `mpiIV.py` partial reduce); the sketches
+are the beyond-reference scale path for the same questions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from . import hashing
+
+# --- HyperLogLog ----------------------------------------------------------
+
+_ALPHA = {4: 0.673, 5: 0.697, 6: 0.709}
+
+
+def _alpha(m: int) -> float:
+    return _ALPHA.get(int(np.log2(m)), 0.7213 / (1 + 1.079 / m))
+
+
+def _bit_length_u64(v: np.ndarray) -> np.ndarray:
+    """Vectorized exact bit_length for uint64 (binary-search shifts, no
+    float log2 — float64 is inexact near 2^53+)."""
+    v = v.copy()
+    bl = np.zeros(v.shape, dtype=np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        m = v >= np.uint64(1 << s)
+        bl[m] += s
+        v = np.where(m, v >> np.uint64(s), v)
+    return bl + v.astype(np.int64)  # +1 where the residual bit is set
+
+
+def hll_partial(h: np.ndarray, p: int = 14) -> np.ndarray:
+    """Register array (uint8[2^p]) for one batch of 64-bit hashes."""
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    if len(h) == 0:
+        return regs
+    h = np.asarray(h, dtype=np.uint64)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    # rank (1-based) of the first set bit in the remaining 64-p bits
+    rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)  # pad tail with 1s
+    nbits = (64 - _bit_length_u64(rest) + 1).astype(np.uint8)
+    np.maximum.at(regs, idx, nbits)
+    return regs
+
+
+def hll_merge(regs: np.ndarray) -> np.ndarray:
+    """Merge a (k, m) stack of register arrays: element-wise max."""
+    return np.maximum.reduce(np.asarray(regs, dtype=np.uint8), axis=0)
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Cardinality estimate with linear-counting small-range correction."""
+    m = len(regs)
+    regs = np.asarray(regs, dtype=np.float64)
+    est = _alpha(m) * m * m / np.sum(np.exp2(-regs))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros > 0:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+def approx_distinct(ds, group_cols: list[str], value_col: str,
+                    p: int = 14, seed: int = 0):
+    """Approximate COUNT(DISTINCT value) per group via mergeable HLL.
+
+    map_batches emits one (group, registers) row per group per batch
+    (2^p bytes each); one tiny groupby merges registers with max and
+    estimates. The raw value stream never enters the shuffle — this is
+    the A8 scale path when distincts don't fit an exact exchange.
+    Standard error ≈ 1.04/sqrt(2^p) (~0.8% at p=14).
+    """
+    m = 1 << p
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = hashing.hash_pa_array(batch.column(value_col), seed=seed)
+        keys = [batch.column(c) for c in group_cols]
+        # group rows of this batch by the group_cols tuple
+        import pandas as pd
+
+        kdf = pd.DataFrame({c: k.to_pandas() for c, k in zip(group_cols, keys)})
+        codes, uniques = pd.factorize(
+            pd.MultiIndex.from_frame(kdf) if len(group_cols) > 1
+            else kdf[group_cols[0]], sort=False)
+        out_keys: dict[str, list] = {c: [] for c in group_cols}
+        out_regs = []
+        for g in range(len(uniques)):
+            regs = hll_partial(h[codes == g], p)
+            if len(group_cols) > 1:
+                for c, v in zip(group_cols, uniques[g]):
+                    out_keys[c].append(v)
+            else:
+                out_keys[group_cols[0]].append(uniques[g])
+            out_regs.append(regs)
+        cols = {c: pa.array(out_keys[c]) for c in group_cols}
+        cols["__regs"] = pa.array(
+            [r.tobytes() for r in out_regs], type=pa.binary(m))
+        return pa.table(cols)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def finalize(group: pa.Table) -> pa.Table:
+        stack = np.stack([np.frombuffer(b, dtype=np.uint8)
+                          for b in group.column("__regs").to_pylist()])
+        est = hll_estimate(hll_merge(stack))
+        cols = {c: group.column(c).slice(0, 1) for c in group_cols}
+        cols["approx_n"] = pa.array([int(round(est))], type=pa.int64())
+        return pa.table(cols)
+
+    return partials.groupby(group_cols).map_groups(
+        finalize, batch_format="pyarrow")
+
+
+# --- two-pass heavy hitters ----------------------------------------------
+
+
+def heavy_hitters(term_partials, k: int, *, local_m: int = 4096,
+                  term_col: str = "term", count_col: str = "n"):
+    """Exact-when-certified top-k over an unbounded term domain.
+
+    ``term_partials``: Dataset of per-block (term, n) EXACT partial counts
+    (e.g. `text.term_frequencies`' map side). Pass 1 truncates each block
+    to its top ``local_m`` terms and records the dropped-tail bound (the
+    local_m-th count); the shuffle therefore moves ≤ local_m rows per
+    block regardless of vocabulary size. Candidates that could still
+    reach the provisional k-th count (partial_sum + Σ per-block bounds)
+    are recounted exactly in pass 2 via a broadcast candidate set.
+
+    Returns (topk_dataset, certified): ``certified`` is True when the
+    Misra-Gries-style bound proves no dropped term can displace the k-th
+    — callers (and the pytest oracle) assert it on test data.
+    """
+    import ray
+
+    def truncate(batch: pa.Table) -> pa.Table:
+        n = batch.column(count_col).to_numpy(zero_copy_only=False)
+        if len(n) <= local_m:
+            bound = 0
+            keep = np.arange(len(n))
+        else:
+            order = np.argsort(-n, kind="stable")
+            keep = order[:local_m]
+            bound = int(n[order[local_m]])
+        out = batch.take(pa.array(keep, type=pa.int64()))
+        # bound carried on the FIRST row only, so Σ __bound over all rows
+        # is exactly Σ of one per-block dropped-tail bound
+        bcol = np.zeros(len(keep), dtype=np.int64)
+        if len(bcol):
+            bcol[0] = bound
+        return out.append_column("__bound", pa.array(bcol))
+
+    pass1 = term_partials.map_batches(truncate, batch_format="pyarrow")
+
+    # small driver-side reduce over the truncated partials (≤ m×blocks rows)
+    pdf = pass1.to_pandas()
+    if len(pdf) == 0:
+        empty = pa.table({term_col: pa.array([], type=pa.string()),
+                          count_col: pa.array([], type=pa.int64())})
+        return ray.data.from_arrow(empty), True
+    total_bound = int(pdf["__bound"].sum())
+    sums = (pdf.groupby(term_col, sort=False)[count_col].sum()
+            .sort_values(ascending=False, kind="stable"))
+    kth = int(sums.iloc[min(k, len(sums)) - 1]) if len(sums) else 0
+    cand = sums[sums + total_bound >= kth].index.to_numpy()
+    # Exactness certificate: partial sums are undercounts, so the
+    # provisional k-th ≤ the exact k-th. Any seen non-candidate's true
+    # count ≤ partial + total_bound < kth; any never-seen term's true
+    # count ≤ total_bound. Both displacement routes are closed iff:
+    certified = (total_bound == 0
+                 or (len(sums) >= k and total_bound < kth))
+
+    cand_ref = ray.put(np.sort(cand.astype(str)))
+
+    def recount(batch: pa.Table) -> pa.Table:
+        cands = ray.get(cand_ref)
+        terms = batch.column(term_col).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(cands, terms.astype(str))
+        pos = np.clip(pos, 0, len(cands) - 1)
+        mask = cands[pos] == terms.astype(str)
+        return batch.filter(pa.array(mask))
+
+    from . import relational
+
+    exact = relational.grouped_agg(
+        term_partials.map_batches(recount, batch_format="pyarrow"),
+        [term_col], {count_col: (count_col, "sum")})
+    top = relational.top_k(exact, k, by=[count_col, term_col],
+                           descending=[True, False])
+    return top, certified

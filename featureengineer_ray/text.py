@@ -168,16 +168,13 @@ class LangIdQuality:
         return out
 
 
-def term_frequencies(ds, text_col: str = "text",
-                     pattern: str = "[^a-z0-9]+"):
-    """Corpus vocabulary builder: lowercase word explode → map-side
-    combined term counts → one partial-count shuffle (A4-style grouped
-    sum re-expressed for text; the LLM-pipeline vocab/TF op).
-
-    Map side emits (term, n) PARTIALS — one row per distinct term per
-    batch, never one row per occurrence — so the all-to-all moves
-    O(unique terms × batches), not O(words)."""
-    from . import relational
+def term_frequencies_partials(ds, text_col: str = "text",
+                              pattern: str = "[^a-z0-9]+"):
+    """Map side of the vocabulary builder: (term, n) partial counts, one
+    row per distinct term per batch — never one row per occurrence — so
+    a downstream exchange moves O(unique terms × batches), not O(words).
+    Consumed by `term_frequencies` (exact) and `sketches.heavy_hitters`
+    (bounded-shuffle approximate/certified)."""
 
     def partial(batch: pa.Table) -> pa.Table:
         lowered = pc.utf8_lower(batch.column(text_col))
@@ -189,7 +186,17 @@ def term_frequencies(ds, text_col: str = "text",
         return pa.table({"term": pa.array(uniq, type=pa.string()),
                          "n": pa.array(counts.astype(np.int64))})
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return ds.map_batches(partial, batch_format="pyarrow")
+
+
+def term_frequencies(ds, text_col: str = "text",
+                     pattern: str = "[^a-z0-9]+"):
+    """Corpus vocabulary builder: lowercase word explode → map-side
+    combined term counts → one partial-count shuffle (A4-style grouped
+    sum re-expressed for text; the LLM-pipeline vocab/TF op)."""
+    from . import relational
+
+    partials = term_frequencies_partials(ds, text_col, pattern)
     return relational.grouped_agg(partials, ["term"], {"n": ("n", "sum")})
 
 
