@@ -2329,6 +2329,104 @@ ORDER BY n DESC, term LIMIT 20
 """
 
 
+def q_partitioned_roundtrip(sf_dir: str):
+    """Hive-partitioned sink + partition-pruned source (the S2/S6
+    resumable-output layout at query level): write events partitioned by
+    event_type, then read back ONLY the purchase partition's directory —
+    the pruned scan never opens the other partitions' files — and
+    aggregate. At 100 TB this is the shape every stage output takes:
+    one directory per key range, so a resumed run skips finished
+    partitions and downstream readers prune at the listing."""
+    import hashlib
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    ev = _events(sf_dir)
+    out_dir = "/tmp/fe_partrt_" + hashlib.md5(
+        sf_dir.encode()).hexdigest()[:8]
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ev.write_parquet(out_dir, partition_cols=["event_type"])
+
+    pruned = rd.read_parquet(os.path.join(out_dir, "event_type=purchase"),
+                             columns=["user_id", "value"])
+    out = relational.grouped_agg(
+        pruned, ["user_id"], {"value_sum": ("value", "sum")},
+        count_alias="n_events")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        v = batch.column("value_sum").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "n_events": batch.column("n_events"),
+            "value_sum": pa.array(np.round(v, 6)),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_PARTITIONED_ROUNDTRIP = """
+SELECT user_id, count(*) AS n_events,
+       ROUND_EVEN(sum(value), 6) AS value_sum
+FROM events WHERE event_type = 'purchase'
+GROUP BY user_id
+"""
+
+
+def q_rank_events_per_user(sf_dir: str):
+    """Per-group window ranks: row_number over (ts, event_id), SQL-exact
+    NTILE(4) over the same order, dense_rank over value — the O1/O2
+    ordering family as per-entity window functions. Vectorized argsort
+    per group inside map_groups; one hash exchange."""
+    ev = _events(sf_dir, cols=("event_id", "ts", "user_id", "value"))
+
+    def ranks(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        val = group.column("value").to_numpy(zero_copy_only=False)
+        n = len(ts)
+        order = np.lexsort((eid, ts))
+        rn = np.empty(n, dtype=np.int64)
+        rn[order] = np.arange(1, n + 1)
+        # SQL NTILE: first (n % 4) buckets get size+1 rows
+        size, rem = divmod(n, 4)
+        pos = rn - 1
+        big = rem * (size + 1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tile = np.where(
+                pos < big,
+                pos // max(size + 1, 1),
+                rem + np.where(size > 0, (pos - big) // max(size, 1), 0))
+        tile = tile.astype(np.int64) + 1
+        # dense_rank over value ascending
+        uniq = np.unique(val)
+        dr = np.searchsorted(uniq, val) + 1
+        return pa.table({
+            "event_id": group.column("event_id"),
+            "user_id": group.column("user_id"),
+            "rn": pa.array(rn),
+            "tile4": pa.array(tile),
+            "value_dense_rank": pa.array(dr.astype(np.int64)),
+        })
+
+    out = ev.groupby("user_id").map_groups(ranks, batch_format="pyarrow")
+    return _select(out, ["event_id", "user_id", "rn", "tile4",
+                         "value_dense_rank"])
+
+
+SQL_RANK_EVENTS = """
+SELECT event_id, user_id,
+       row_number() OVER w AS rn,
+       ntile(4) OVER w AS tile4,
+       dense_rank() OVER (PARTITION BY user_id ORDER BY value)
+         AS value_dense_rank
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2410,6 +2508,8 @@ QUERIES = {
     "asof_forward": q_asof_forward,
     "approx_distinct_users": q_approx_distinct_users,
     "heavy_hitters_terms": q_heavy_hitters_terms,
+    "partitioned_roundtrip": q_partitioned_roundtrip,
+    "rank_events_per_user": q_rank_events_per_user,
     "flagship_token_stack": flagship_token_stack,
 }
 
@@ -2472,4 +2572,6 @@ ORACLE_SQL = {
     "corpus_mixture": SQL_CORPUS_MIXTURE,
     "asof_forward": SQL_ASOF_FORWARD,
     "heavy_hitters_terms": SQL_HEAVY_HITTERS,
+    "partitioned_roundtrip": SQL_PARTITIONED_ROUNDTRIP,
+    "rank_events_per_user": SQL_RANK_EVENTS,
 }
