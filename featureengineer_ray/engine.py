@@ -431,8 +431,10 @@ class _AsofKernel:
         corrections: dict[int, SubCorrection] | None = None,
         exclude_feats: tuple[str, ...] = (),
         range_windows: dict[str, tuple[int, str | None]] | None = None,
+        direction: str = "backward",
     ):
         self.key, self.ts, self.tiebreak = key, ts, tiebreak
+        self.direction = direction
         self.value_cols = value_cols
         self.spine_cols = spine_cols
         self.tolerance_us = tolerance_us
@@ -539,9 +541,22 @@ class _AsofKernel:
         sp_codes, present = kernels.map_keys_to_codes(part.uniques, sp_keys)
         sp_ts = sp_tbl.column(self.ts).cast(pa.int64()).to_numpy(
             zero_copy_only=False)
-        idx, valid = kernels.asof_merge(
-            part.codes, part.ts, np.where(present, sp_codes, 0), sp_ts,
-            self.tolerance_us)
+        if self.direction == "nearest":
+            if corr is not None:
+                # hot-split ctx rows duplicate PRIOR events only; a
+                # nearest match near a sub boundary could need future
+                # rows from the next sub — refuse rather than be wrong
+                raise ValueError(
+                    "direction='nearest' is not supported on hot-split "
+                    "partitions (forward context is not duplicated); "
+                    "disable split_hot_keys for this join")
+            idx, valid = kernels.asof_merge_nearest(
+                part.codes, part.ts, np.where(present, sp_codes, 0),
+                sp_ts, self.tolerance_us)
+        else:
+            idx, valid = kernels.asof_merge(
+                part.codes, part.ts, np.where(present, sp_codes, 0), sp_ts,
+                self.tolerance_us)
         valid &= present
 
         out = sp_tbl.select(self.spine_cols)
@@ -831,7 +846,8 @@ def _union_schema(ev_schema: pa.Schema, sp_schema: pa.Schema,
 def _build_asof(
     events, spine, *, key, ts, spine_ts, value_cols, tolerance_us,
     tiebreak, dedup, spec, plan, exclude_feats,
-    range_windows: dict | None = None, **plan_kwargs,
+    range_windows: dict | None = None, direction: str = "backward",
+    **plan_kwargs,
 ):
     """Shared construction for asof_join and the resumable lineage sink:
     (tagged union dataset, per-partition kernel callable, plan)."""
@@ -868,7 +884,7 @@ def _build_asof(
         key, ts, tiebreak, value_cols=value_cols, spine_cols=spine_cols,
         tolerance_us=tolerance_us, spec=spec, dedup=dedup,
         corrections=corrections, exclude_feats=exclude_feats,
-        range_windows=range_windows)
+        range_windows=range_windows, direction=direction)
     return tagged, kern, plan
 
 
@@ -887,6 +903,7 @@ def asof_join(
     plan: PartitionPlan | None = None,
     exclude_feats: tuple[str, ...] = (),
     range_windows: dict[str, tuple[int, str | None]] | None = None,
+    direction: str = "backward",
     **plan_kwargs,
 ):
     """Point-in-time backward as-of join (optionally fused with windows
@@ -900,11 +917,18 @@ def asof_join(
     ``[as_of_ts − W, as_of_ts]`` per spine row — a true range/interval
     join fused into the same exchange.
     """
+    if direction not in ("backward", "nearest"):
+        raise ValueError("direction must be 'backward' or 'nearest' "
+                         "(forward = backward on negated ts; see "
+                         "queries.q_asof_forward)")
+    if direction == "nearest" and spec is not None:
+        raise ValueError("direction='nearest' cannot fuse trailing window "
+                         "features (they are backward-anchored)")
     tagged, kern, plan = _build_asof(
         events, spine, key=key, ts=ts, spine_ts=spine_ts,
         value_cols=value_cols, tolerance_us=tolerance_us, tiebreak=tiebreak,
         dedup=dedup, spec=spec, plan=plan, exclude_feats=exclude_feats,
-        range_windows=range_windows, **plan_kwargs)
+        range_windows=range_windows, direction=direction, **plan_kwargs)
 
     def asof_kernel(group: pa.Table) -> pa.Table:
         return kern(group)

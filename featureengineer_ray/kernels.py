@@ -471,6 +471,67 @@ def asof_merge(
     return idx, valid
 
 
+def asof_merge_nearest(
+    ev_codes: np.ndarray,
+    ev_ts: np.ndarray,
+    sp_codes: np.ndarray,
+    sp_ts: np.ndarray,
+    tolerance_us: int | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """NEAREST as-of: for each spine row, the same-code event minimizing
+    |ev_ts − sp_ts|; distance ties prefer the backward (≤) candidate.
+
+    Tie rule within a side (several events at the winning ts): backward
+    takes the LAST in (code, ts, tiebreak) sort order, forward the FIRST
+    — i.e. max tiebreak looking back, min tiebreak looking forward —
+    matching the two directional primitives it composes. Same composite
+    searchsorted machinery as `asof_merge`, one extra binary search."""
+    n = len(ev_codes)
+    if n == 0:
+        return (np.full(len(sp_codes), -1, dtype=np.int64),
+                np.zeros(len(sp_codes), dtype=bool))
+    idxb, validb = asof_merge(ev_codes, ev_ts, sp_codes, sp_ts, None)
+    all_min = min(int(ev_ts.min()), int(sp_ts.min()) if len(sp_ts) else 0)
+    ev_rel = ev_ts - all_min
+    sp_rel = sp_ts - all_min
+    span = max(int(ev_rel.max()), int(sp_rel.max()) if len(sp_rel) else 0)
+    off = np.int64(span + 2)
+    max_code = int(max(ev_codes.max(), sp_codes.max() if len(sp_codes) else 0))
+    if (max_code + 1) * int(off) >= (1 << 62):
+        idxf, validf = _asof_merge_fwd_segmented(ev_codes, ev_ts,
+                                                 sp_codes, sp_ts)
+    else:
+        comp_ev = ev_codes * off + ev_rel
+        comp_sp = sp_codes * off + sp_rel
+        idxf = np.searchsorted(comp_ev, comp_sp, side="left")
+        safe_f = np.minimum(idxf, n - 1)
+        validf = (idxf < n) & (ev_codes[safe_f] == sp_codes)
+    safe_b = np.maximum(idxb, 0)
+    safe_f = np.minimum(idxf, n - 1)
+    db = np.where(validb, sp_ts - ev_ts[safe_b], np.int64(1 << 62))
+    df = np.where(validf, ev_ts[safe_f] - sp_ts, np.int64(1 << 62))
+    use_b = validb & (db <= df)
+    idx = np.where(use_b, idxb, idxf)
+    valid = validb | validf
+    if tolerance_us is not None:
+        valid &= np.minimum(db, df) <= tolerance_us
+    return np.where(valid, idx, -1), valid
+
+
+def _asof_merge_fwd_segmented(ev_codes, ev_ts, sp_codes, sp_ts):
+    seg_start = np.searchsorted(ev_codes, sp_codes, side="left")
+    seg_end = np.searchsorted(ev_codes, sp_codes, side="right")
+    idx = np.full(len(sp_codes), -1, dtype=np.int64)
+    for r in range(len(sp_codes)):  # rare fallback path
+        lo, hi = seg_start[r], seg_end[r]
+        if lo == hi:
+            continue
+        j = lo + np.searchsorted(ev_ts[lo:hi], sp_ts[r], side="left")
+        if j < hi:
+            idx[r] = j
+    return idx, idx >= 0
+
+
 def _asof_merge_segmented(ev_codes, ev_ts, sp_codes, sp_ts, tolerance_us):
     seg_start = np.searchsorted(ev_codes, sp_codes, side="left")
     seg_end = np.searchsorted(ev_codes, sp_codes, side="right")

@@ -2329,6 +2329,46 @@ ORDER BY n DESC, term LIMIT 20
 """
 
 
+def q_asof_nearest(sf_dir: str):
+    """NEAREST-direction as-of join (min |event_ts − as_of_ts|, 1h
+    tolerance): one exchange through the same fused kernel, one extra
+    binary search per spine row (kernels.asof_merge_nearest). Distance
+    ties prefer the backward candidate; within-side ties follow each
+    directional primitive (max event_id backward, min forward) — the
+    oracle spells out the full ordering."""
+    out = engine.asof_join(
+        _click_events(sf_dir), _purchase_spine(sf_dir),
+        key="user_id", ts="ts", value_cols=["value", "ts"],
+        tolerance_us=HOUR_US, tiebreak="event_id", direction="nearest")
+    return _select(out, ["user_id", "as_of_ts", "spine_event_id", "value",
+                         "matched_ts"])
+
+
+SQL_ASOF_NEAREST = """
+SELECT user_id, as_of_ts, spine_event_id,
+       CASE WHEN matched_ts IS NOT NULL
+                 AND abs(epoch_us(matched_ts) - epoch_us(as_of_ts))
+                     <= 3600000000 THEN value END AS value,
+       CASE WHEN matched_ts IS NOT NULL
+                 AND abs(epoch_us(matched_ts) - epoch_us(as_of_ts))
+                     <= 3600000000 THEN matched_ts END AS matched_ts
+FROM (
+  SELECT p.user_id, p.ts AS as_of_ts, p.event_id AS spine_event_id,
+         c.value AS value, c.ts AS matched_ts,
+         row_number() OVER (PARTITION BY p.event_id
+            ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)),
+                     (c.ts > p.ts),
+                     CASE WHEN c.ts > p.ts THEN c.event_id
+                          ELSE -c.event_id END) AS rn
+  FROM (SELECT user_id, ts, event_id FROM events
+        WHERE event_type='purchase') p
+  LEFT JOIN (SELECT user_id, ts, value, event_id FROM events
+             WHERE event_type='click') c
+    ON p.user_id = c.user_id
+) WHERE rn = 1
+"""
+
+
 def q_partitioned_roundtrip(sf_dir: str):
     """Hive-partitioned sink + partition-pruned source (the S2/S6
     resumable-output layout at query level): write events partitioned by
@@ -2510,6 +2550,7 @@ QUERIES = {
     "heavy_hitters_terms": q_heavy_hitters_terms,
     "partitioned_roundtrip": q_partitioned_roundtrip,
     "rank_events_per_user": q_rank_events_per_user,
+    "asof_nearest": q_asof_nearest,
     "flagship_token_stack": flagship_token_stack,
 }
 
@@ -2574,4 +2615,5 @@ ORACLE_SQL = {
     "heavy_hitters_terms": SQL_HEAVY_HITTERS,
     "partitioned_roundtrip": SQL_PARTITIONED_ROUNDTRIP,
     "rank_events_per_user": SQL_RANK_EVENTS,
+    "asof_nearest": SQL_ASOF_NEAREST,
 }

@@ -304,3 +304,54 @@ def test_rolling_large_window_fallback():
         np.testing.assert_allclose(
             got[stat], exp[f"val_roll_{stat}_200"].astype("float64").to_numpy(),
             rtol=1e-9, equal_nan=True, err_msg=stat)
+
+
+def test_asof_merge_nearest_vs_bruteforce():
+    """Nearest-direction merge vs a per-row brute force, covering distance
+    ties (backward preferred), within-side ts ties, tolerance, and codes
+    with no candidates on one side."""
+    rng = np.random.default_rng(42)
+    n_ev, n_sp = 400, 150
+    ev_codes = np.sort(rng.integers(0, 8, n_ev)).astype(np.int64)
+    # within each code, sorted (ts, tiebreak); duplicate ts on purpose
+    ev_ts = np.zeros(n_ev, dtype=np.int64)
+    for c in np.unique(ev_codes):
+        m = ev_codes == c
+        ev_ts[m] = np.sort(rng.integers(0, 50, m.sum()))
+    sp_codes = rng.integers(0, 10, n_sp).astype(np.int64)  # 8,9 = absent
+    sp_ts = rng.integers(-5, 55, n_sp).astype(np.int64)
+    order = np.argsort(sp_codes, kind="stable")
+    sp_codes, sp_ts = sp_codes[order], sp_ts[order]
+
+    for tol in (None, 3):
+        idx, valid = kernels.asof_merge_nearest(
+            ev_codes, ev_ts, sp_codes, sp_ts, tol)
+        for r in range(n_sp):
+            cand = np.flatnonzero(ev_codes == sp_codes[r])
+            if len(cand) == 0:
+                assert not valid[r]
+                continue
+            d = np.abs(ev_ts[cand] - sp_ts[r])
+            best = d.min()
+            if tol is not None and best > tol:
+                assert not valid[r], r
+                continue
+            assert valid[r], r
+            winners = cand[d == best]
+            back = winners[ev_ts[winners] <= sp_ts[r]]
+            # backward preferred on distance ties; last-in-order within
+            # backward, first-in-order within forward
+            expect = back[-1] if len(back) else winners[0]
+            assert idx[r] == expect, (r, idx[r], expect)
+
+
+def test_asof_merge_nearest_overflow_fallback():
+    """Huge code × span product forces the segmented forward fallback."""
+    ev_codes = np.array([0, 0, 10**9], dtype=np.int64)
+    ev_ts = np.array([0, 10**10, 5], dtype=np.int64)
+    sp_codes = np.array([0, 10**9, 7], dtype=np.int64)
+    sp_ts = np.array([10**9, 0, 0], dtype=np.int64)
+    idx, valid = kernels.asof_merge_nearest(ev_codes, ev_ts, sp_codes, sp_ts)
+    assert valid[0] and idx[0] == 0          # 1e9 closer to 0 than 1e10
+    assert valid[1] and idx[1] == 2          # forward-only candidate
+    assert not valid[2]                      # absent code
