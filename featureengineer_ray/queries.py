@@ -2467,6 +2467,52 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def q_global_percentiles_price(sf_dir: str):
+    """Exact global percentiles of l_extendedprice — the reference's
+    sorted-index lookups (DETsort rank → value, jyh/result.py:10-31,55-58)
+    done WITHOUT a full sort: 2 narrow scans + only the rank-holding
+    ranges pulled (relational.exact_percentiles)."""
+    li = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    return relational.exact_percentiles(
+        li, "l_extendedprice", [0.25, 0.5, 0.75, 0.9, 0.99])
+
+
+SQL_GLOBAL_PERCENTILES = """
+WITH ranked AS (
+  SELECT l_extendedprice AS value,
+         row_number() OVER (ORDER BY l_extendedprice) AS r,
+         count(*) OVER () AS n
+  FROM lineitem
+)
+SELECT t.q AS q, ranked.value AS value
+FROM (SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q) t
+JOIN ranked ON ranked.r = CAST(ceil(t.q * ranked.n) AS BIGINT)
+ORDER BY q
+"""
+
+
+def q_skew_join_events(sf_dir: str):
+    """Skew-aware large×large inner join: events.user_id is Zipf-hot, so
+    the head keys take the broadcast path (no shuffle) while the cold
+    tail takes the native hash join (relational.skew_join). Low
+    hot_row_threshold so BOTH paths run even at sf0.01."""
+    ev = _events(sf_dir, cols=("event_id", "user_id", "value"))
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_mktsegment"])
+    j = relational.skew_join(ev, cust, on="user_id", right_on="c_custkey",
+                             hot_row_threshold=100)
+    j = _round_cols(j, {"value": 6})
+    return _select(j, ["event_id", "user_id", "value", "c_nationkey",
+                       "c_mktsegment"])
+
+
+SQL_SKEW_JOIN = """
+SELECT event_id, user_id, ROUND_EVEN(value, 6) AS value,
+       c_nationkey, c_mktsegment
+FROM events JOIN customer ON user_id = c_custkey
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2551,6 +2597,8 @@ QUERIES = {
     "partitioned_roundtrip": q_partitioned_roundtrip,
     "rank_events_per_user": q_rank_events_per_user,
     "asof_nearest": q_asof_nearest,
+    "global_percentiles_price": q_global_percentiles_price,
+    "skew_join_events": q_skew_join_events,
     "flagship_token_stack": flagship_token_stack,
 }
 
@@ -2616,4 +2664,6 @@ ORACLE_SQL = {
     "partitioned_roundtrip": SQL_PARTITIONED_ROUNDTRIP,
     "rank_events_per_user": SQL_RANK_EVENTS,
     "asof_nearest": SQL_ASOF_NEAREST,
+    "global_percentiles_price": SQL_GLOBAL_PERCENTILES,
+    "skew_join_events": SQL_SKEW_JOIN,
 }

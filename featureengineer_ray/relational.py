@@ -472,3 +472,191 @@ def global_cumsum(ds, val_col: str, *, order_col: str,
     use_push_shuffle(parted)
     return parted.groupby("__part").map_groups(scan_part,
                                                batch_format="pandas")
+
+
+def exact_percentiles(ds, col: str, qs: list[float], *,
+                      sample_rate: float = 0.05,
+                      n_parts: int | None = None):
+    """Exact global percentiles of a numeric column WITHOUT a full sort.
+
+    Percentile q is defined as the value at 1-based ascending rank
+    ``ceil(q * N)`` — the discrete percentile the reference computes by
+    fully sorting score tables (DETsort → index lookup,
+    jyh/result.py:10-31,55-58). Distributed plan:
+
+    1. deterministic sample of ``col`` → P range boundaries;
+    2. ONE narrow counting pass (only ``col`` leaves storage) → exact
+       rows per range → exact N and per-range rank offsets;
+    3. only rows in the ranges that CONTAIN a target rank are pulled
+       (|qs| ranges of ~N/P values each — bounded by the same
+       target-rows-per-part budget as every other shuffle here, NOT the
+       whole column), each range ``np.partition``-selected locally.
+
+    Data movement: 2 narrow scans + |qs| bounded ranges; nothing close
+    to the O(N log N) full-sort byte volume. Skew limit: a single value
+    spanning many duplicates makes its range large (documented, same as
+    global_rank); the selection still only materializes that one range.
+    """
+    from .partition import estimate_rows, hash_shuffle_width
+
+    qs = sorted(float(q) for q in qs)
+    if not qs or any(not (0.0 < q <= 1.0) for q in qs):
+        raise ValueError("qs must be in (0, 1]")
+
+    narrow = ds.select_columns([col])
+
+    # phase 1: sample → ascending range boundaries
+    from .hashing import mix64
+
+    def sample(batch: pa.Table) -> pa.Table:
+        x = batch.column(col).to_numpy(zero_copy_only=False)
+        h = mix64(np.arange(batch.num_rows, dtype=np.uint64), 0xA7)
+        take = (h % np.uint64(1 << 20)) < np.uint64(
+            int(sample_rate * (1 << 20)))
+        return pa.table({"v": pa.array(x[take].astype(np.float64))})
+
+    svals = []
+    for b in narrow.map_batches(sample, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        svals.append(b.column("v").to_numpy(zero_copy_only=False))
+    sv = np.concatenate(svals) if svals else np.zeros(0)
+    P = n_parts or hash_shuffle_width(
+        estimate_rows(ds, col), target_rows_per_part=1_000_000)
+    if len(sv) and P > 1:
+        bounds = np.unique(np.quantile(np.sort(sv), np.arange(1, P) / P))
+    else:
+        bounds = np.zeros(0)
+    n_ranges = len(bounds) + 1
+
+    # phase 2: exact counts per range (narrow)
+    def count_parts(batch: pa.Table) -> pa.Table:
+        x = batch.column(col).to_numpy(zero_copy_only=False)
+        p = np.searchsorted(bounds, x.astype(np.float64), side="right")
+        c = np.bincount(p, minlength=n_ranges).astype(np.int64)
+        return pa.table({"part": pa.array(np.arange(n_ranges,
+                                                    dtype=np.int64)),
+                         "cnt": pa.array(c)})
+
+    counts = np.zeros(n_ranges, dtype=np.int64)
+    for b in narrow.map_batches(count_parts,
+                                batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        np.add.at(counts, b.column("part").to_numpy(zero_copy_only=False),
+                  b.column("cnt").to_numpy(zero_copy_only=False))
+    total = int(counts.sum())
+    if total == 0:
+        return pa.table({"q": pa.array([], type=pa.float64()),
+                         "value": pa.array([], type=pa.float64())})
+    cum = np.cumsum(counts)
+    offsets = np.concatenate(([0], cum[:-1]))
+
+    ranks = np.minimum(np.maximum(
+        np.ceil(np.asarray(qs) * total).astype(np.int64), 1), total)
+    # range holding 1-based rank r: first p with cum[p] >= r
+    hit = np.searchsorted(cum, ranks, side="left")
+    hit_set = set(int(h) for h in hit)
+
+    # phase 3: pull ONLY the hit ranges' values
+    def keep_hit(batch: pa.Table) -> pa.Table:
+        x = batch.column(col).to_numpy(zero_copy_only=False)
+        p = np.searchsorted(bounds, x.astype(np.float64), side="right")
+        m = np.isin(p, np.fromiter(hit_set, dtype=np.int64))
+        return pa.table({"v": pa.array(x[m].astype(np.float64)),
+                         "p": pa.array(p[m].astype(np.int64))})
+
+    by_part: dict[int, list[np.ndarray]] = {h: [] for h in hit_set}
+    for b in narrow.map_batches(keep_hit,
+                                batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        pv = b.column("p").to_numpy(zero_copy_only=False)
+        vv = b.column("v").to_numpy(zero_copy_only=False)
+        for h in np.unique(pv):
+            by_part[int(h)].append(vv[pv == h])
+
+    values = []
+    for q, r, h in zip(qs, ranks, hit):
+        vals = np.concatenate(by_part[int(h)])
+        local = int(r - offsets[int(h)] - 1)  # 0-based within the range
+        values.append(float(np.partition(vals, local)[local]))
+    return pa.table({"q": pa.array(qs, type=pa.float64()),
+                     "value": pa.array(values, type=pa.float64())})
+
+
+def skew_join(left, right, *, on: str, right_on: str,
+              num_partitions: int = 16,
+              hot_row_threshold: int | None = None,
+              sample_rate: float = 0.02,
+              broadcast_cap: int = 2_000_000):
+    """Skew-aware inner join of two large Datasets.
+
+    A plain hash join puts every row of a hot key in ONE partition — a
+    Zipf head key that is 10% of the left side becomes a straggler task
+    (the reference's static splits have the same blind spot, SURVEY §4
+    "skew absent"). Plan:
+
+    1. deterministic sample of the left key column → estimated per-key
+       frequencies; keys whose estimated rows exceed ``hot_row_threshold``
+       (default: rows/partition budget ÷ 4) are HOT;
+    2. right rows for hot keys (usually a handful of keys × small
+       multiplicity) are semi-join-filtered and broadcast once via the
+       object store; the hot left rows probe them in map_batches —
+       NO shuffle touches the hot rows;
+    3. the cold remainder takes the native hash join at
+       ``num_partitions``; results union.
+
+    Raises if the hot right side exceeds ``broadcast_cap`` rows (then
+    both sides are hot on the same key — a salted replicate join would
+    be needed; not the case for spine×dimension-shaped inputs here).
+    Output columns: left columns + right non-key columns (right key is
+    dropped — it equals ``on``).
+    """
+    from .hashing import mix64
+
+    def sample_keys(batch: pa.Table) -> pa.Table:
+        x = batch.column(on).to_numpy(zero_copy_only=False)
+        h = mix64(np.arange(batch.num_rows, dtype=np.uint64), 0xC3)
+        take = (h % np.uint64(1 << 20)) < np.uint64(
+            int(sample_rate * (1 << 20)))
+        return pa.table({"k": pa.array(x[take])})
+
+    sk = []
+    for b in left.select_columns([on]).map_batches(
+            sample_keys, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        sk.append(b.column("k").to_numpy(zero_copy_only=False))
+    skv = np.concatenate(sk) if sk else np.zeros(0, dtype=np.int64)
+    est_total = int(len(skv) / max(sample_rate, 1e-9))
+    if hot_row_threshold is None:
+        hot_row_threshold = max(
+            1000, est_total // max(num_partitions, 1) // 4)
+    uniq, cnt = (np.unique(skv, return_counts=True) if len(skv)
+                 else (np.zeros(0, dtype=np.int64), np.zeros(0, np.int64)))
+    est_rows = cnt / max(sample_rate, 1e-9)
+    hot_keys = uniq[est_rows > hot_row_threshold]
+
+    if len(hot_keys) == 0:
+        # native join emits left cols + right non-key cols (right key
+        # column is not duplicated into the output)
+        return left.join(right, join_type="inner",
+                         num_partitions=num_partitions,
+                         on=(on,), right_on=(right_on,))
+
+    # split both sides; broadcast the (small) hot right slice
+    left_hot = semi_join(left, hot_keys, on=on)
+    left_cold = semi_join(left, hot_keys, on=on, anti=True)
+    right_hot_ds = semi_join(right, hot_keys, on=right_on)
+    right_hot = right_hot_ds.to_pandas()
+    if len(right_hot) > broadcast_cap:
+        raise ValueError(
+            f"skew_join: hot right side has {len(right_hot)} rows > "
+            f"broadcast_cap={broadcast_cap}; both sides hot on the same "
+            "key — needs a salted replicate join")
+    right_cold = semi_join(right, hot_keys, on=right_on, anti=True)
+
+    hot_j = broadcast_join(
+        left_hot, right_hot.rename(columns={right_on: on}), on=on,
+        how="inner")
+    cold_j = left_cold.join(right_cold, join_type="inner",
+                            num_partitions=num_partitions,
+                            on=(on,), right_on=(right_on,))
+    return hot_j.union(cold_j)

@@ -762,3 +762,59 @@ def test_global_cumsum_exact_and_layout_independent(rd):
         out = out.sort_values("k").reset_index(drop=True)
         assert out["v_cumsum"].dtype.kind == "i"
         assert np.array_equal(out["v_cumsum"].to_numpy(), expect)
+
+
+def test_exact_percentiles_matches_numpy_rank(rd):
+    rng = np.random.default_rng(7)
+    vals = np.concatenate([rng.normal(50, 20, 5000),
+                           rng.exponential(100, 5000)])
+    ds = rd.from_arrow(pa.table({"x": pa.array(vals)}))
+    qs = [0.1, 0.5, 0.9, 0.99, 1.0]
+    out = relational.exact_percentiles(ds, "x", qs, n_parts=13).to_pandas()
+    srt = np.sort(vals)
+    want = [srt[int(np.ceil(q * len(vals))) - 1] for q in qs]
+    assert list(out["q"]) == qs
+    np.testing.assert_allclose(out["value"].to_numpy(), want, rtol=0)
+
+
+def test_exact_percentiles_rejects_bad_q(rd):
+    ds = rd.from_arrow(pa.table({"x": pa.array([1.0, 2.0])}))
+    with pytest.raises(ValueError):
+        relational.exact_percentiles(ds, "x", [0.0, 0.5])
+
+
+def test_skew_join_matches_pandas_merge(rd):
+    rng = np.random.default_rng(3)
+    # Zipf-hot left: key 0 is ~40% of rows
+    keys = np.where(rng.random(4000) < 0.4, 0,
+                    rng.integers(1, 200, 4000))
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(keys.astype(np.int64)),
+        "lv": pa.array(np.arange(4000, dtype=np.int64))}))
+    right_df = pd.DataFrame({
+        "rk": np.arange(0, 150, dtype=np.int64),
+        "rv": np.arange(1000, 1150, dtype=np.int64)})
+    right = rd.from_arrow(pa.Table.from_pandas(right_df))
+    out = relational.skew_join(left, right, on="k", right_on="rk",
+                               hot_row_threshold=50,
+                               num_partitions=4).to_pandas()
+    want = (pd.DataFrame({"k": keys.astype(np.int64),
+                          "lv": np.arange(4000, dtype=np.int64)})
+            .merge(right_df, left_on="k", right_on="rk")
+            .drop(columns=["rk"]))
+    got = out.sort_values("lv").reset_index(drop=True)
+    want = want.sort_values("lv").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["k", "lv", "rv"]], want[["k", "lv", "rv"]],
+        check_dtype=False)
+
+
+def test_skew_join_no_hot_keys_falls_back_to_hash_join(rd):
+    left = rd.from_items([{"k": i, "lv": i * 2} for i in range(100)])
+    right = rd.from_items([{"rk": i, "rv": i + 500} for i in range(0, 100, 2)])
+    out = relational.skew_join(left, right, on="k", right_on="rk",
+                               hot_row_threshold=10**9, sample_rate=1.0,
+                               num_partitions=4).to_pandas()
+    assert len(out) == 50
+    assert (out.sort_values("k")["rv"].to_numpy()
+            == np.arange(0, 100, 2) + 500).all()
