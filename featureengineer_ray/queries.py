@@ -2513,6 +2513,60 @@ FROM events JOIN customer ON user_id = c_custkey
 """
 
 
+def q_bloom_filtered_revenue(sf_dir: str):
+    """Bloom-prefiltered selective join: urgent orders' keys become a
+    distributed Bloom bitmap (never a materialized key set); lineitem is
+    pre-shrunk BEFORE the join exchange; the exact hash join then removes
+    the Bloom's false positives, so the result is SQL-exact. The 100-TB
+    point: the big side's shuffle volume drops to ~selectivity × N rows,
+    and the filter costs ~2 bytes/key however wide the keys are."""
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount"])
+    urgent = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"],
+                   filter=(pc.field("o_orderpriority") == "1-URGENT"))
+    pre = relational.bloom_prefilter(li, urgent, on="l_orderkey",
+                                     keys_on="o_orderkey")
+    j = pre.join(urgent, join_type="inner", num_partitions=8,
+                 on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def cents(batch: pa.Table) -> pa.Table:
+        x = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        d = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_orderpriority": batch.column("o_orderpriority"),
+            "rev_i": pa.array(np.rint(x * (1.0 - d) * 10000.0)
+                              .astype(np.int64)),
+        })
+
+    agg = relational.grouped_agg(
+        j.map_batches(cents, batch_format="pyarrow"),
+        ["o_orderpriority"], {"__rev": ("rev_i", "sum")},
+        count_alias="n_items")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        s = batch.column("__rev").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "o_orderpriority": batch.column("o_orderpriority"),
+            "revenue": pa.array(s.astype(np.float64) / 10000.0),
+            "n_items": batch.column("n_items").cast(pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_BLOOM_FILTERED_REVENUE = """
+SELECT o_orderpriority,
+       CAST(sum(CAST(ROUND_EVEN(l_extendedprice * (1.0 - l_discount)
+                                * 10000.0, 0) AS BIGINT))
+            AS DOUBLE) / 10000.0 AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY o_orderpriority
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2599,6 +2653,7 @@ QUERIES = {
     "asof_nearest": q_asof_nearest,
     "global_percentiles_price": q_global_percentiles_price,
     "skew_join_events": q_skew_join_events,
+    "bloom_filtered_revenue": q_bloom_filtered_revenue,
     "flagship_token_stack": flagship_token_stack,
 }
 
@@ -2666,4 +2721,5 @@ ORACLE_SQL = {
     "asof_nearest": SQL_ASOF_NEAREST,
     "global_percentiles_price": SQL_GLOBAL_PERCENTILES,
     "skew_join_events": SQL_SKEW_JOIN,
+    "bloom_filtered_revenue": SQL_BLOOM_FILTERED_REVENUE,
 }

@@ -660,3 +660,86 @@ def skew_join(left, right, *, on: str, right_on: str,
                             num_partitions=num_partitions,
                             on=(on,), right_on=(right_on,))
     return hot_j.union(cold_j)
+
+
+def replicate_join(left, right, *, on: str, right_on: str,
+                   replicate: int = 8, num_partitions: int = 16):
+    """Salted inner join for keys hot on BOTH sides (the case skew_join's
+    broadcast path refuses): left rows get a deterministic salt in
+    [0, replicate); right rows are replicated once per salt; the join key
+    becomes (key, salt), spreading one hot key over ``replicate``
+    partitions instead of one straggler.
+
+    Cost: right side bytes × ``replicate`` through the exchange — use it
+    on the HOT SLICE only (skew_join isolates that slice); output equals
+    the plain inner join (salt columns are dropped).
+    """
+    from .hashing import mix64
+
+    def salt_left(batch: pa.Table) -> pa.Table:
+        # deterministic per-row salt: row content position independent —
+        # hash of a per-batch row index is NOT stable across layouts, so
+        # spread by a counter hash; any spread works, result is identical
+        h = mix64(np.arange(batch.num_rows, dtype=np.uint64), 0xE1)
+        return batch.append_column(
+            "__salt", pa.array((h % np.uint64(replicate)).astype(np.int32)))
+
+    def explode_right(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        idx = np.repeat(np.arange(n, dtype=np.int64), replicate)
+        out = batch.take(pa.array(idx))
+        salts = np.tile(np.arange(replicate, dtype=np.int32), n)
+        return out.append_column("__salt", pa.array(salts))
+
+    l = left.map_batches(salt_left, batch_format="pyarrow")
+    r = right.map_batches(explode_right, batch_format="pyarrow")
+    j = l.join(r, join_type="inner", num_partitions=num_partitions,
+               on=(on, "__salt"), right_on=(right_on, "__salt"))
+    return j.drop_columns(["__salt"])
+
+
+def bloom_prefilter(ds, keys_ds, *, on: str, keys_on: str,
+                    bits_per_key: int = 16):
+    """Approximate distributed semi-join pre-filter: build a Bloom filter
+    over ``keys_ds[keys_on]`` WITHOUT collecting the keys (per-batch
+    bitmap partials, OR-reduced on the driver — same shape as the
+    flagship's payload locator, engine.py phase B), then drop ``ds`` rows
+    whose ``on`` hash misses.
+
+    Guarantees: every true match survives; false positives pass at the
+    Bloom rate (~0.24% at 16 bits/key, k=4) — compose with an exact join
+    downstream. The point at 100 TB: the big side is pre-shrunk to
+    ~selectivity × N rows BEFORE any exchange, and the key set never
+    materializes anywhere (bitmap is ~2 B/key regardless of key bytes).
+    """
+    import ray
+
+    from .hashing import Bloom, hash_pa_array
+    from .partition import estimate_rows
+
+    n_keys = estimate_rows(keys_ds, keys_on)
+    bloom = Bloom(n_keys, bits_per_key=bits_per_key)
+    m_words = len(bloom.words)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        part = Bloom(1)
+        part.mask = bloom.mask
+        part.words = np.zeros(m_words, dtype=np.uint64)
+        part.add(hash_pa_array(batch.column(keys_on), seed=0x10F))
+        return pa.table({"words": pa.array([part.words.tobytes()],
+                                           type=pa.large_binary())})
+
+    for b in keys_ds.select_columns([keys_on]).map_batches(
+            partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        for i in range(b.num_rows):
+            bloom.words |= np.frombuffer(b.column("words")[i].as_py(),
+                                         dtype=np.uint64)
+    ref = ray.put(bloom)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        bl = ray.get(ref)
+        h = hash_pa_array(batch.column(on), seed=0x10F)
+        return batch.filter(pa.array(bl.contains(h)))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -818,3 +818,45 @@ def test_skew_join_no_hot_keys_falls_back_to_hash_join(rd):
     assert len(out) == 50
     assert (out.sort_values("k")["rv"].to_numpy()
             == np.arange(0, 100, 2) + 500).all()
+
+
+def test_replicate_join_matches_pandas_merge(rd):
+    rng = np.random.default_rng(11)
+    lk = np.where(rng.random(3000) < 0.5, 7, rng.integers(0, 50, 3000))
+    rk = np.where(rng.random(500) < 0.5, 7, rng.integers(0, 50, 500))
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(lk.astype(np.int64)),
+        "lv": pa.array(np.arange(3000, dtype=np.int64))}))
+    right = rd.from_arrow(pa.table({
+        "rk": pa.array(rk.astype(np.int64)),
+        "rv": pa.array(np.arange(500, dtype=np.int64))}))
+    out = relational.replicate_join(left, right, on="k", right_on="rk",
+                                    replicate=4,
+                                    num_partitions=4).to_pandas()
+    want = (pd.DataFrame({"k": lk.astype(np.int64),
+                          "lv": np.arange(3000, dtype=np.int64)})
+            .merge(pd.DataFrame({"rk": rk.astype(np.int64),
+                                 "rv": np.arange(500, dtype=np.int64)}),
+                   left_on="k", right_on="rk"))
+    assert len(out) == len(want)
+    got = out.sort_values(["lv", "rv"]).reset_index(drop=True)
+    want = want.sort_values(["lv", "rv"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["k", "lv", "rv"]],
+                                  want[["k", "lv", "rv"]],
+                                  check_dtype=False)
+
+
+def test_bloom_prefilter_keeps_all_matches_few_fps(rd):
+    big = rd.from_arrow(pa.table({
+        "k": pa.array(np.arange(50_000, dtype=np.int64)),
+    }))
+    keys = rd.from_arrow(pa.table({
+        "id": pa.array(np.arange(0, 50_000, 100, dtype=np.int64)),
+    }))
+    out = relational.bloom_prefilter(big, keys, on="k",
+                                     keys_on="id").to_pandas()
+    got = set(out["k"])
+    true = set(range(0, 50_000, 100))
+    assert true <= got                       # no false negatives, ever
+    fp = len(got - true) / 50_000
+    assert fp < 0.01                         # ~0.24% expected at 16 b/key
