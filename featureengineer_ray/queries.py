@@ -2567,6 +2567,125 @@ GROUP BY o_orderpriority
 """
 
 
+def q_rollup_event_totals(sf_dir: str):
+    """GROUP BY ROLLUP(event_type, day) computed as a cascade: ONE
+    exchange builds the finest level; each coarser level re-aggregates
+    the (tiny) previous level's partials — counts and integer micro-unit
+    sums are mergeable, so the cascade is exact and the raw rows are
+    scanned exactly once (the classic rollup-from-finest plan)."""
+    ev = _events(sf_dir, cols=("ts", "event_type", "value"))
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "day": pc.floor_temporal(batch.column("ts"), unit="day"),
+            "__v": pa.array(np.rint(v * 1e6).astype(np.int64)),
+        })
+
+    base = relational.grouped_agg(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        ["event_type", "day"], {"__v": ("__v", "sum")}, count_alias="n")
+    base_tbl = pa.concat_tables(
+        b for b in base.iter_batches(batch_format="pyarrow"))
+    # cascade driver-side: |types × days| rows, a few hundred at any scale
+    df = base_tbl.to_pandas()
+    lvl1 = (df.groupby("event_type", as_index=False)
+            .agg(__v=("__v", "sum"), n=("n", "sum")))
+    lvl1["day"] = pd.NaT
+    lvl0 = pd.DataFrame({"event_type": [None], "day": [pd.NaT],
+                         "__v": [df["__v"].sum()], "n": [df["n"].sum()]})
+    allv = pd.concat([df, lvl1, lvl0], ignore_index=True)
+    out = pa.table({
+        "event_type": pa.array(allv["event_type"], type=pa.string()),
+        "day": pa.Array.from_pandas(allv["day"]).cast(pa.timestamp("us")),
+        "n": pa.array(allv["n"].astype(np.int64)),
+        "value_sum": pa.array(allv["__v"].to_numpy().astype(np.float64)
+                              / 1e6),
+    })
+    return _rd().from_arrow(out)
+
+
+SQL_ROLLUP = """
+SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n,
+       CAST(sum(CAST(ROUND_EVEN(value * 1000000.0, 0) AS BIGINT))
+            AS DOUBLE) / 1000000.0 AS value_sum
+FROM events
+GROUP BY ROLLUP(event_type, date_trunc('day', ts))
+"""
+
+
+def q_unpivot_lineitem(sf_dir: str):
+    """Unpivot/melt (wide → long): 4 measure columns become (measure,
+    amount) rows. Map-only — each batch emits 4×rows with a tiled label
+    column; no exchange at any scale."""
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity",
+                "l_extendedprice", "l_discount", "l_tax"])
+    measures = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+    def melt(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64),
+                                 len(measures)))
+        keys = batch.select(["l_orderkey", "l_linenumber"]).take(idx)
+        labels = pa.array(np.tile(np.array(measures, dtype=object), n),
+                          type=pa.string())
+        vals = np.empty((n, len(measures)), dtype=np.float64)
+        for j, m in enumerate(measures):
+            vals[:, j] = batch.column(m).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_orderkey": keys.column("l_orderkey"),
+            "l_linenumber": keys.column("l_linenumber"),
+            "measure": labels,
+            "amount": pa.array(vals.reshape(-1)),
+        })
+
+    return li.map_batches(melt, batch_format="pyarrow")
+
+
+SQL_UNPIVOT = """
+SELECT l_orderkey, l_linenumber, measure, amount
+FROM lineitem
+UNPIVOT (amount FOR measure IN (l_quantity, l_extendedprice,
+                                l_discount, l_tax))
+"""
+
+
+def q_decayed_rolling(sf_dir: str):
+    """Exponentially-decayed trailing feature (EWMA-style, bounded
+    support): value + 0.5·lag1 + 0.25·lag2 per user — rides the SAME
+    single exchange as every other window feature (WindowSpec lags),
+    then a stateless vectorized combine."""
+    spec = engine.WindowSpec(key="user_id", ts="ts", tiebreak="event_id",
+                             lags={"value": [1, 2]})
+    out = engine.window_features(_events(sf_dir), spec)
+
+    def combine(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        l1 = batch.column("value_lag_1").to_numpy(zero_copy_only=False)
+        l2 = batch.column("value_lag_2").to_numpy(zero_copy_only=False)
+        dec = v + 0.5 * np.nan_to_num(l1) + 0.25 * np.nan_to_num(l2)
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "ts": batch.column("ts"),
+            "value_decayed": _np_round(pa.array(dec), 6),
+        })
+
+    return out.map_batches(combine, batch_format="pyarrow")
+
+
+SQL_DECAYED = """
+SELECT event_id, user_id, ts,
+       ROUND_EVEN(value + 0.5 * COALESCE(lag(value, 1) OVER w, 0)
+                        + 0.25 * COALESCE(lag(value, 2) OVER w, 0), 6)
+         AS value_decayed
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2654,6 +2773,9 @@ QUERIES = {
     "global_percentiles_price": q_global_percentiles_price,
     "skew_join_events": q_skew_join_events,
     "bloom_filtered_revenue": q_bloom_filtered_revenue,
+    "rollup_event_totals": q_rollup_event_totals,
+    "unpivot_lineitem": q_unpivot_lineitem,
+    "decayed_rolling": q_decayed_rolling,
     "flagship_token_stack": flagship_token_stack,
 }
 
@@ -2722,4 +2844,7 @@ ORACLE_SQL = {
     "global_percentiles_price": SQL_GLOBAL_PERCENTILES,
     "skew_join_events": SQL_SKEW_JOIN,
     "bloom_filtered_revenue": SQL_BLOOM_FILTERED_REVENUE,
+    "rollup_event_totals": SQL_ROLLUP,
+    "unpivot_lineitem": SQL_UNPIVOT,
+    "decayed_rolling": SQL_DECAYED,
 }
