@@ -2567,6 +2567,18 @@ GROUP BY o_orderpriority
 """
 
 
+def q_approx_percentiles_price(sf_dir: str):
+    """Mergeable-sketch percentiles (bounded state, ONE narrow pass) —
+    the scale path beside exact_percentiles' three passes. Rank error
+    certified ≤2% by tests/test_sketches.py; no SQL oracle (approximate
+    by design)."""
+    from .sketches import approx_quantiles
+
+    li = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    return _rd().from_arrow(approx_quantiles(
+        li, "l_extendedprice", [0.25, 0.5, 0.75, 0.9, 0.99], k=2048))
+
+
 def q_rollup_event_totals(sf_dir: str):
     """GROUP BY ROLLUP(event_type, day) computed as a cascade: ONE
     exchange builds the finest level; each coarser level re-aggregates
@@ -2767,6 +2779,7 @@ QUERIES = {
     "asof_forward": q_asof_forward,
     "approx_distinct_users": q_approx_distinct_users,
     "heavy_hitters_terms": q_heavy_hitters_terms,
+    "approx_percentiles_price": q_approx_percentiles_price,
     "partitioned_roundtrip": q_partitioned_roundtrip,
     "rank_events_per_user": q_rank_events_per_user,
     "asof_nearest": q_asof_nearest,

@@ -210,3 +210,118 @@ def heavy_hitters(term_partials, k: int, *, local_m: int = 4096,
     top = relational.top_k(exact, k, by=[count_col, term_col],
                            descending=[True, False])
     return top, certified
+
+
+class QuantileSketch:
+    """Deterministic mergeable quantile sketch (Munro-Paterson /
+    MRL-style compactor ladder): level-i buffer holds ≤ k values each
+    standing for 2^i originals; a full level sorts, keeps alternating
+    elements deterministically, and promotes them up. Rank error is
+    bounded by ~N/k per query (ε ≈ 1/k · log₂(N/k) worst case for this
+    simple ladder — set k accordingly), memory O(k · log(N/k)), and —
+    unlike random-sampling sketches — the result is REPRODUCIBLE across
+    runs and merge orders of the same multiset fed in the same block
+    order.
+
+    The bounded-state alternative to `relational.exact_percentiles`
+    (which is exact but needs two extra narrow passes): one streaming
+    pass, partials merged associatively — the shape `grouped_agg` moves.
+    """
+
+    def __init__(self, k: int = 1024):
+        self.k = int(k)
+        self.levels: list[np.ndarray] = [np.zeros(0)]
+
+    def add(self, vals: np.ndarray) -> None:
+        if not len(vals):
+            return
+        self.levels[0] = np.concatenate(
+            [self.levels[0], np.asarray(vals, dtype=np.float64)])
+        self._compact()
+
+    def _compact(self) -> None:
+        i = 0
+        while i < len(self.levels):
+            if len(self.levels[i]) > 2 * self.k:
+                buf = np.sort(self.levels[i])
+                if len(buf) % 2:          # keep the odd element at level i
+                    self.levels[i] = buf[-1:]
+                    buf = buf[:-1]
+                else:
+                    self.levels[i] = np.zeros(0)
+                promoted = buf[::2]       # deterministic alternation
+                if i + 1 == len(self.levels):
+                    self.levels.append(np.zeros(0))
+                self.levels[i + 1] = np.concatenate(
+                    [self.levels[i + 1], promoted])
+            i += 1
+
+    def merge(self, other: "QuantileSketch") -> "QuantileSketch":
+        for i, buf in enumerate(other.levels):
+            while i >= len(self.levels):
+                self.levels.append(np.zeros(0))
+            self.levels[i] = np.concatenate([self.levels[i], buf])
+        self._compact()
+        return self
+
+    def serialize(self) -> bytes:
+        import io
+
+        bio = io.BytesIO()
+        np.savez(bio, *(self.levels), k=np.int64(self.k))
+        return bio.getvalue()
+
+    @classmethod
+    def deserialize(cls, blob: bytes) -> "QuantileSketch":
+        import io
+
+        with np.load(io.BytesIO(blob)) as z:
+            s = cls(int(z["k"]))
+            s.levels = [z[f"arr_{i}"] for i in range(len(z.files) - 1)]
+        return s
+
+    def quantiles(self, qs: list[float]) -> np.ndarray:
+        vals, weights = [], []
+        for i, buf in enumerate(self.levels):
+            if len(buf):
+                vals.append(buf)
+                weights.append(np.full(len(buf), 1 << i, dtype=np.int64))
+        if not vals:
+            return np.full(len(qs), np.nan)
+        v = np.concatenate(vals)
+        w = np.concatenate(weights)
+        order = np.argsort(v, kind="stable")
+        v, w = v[order], w[order]
+        cum = np.cumsum(w)
+        total = cum[-1]
+        out = np.empty(len(qs))
+        for j, q in enumerate(qs):
+            r = min(max(int(np.ceil(q * total)), 1), int(total))
+            out[j] = v[np.searchsorted(cum, r, side="left")]
+        return out
+
+
+def approx_quantiles(ds, col: str, qs: list[float], *, k: int = 1024):
+    """ONE narrow streaming pass: each batch folds into a per-task
+    QuantileSketch partial; serialized partials (KB-sized, independent of
+    rows) reach the driver and merge associatively. Returns a pyarrow
+    table (q, value)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = QuantileSketch(k)
+        s.add(batch.column(col).to_numpy(zero_copy_only=False)
+              .astype(np.float64))
+        return pa.table({"sk": pa.array([s.serialize()],
+                                        type=pa.large_binary())})
+
+    merged = QuantileSketch(k)
+    for b in ds.select_columns([col]).map_batches(
+            partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        for i in range(b.num_rows):
+            merged.merge(QuantileSketch.deserialize(
+                b.column("sk")[i].as_py()))
+    vals = merged.quantiles([float(q) for q in qs])
+    return pa.table({"q": pa.array([float(q) for q in qs],
+                                   type=pa.float64()),
+                     "value": pa.array(vals, type=pa.float64())})

@@ -101,3 +101,60 @@ def test_knuth_bucket_matches_duckdb():
         "SELECT " + expr + " AS b FROM (SELECT unnest(?) AS x)",
         params=[ids.tolist()]).df()["b"].to_numpy()
     assert np.array_equal(ours, theirs.astype(np.int64))
+
+
+def test_quantile_sketch_rank_error_bound():
+    from featureengineer_ray.sketches import QuantileSketch
+
+    rng = np.random.default_rng(5)
+    vals = rng.exponential(100, 200_000)
+    s = QuantileSketch(k=1024)
+    for chunk in np.array_split(vals, 37):
+        s.add(chunk)
+    qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    got = s.quantiles(qs)
+    srt = np.sort(vals)
+    n = len(vals)
+    for q, g in zip(qs, got):
+        # rank of returned value must be within 2% of the target rank
+        r = np.searchsorted(srt, g, side="right")
+        assert abs(r - q * n) <= 0.02 * n, (q, r / n)
+
+
+def test_quantile_sketch_merge_equals_single():
+    from featureengineer_ray.sketches import QuantileSketch
+
+    rng = np.random.default_rng(9)
+    a, b = rng.normal(0, 1, 50_000), rng.normal(5, 2, 50_000)
+    sa, sb = QuantileSketch(512), QuantileSketch(512)
+    sa.add(a)
+    sb.add(b)
+    sa.merge(sb)
+    whole = np.sort(np.concatenate([a, b]))
+    got = sa.quantiles([0.5])
+    r = np.searchsorted(whole, got[0], side="right")
+    assert abs(r - 0.5 * len(whole)) <= 0.03 * len(whole)
+
+
+def test_quantile_sketch_serialize_roundtrip():
+    from featureengineer_ray.sketches import QuantileSketch
+
+    s = QuantileSketch(64)
+    s.add(np.arange(10_000, dtype=np.float64))
+    s2 = QuantileSketch.deserialize(s.serialize())
+    np.testing.assert_array_equal(
+        s.quantiles([0.1, 0.9]), s2.quantiles([0.1, 0.9]))
+
+
+def test_approx_quantiles_dataset(ray_session):
+    import ray.data as rd
+
+    from featureengineer_ray.sketches import approx_quantiles
+
+    vals = np.random.default_rng(2).uniform(0, 1000, 100_000)
+    ds = rd.from_arrow(pa.table({"x": pa.array(vals)}))
+    out = approx_quantiles(ds, "x", [0.5, 0.9], k=1024).to_pandas()
+    srt = np.sort(vals)
+    for q, v in zip(out["q"], out["value"]):
+        r = np.searchsorted(srt, v, side="right")
+        assert abs(r - q * len(vals)) <= 0.02 * len(vals)
