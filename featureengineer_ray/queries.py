@@ -2567,6 +2567,55 @@ GROUP BY o_orderpriority
 """
 
 
+def q_validate_lineitem(sf_dir: str):
+    """Declarative data-validation report (the reference's
+    ``assert idmap.validate()`` guards, PrepareData.py:917-952, as a
+    distributed one-pass rule engine): per-rule violation counts from
+    vectorized per-batch partials — only (rule, count) rows leave tasks."""
+    from .validate import validate_rules
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_quantity", "l_discount", "l_returnflag",
+                "l_linestatus"])
+    return _rd().from_arrow(validate_rules(li, [
+        ("not_null", "l_orderkey"),
+        ("between", "l_quantity", 1.0, 50.0),
+        ("between", "l_discount", 0.0, 0.06),
+        ("in_set", "l_returnflag", ["A", "N", "R"]),
+        ("matches", "l_linestatus", "[OF]"),
+        ("unique", "l_orderkey"),
+    ]))
+
+
+SQL_VALIDATE = """
+SELECT 'not_null:l_orderkey' AS rule, 'l_orderkey' AS col,
+       count(*) FILTER (WHERE l_orderkey IS NULL) AS violations
+FROM lineitem
+UNION ALL
+SELECT 'between:l_quantity', 'l_quantity',
+       count(*) FILTER (WHERE l_quantity < 1.0 OR l_quantity > 50.0)
+FROM lineitem
+UNION ALL
+SELECT 'between:l_discount', 'l_discount',
+       count(*) FILTER (WHERE l_discount < 0.0 OR l_discount > 0.06)
+FROM lineitem
+UNION ALL
+SELECT 'in_set:l_returnflag', 'l_returnflag',
+       count(*) FILTER (WHERE l_returnflag IS NOT NULL
+                        AND l_returnflag NOT IN ('A', 'N', 'R'))
+FROM lineitem
+UNION ALL
+SELECT 'matches:l_linestatus', 'l_linestatus',
+       count(*) FILTER (WHERE l_linestatus IS NOT NULL
+                        AND NOT regexp_full_match(l_linestatus, '[OF]'))
+FROM lineitem
+UNION ALL
+SELECT 'unique:l_orderkey', 'l_orderkey',
+       count(l_orderkey) - count(DISTINCT l_orderkey)
+FROM lineitem
+"""
+
+
 def q_approx_percentiles_price(sf_dir: str):
     """Mergeable-sketch percentiles (bounded state, ONE narrow pass) —
     the scale path beside exact_percentiles' three passes. Rank error
@@ -2789,6 +2838,7 @@ QUERIES = {
     "rollup_event_totals": q_rollup_event_totals,
     "unpivot_lineitem": q_unpivot_lineitem,
     "decayed_rolling": q_decayed_rolling,
+    "validate_lineitem": q_validate_lineitem,
     "flagship_token_stack": flagship_token_stack,
 }
 
@@ -2860,4 +2910,5 @@ ORACLE_SQL = {
     "rollup_event_totals": SQL_ROLLUP,
     "unpivot_lineitem": SQL_UNPIVOT,
     "decayed_rolling": SQL_DECAYED,
+    "validate_lineitem": SQL_VALIDATE,
 }

@@ -860,3 +860,31 @@ def test_bloom_prefilter_keeps_all_matches_few_fps(rd):
     assert true <= got                       # no false negatives, ever
     fp = len(got - true) / 50_000
     assert fp < 0.01                         # ~0.24% expected at 16 b/key
+
+
+def test_validate_rules_all_kinds(rd):
+    from featureengineer_ray.validate import validate_rules
+
+    t = pa.table({
+        "id": pa.array([1, 2, 2, 3, None], type=pa.int64()),
+        "v": pa.array([5.0, -1.0, 200.0, 50.0, 10.0]),
+        "s": pa.array(["ab", "cd", "zz", None, "ab12"]),
+    })
+    out = validate_rules(rd.from_arrow(t), [
+        ("not_null", "id"),
+        ("between", "v", 0.0, 100.0),
+        ("in_set", "s", ["ab", "cd"]),
+        ("matches", "s", "[a-z]+"),
+        ("unique", "id"),
+    ]).to_pandas()
+    assert list(out["violations"]) == [1, 2, 2, 1, 1]
+
+
+def test_validate_rules_unique_across_batches(rd):
+    from featureengineer_ray.validate import validate_rules
+
+    # same value in different blocks must still count as a duplicate
+    ds = rd.from_items([{"k": i % 10} for i in range(100)],
+                       override_num_blocks=8)
+    out = validate_rules(ds, [("unique", "k")]).to_pandas()
+    assert out["violations"][0] == 90
