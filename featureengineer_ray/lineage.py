@@ -200,3 +200,81 @@ def read_output(out_dir: str):
     paths = [os.path.join(_part_dir(out_dir, pid), "data.parquet")
              for pid in sorted(done_pids(out_dir))]
     return rd.read_parquet(paths)
+
+
+# --------------------------------------------------------------------------
+# incremental ingest: process only input fragments not yet marked done
+# --------------------------------------------------------------------------
+def _frag_id(path: str) -> str:
+    """Stable fragment identity: name + byte size (content-addressed
+    enough for append-only ingest dirs; a rewritten file changes size or
+    name and is re-processed)."""
+    from .hashing import hash_str
+
+    st = os.stat(path)
+    return f"{hash_str(f'{os.path.basename(path)}:{st.st_size}'):016x}"
+
+
+def incremental_map(input_dir: str, out_dir: str, fn, *,
+                    pattern: str = ".parquet"):
+    """Append-only incremental processing (the reference's
+    failed/missing-file re-drive, ``FeaGet.py:116-144``, generalized):
+    each input fragment is processed through ``fn(Dataset) -> Dataset``
+    exactly once; a re-run after new files land processes ONLY the new
+    fragments. Marker-per-fragment (``out_dir/frag=<id>/_SUCCESS.json``,
+    atomic tmp+rename) — concurrent or repeated runs never contend and
+    never double-process.
+
+    Each fragment's pipeline is internally parallel (Ray Data splits the
+    fragment into blocks); fragments are driven sequentially so a crash
+    loses at most one fragment's work. Returns the list of fragment ids
+    processed THIS run.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    import ray.data as rd
+
+    frags = sorted(
+        os.path.join(input_dir, f) for f in os.listdir(input_dir)
+        if f.endswith(pattern))
+    done_now = []
+    for path in frags:
+        fid = _frag_id(path)
+        fdir = os.path.join(out_dir, f"frag={fid}")
+        marker = os.path.join(fdir, "_SUCCESS.json")
+        if os.path.exists(marker):
+            continue
+        t0 = time.monotonic()
+        out_ds = fn(rd.read_parquet(path))
+        os.makedirs(fdir, exist_ok=True)
+        # distributed sink into a tmp dir, then ONE atomic dir rename —
+        # the fragment's output never funnels through the driver
+        tmp_dir = os.path.join(fdir, f".tmp-{uuid.uuid4().hex}")
+        out_ds.write_parquet(tmp_dir)
+        rows_out = sum(
+            pq.read_metadata(os.path.join(tmp_dir, f)).num_rows
+            for f in os.listdir(tmp_dir) if f.endswith(".parquet"))
+        os.replace(tmp_dir, os.path.join(fdir, "data"))
+        rec = {"fragment": os.path.basename(path), "frag_id": fid,
+               "rows_out": rows_out,
+               "wall_s": round(time.monotonic() - t0, 3)}
+        mtmp = marker + f".tmp-{uuid.uuid4().hex}"
+        with open(mtmp, "w") as f:
+            json.dump(rec, f)
+        os.replace(mtmp, marker)
+        done_now.append(fid)
+    return done_now
+
+
+def read_incremental_output(out_dir: str):
+    """All successfully processed fragments' outputs as one Dataset."""
+    import ray.data as rd
+
+    paths = []
+    for d in sorted(os.listdir(out_dir)):
+        if d.startswith("frag=") and os.path.exists(
+                os.path.join(out_dir, d, "_SUCCESS.json")):
+            ddir = os.path.join(out_dir, d, "data")
+            paths.extend(os.path.join(ddir, f)
+                         for f in sorted(os.listdir(ddir))
+                         if f.endswith(".parquet"))
+    return rd.read_parquet(paths)

@@ -2,6 +2,8 @@
 (FIXTURES.md §5 'Resume')."""
 
 import os
+
+import pyarrow as pa
 import shutil
 
 import numpy as np
@@ -81,3 +83,41 @@ def test_rerun_is_noop(ray_session, tmp_path):
     recs2 = _run(ray_session, out)
     assert recs2 == [] or all(r["rows"] == 0 for r in recs2)
     assert lineage.load_manifest(out) == man1
+
+
+def test_incremental_map_processes_only_new_fragments(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from featureengineer_ray.lineage import (incremental_map,
+                                             read_incremental_output)
+
+    inp = tmp_path / "in"
+    out = tmp_path / "out"
+    inp.mkdir()
+
+    def write_frag(name, lo, hi):
+        pq.write_table(pa.table({"x": pa.array(
+            np.arange(lo, hi, dtype=np.int64))}), inp / name)
+
+    def double(ds):
+        def fn(b: pa.Table) -> pa.Table:
+            return pa.table({"y": pa.array(
+                b.column("x").to_numpy(zero_copy_only=False) * 2)})
+
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    write_frag("a.parquet", 0, 100)
+    write_frag("b.parquet", 100, 200)
+    first = incremental_map(str(inp), str(out), double)
+    assert len(first) == 2
+
+    # re-run with no new input: nothing processed
+    assert incremental_map(str(inp), str(out), double) == []
+
+    # a third file lands: only it is processed
+    write_frag("c.parquet", 200, 250)
+    third = incremental_map(str(inp), str(out), double)
+    assert len(third) == 1
+
+    got = sorted(read_incremental_output(str(out)).to_pandas()["y"])
+    assert got == [2 * i for i in range(250)]
