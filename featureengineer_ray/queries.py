@@ -2567,6 +2567,40 @@ GROUP BY o_orderpriority
 """
 
 
+def q_unnest_embeddings(sf_dir: str):
+    """List-column explode (long form): each list<float> row becomes
+    (vec_id, 1-based dim_idx, val) rows via zero-copy ListArray offsets —
+    map-only, no exchange (the generic flatten the reference does with
+    hstack/reshape, IVector.py:355,727-728)."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        col = batch.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        lens = np.diff(offs)
+        idx = pa.array(np.repeat(np.arange(batch.num_rows, dtype=np.int64),
+                                 lens))
+        dim_idx = np.concatenate(
+            [np.arange(1, n + 1, dtype=np.int64) for n in lens]) if len(
+            lens) else np.zeros(0, dtype=np.int64)
+        return pa.table({
+            "vec_id": pc.take(batch.column("vec_id"), idx),
+            "dim_idx": pa.array(dim_idx),
+            "val": col.values,
+        })
+
+    return emb.map_batches(explode, batch_format="pyarrow")
+
+
+SQL_UNNEST_EMB = """
+SELECT vec_id, generate_subscripts(embedding, 1) AS dim_idx,
+       unnest(embedding) AS val
+FROM embeddings
+"""
+
+
 def q_validate_lineitem(sf_dir: str):
     """Declarative data-validation report (the reference's
     ``assert idmap.validate()`` guards, PrepareData.py:917-952, as a
@@ -2839,6 +2873,7 @@ QUERIES = {
     "unpivot_lineitem": q_unpivot_lineitem,
     "decayed_rolling": q_decayed_rolling,
     "validate_lineitem": q_validate_lineitem,
+    "unnest_embeddings": q_unnest_embeddings,
     "flagship_token_stack": flagship_token_stack,
 }
 
@@ -2911,4 +2946,5 @@ ORACLE_SQL = {
     "unpivot_lineitem": SQL_UNPIVOT,
     "decayed_rolling": SQL_DECAYED,
     "validate_lineitem": SQL_VALIDATE,
+    "unnest_embeddings": SQL_UNNEST_EMB,
 }
