@@ -2567,6 +2567,67 @@ GROUP BY o_orderpriority
 """
 
 
+def q_trial_mask_users(sf_dir: str):
+    """Trial-mask construction (J8, the reference's dense model×segment
+    Key/Ndx masks, PrepareData.py:66-71,195-212) realized relationally:
+    distinct users × distinct event types as a BROADCAST cross-explode
+    (the tiny side is tiled into each batch — the big side never
+    shuffles), then one left join against the observed pairs marks
+    targets. The mask never materializes as a matrix."""
+    ev = _events(sf_dir, cols=("user_id", "event_type"))
+    users = relational.grouped_agg(ev, ["user_id"], {}, count_alias="__n")
+    pairs = relational.grouped_agg(ev, ["user_id", "event_type"], {},
+                                   count_alias="__np")
+    # distinct event types: tiny (grouped partials), safe to collect
+    types = sorted(
+        relational.grouped_agg(ev, ["event_type"], {}, count_alias="__nt")
+        .to_pandas()["event_type"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), len(types)))
+        return pa.table({
+            "user_id": pc.take(batch.column("user_id"), idx),
+            "event_type": pa.array(
+                np.tile(np.array(types, dtype=object), n),
+                type=pa.string()),
+        })
+
+    grid = users.map_batches(explode, batch_format="pyarrow")
+
+    def flag(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "event_type": batch.column("event_type"),
+            "__hit": pa.array(np.ones(batch.num_rows, dtype=np.int8)),
+        })
+
+    j = grid.join(pairs.map_batches(flag, batch_format="pyarrow"),
+                  join_type="left_outer", num_partitions=8,
+                  on=("user_id", "event_type"),
+                  right_on=("user_id", "event_type"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        hit = batch.column("__hit").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "event_type": batch.column("event_type"),
+            "tar": pa.array(hit == 1),
+        })
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_TRIAL_MASK = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+     t AS (SELECT DISTINCT event_type FROM events),
+     p AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT u.user_id, t.event_type, (p.user_id IS NOT NULL) AS tar
+FROM u CROSS JOIN t
+LEFT JOIN p ON p.user_id = u.user_id AND p.event_type = t.event_type
+"""
+
+
 def q_unnest_embeddings(sf_dir: str):
     """List-column explode (long form): each list<float> row becomes
     (vec_id, 1-based dim_idx, val) rows via zero-copy ListArray offsets —
@@ -2873,6 +2934,7 @@ QUERIES = {
     "unpivot_lineitem": q_unpivot_lineitem,
     "decayed_rolling": q_decayed_rolling,
     "validate_lineitem": q_validate_lineitem,
+    "trial_mask_users": q_trial_mask_users,
     "unnest_embeddings": q_unnest_embeddings,
     "flagship_token_stack": flagship_token_stack,
 }
@@ -2946,5 +3008,6 @@ ORACLE_SQL = {
     "unpivot_lineitem": SQL_UNPIVOT,
     "decayed_rolling": SQL_DECAYED,
     "validate_lineitem": SQL_VALIDATE,
+    "trial_mask_users": SQL_TRIAL_MASK,
     "unnest_embeddings": SQL_UNNEST_EMB,
 }
