@@ -612,6 +612,21 @@ def skew_join(left, right, *, on: str, right_on: str,
     """
     from .hashing import mix64
 
+    from .partition import estimate_rows
+
+    if estimate_rows(right, right_on) == 0:
+        # an all-empty side loses its schema inside the hash-shuffle
+        # join — emit the joined (left + right-non-key) empty schema
+        import ray.data as _rd
+
+        ls, rs = left.schema(), right.schema()
+        names = list(ls.names) + [n for n in rs.names
+                                  if n != right_on and n not in ls.names]
+        types = dict(zip(list(ls.names) + list(rs.names),
+                         list(ls.types) + list(rs.types)))
+        return _rd.from_arrow(pa.table(
+            {n: pa.array([], type=types[n]) for n in names}))
+
     def sample_keys(batch: pa.Table) -> pa.Table:
         x = batch.column(on).to_numpy(zero_copy_only=False)
         h = mix64(np.arange(batch.num_rows, dtype=np.uint64), 0xC3)
@@ -653,12 +668,17 @@ def skew_join(left, right, *, on: str, right_on: str,
             "key — needs a salted replicate join")
     right_cold = semi_join(right, hot_keys, on=right_on, anti=True)
 
-    hot_j = broadcast_join(
-        left_hot, right_hot.rename(columns={right_on: on}), on=on,
-        how="inner")
     cold_j = left_cold.join(right_cold, join_type="inner",
                             num_partitions=num_partitions,
                             on=(on,), right_on=(right_on,))
+    if len(right_hot) == 0:
+        # inner join: hot-left rows cannot match an empty right slice
+        # (an empty Dataset→pandas frame also loses its columns, so the
+        # broadcast probe could not even be built)
+        return cold_j
+    hot_j = broadcast_join(
+        left_hot, right_hot.rename(columns={right_on: on}), on=on,
+        how="inner")
     return hot_j.union(cold_j)
 
 

@@ -888,3 +888,38 @@ def test_validate_rules_unique_across_batches(rd):
                        override_num_blocks=8)
     out = validate_rules(ds, [("unique", "k")]).to_pandas()
     assert out["violations"][0] == 90
+
+
+def test_exact_percentiles_duplicate_heavy(rd):
+    # one value is 60% of rows — the duplicate run lands in one range;
+    # selection must stay exact (documented skew limit: large range, not
+    # wrong answer)
+    vals = np.concatenate([np.full(6000, 42.0),
+                           np.linspace(0, 100, 4000)])
+    rng = np.random.default_rng(0)
+    rng.shuffle(vals)
+    ds = rd.from_arrow(pa.table({"x": pa.array(vals)}))
+    out = relational.exact_percentiles(ds, "x", [0.5, 0.95],
+                                       n_parts=7).to_pandas()
+    srt = np.sort(vals)
+    want = [srt[int(np.ceil(q * len(vals))) - 1] for q in (0.5, 0.95)]
+    np.testing.assert_allclose(out["value"].to_numpy(), want, rtol=0)
+
+
+def test_skew_join_empty_right(rd):
+    left = rd.from_items([{"k": i % 3, "lv": i} for i in range(50)])
+    right = rd.from_arrow(pa.table({
+        "rk": pa.array([], type=pa.int64()),
+        "rv": pa.array([], type=pa.int64())}))
+    out = relational.skew_join(left, right, on="k", right_on="rk",
+                               hot_row_threshold=5, sample_rate=1.0,
+                               num_partitions=2).to_pandas()
+    assert len(out) == 0
+
+
+def test_bloom_prefilter_empty_keys(rd):
+    big = rd.from_items([{"k": i} for i in range(100)])
+    keys = rd.from_arrow(pa.table({"id": pa.array([], type=pa.int64())}))
+    out = relational.bloom_prefilter(big, keys, on="k",
+                                     keys_on="id").to_pandas()
+    assert len(out) == 0
