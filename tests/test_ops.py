@@ -923,3 +923,23 @@ def test_bloom_prefilter_empty_keys(rd):
     out = relational.bloom_prefilter(big, keys, on="k",
                                      keys_on="id").to_pandas()
     assert len(out) == 0
+
+
+def test_small_file_consolidation_roundtrip(rd, tmp_path):
+    # S6: many small files -> few big files, content multiset preserved
+    import os
+
+    import pyarrow.parquet as pq
+
+    small = tmp_path / "small"
+    small.mkdir()
+    for i in range(32):
+        pq.write_table(pa.table({"x": pa.array(
+            np.arange(i * 100, (i + 1) * 100, dtype=np.int64))}),
+            small / f"f{i:03d}.parquet")
+    out = tmp_path / "big"
+    rd.read_parquet(str(small)).repartition(4).write_parquet(str(out))
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(files) <= 8                      # consolidated
+    back = rd.read_parquet(str(out)).to_pandas()["x"]
+    assert sorted(back) == list(range(3200))    # nothing lost or duplicated
