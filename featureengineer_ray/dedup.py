@@ -569,7 +569,9 @@ def embedding_near_dup_pairs(
 
     def bucketize(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        vecs = np.stack(batch.column(vec_col).to_pandas().to_numpy())
+        from .vecops import vec_matrix
+
+        vecs = vec_matrix(batch.column(vec_col), batch.num_rows)
         dim = vecs.shape[1]
         rng = np.random.default_rng(seed)
         planes = rng.standard_normal((dim, bits_))

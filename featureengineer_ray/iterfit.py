@@ -79,8 +79,9 @@ def _em_step(ds, centroids: np.ndarray, vec_col: str
             self.c = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            v = np.stack(batch.column(vec_col).to_pandas().to_numpy()
-                         ).astype(np.float64)
+            from .vecops import vec_matrix
+
+            v = vec_matrix(batch.column(vec_col), batch.num_rows)
             # ||x-c||² = ||x||² - 2x·c + ||c||²; argmin over c
             d2 = (-2.0 * (v @ self.c.T)
                   + (self.c * self.c).sum(axis=1)[None, :])
@@ -158,8 +159,9 @@ def kmeans_assign(ds, centroids: np.ndarray, *, vec_col: str,
             self.c = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            v = np.stack(batch.column(vec_col).to_pandas().to_numpy()
-                         ).astype(np.float64)
+            from .vecops import vec_matrix
+
+            v = vec_matrix(batch.column(vec_col), batch.num_rows)
             d2 = (-2.0 * (v @ self.c.T)
                   + (self.c * self.c).sum(axis=1)[None, :])
             return batch.append_column(

@@ -21,6 +21,9 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+from .vecops import vec_matrix as _vec_matrix
+
+
 def brute_force_topk(
     ds, queries: pd.DataFrame, *, id_col: str, vec_col: str,
     query_id_col: str | None = None, k: int = 5,
@@ -37,28 +40,27 @@ def brute_force_topk(
     qm = _normalize(np.stack(queries[vec_col].to_numpy()).astype(np.float64))
     ref = ray.put((qids, qm))
 
-    class _Partial:
-        def __init__(self):
-            self.qids, self.qm = ray.get(ref)
+    # plain task fn, not an actor pool: the query matrix is fully built
+    # on the driver, so per-batch setup is a zero-copy ray.get of local
+    # plasma buffers — and the op fuses with the read (no pool spin-up)
+    def _partial(batch: pa.Table) -> pa.Table:
+        b_qids, b_qm = ray.get(ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        vecs = _vec_matrix(batch.column(vec_col), batch.num_rows)
+        sims = _normalize(vecs) @ b_qm.T  # (n × q)
+        n, q = sims.shape
+        kk = min(k, n)
+        # per-query local top-k (argpartition then exact sort)
+        part = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk × q)
+        rows = part.reshape(-1)
+        cols = np.repeat(np.arange(q)[None, :], kk, axis=0).reshape(-1)
+        return pa.table({
+            "query_id": pa.array(b_qids[cols]),
+            "neighbor_id": pa.array(ids[rows]),
+            "cosine": pa.array(sims[rows, cols]),
+        })
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-            vecs = np.stack(batch.column(vec_col).to_pandas().to_numpy()).astype(np.float64)
-            sims = _normalize(vecs) @ self.qm.T  # (n × q)
-            n, q = sims.shape
-            kk = min(k, n)
-            # per-query local top-k (argpartition then exact sort)
-            part = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk × q)
-            rows = part.reshape(-1)
-            cols = np.repeat(np.arange(q)[None, :], kk, axis=0).reshape(-1)
-            return pa.table({
-                "query_id": pa.array(self.qids[cols]),
-                "neighbor_id": pa.array(ids[rows]),
-                "cosine": pa.array(sims[rows, cols]),
-            })
-
-    partials = ds.map_batches(_Partial, batch_format="pyarrow",
-                              concurrency=(1, 8))
+    partials = ds.map_batches(_partial, batch_format="pyarrow")
     df = partials.to_pandas()  # small: ≤ k × q × n_batches rows
     df = df.sort_values(["query_id", "cosine", "neighbor_id"],
                         ascending=[True, False, True], kind="stable")
@@ -102,9 +104,8 @@ class _BucketScan:
     def __call__(self, batch: pa.Table) -> pa.Table:
         bids = batch.column("__bucket").to_numpy(zero_copy_only=False)
         ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
-        vecs = _normalize(np.stack(
-            batch.column(self.vec_col).to_pandas().to_numpy()
-        ).astype(np.float64))
+        vecs = _normalize(_vec_matrix(batch.column(self.vec_col),
+                                      batch.num_rows))
         out_q, out_n, out_c = [], [], []
         for b in np.unique(bids):
             qidx = self.by_bucket.get(int(b))
@@ -167,8 +168,7 @@ def ivf_topk(
     ref = ray.put((qids, qm, by_bucket))
 
     def assign_prune(batch: pa.Table) -> pa.Table:
-        vecs = np.stack(batch.column(vec_col).to_pandas().to_numpy()
-                        ).astype(np.float64)
+        vecs = _vec_matrix(batch.column(vec_col), batch.num_rows)
         b = np.argmax(_normalize(vecs) @ cents.T, axis=1).astype(np.int64)
         out = batch.append_column("__bucket", pa.array(b))
         return out.filter(pa.array(np.isin(b, probe_arr)))
@@ -194,8 +194,7 @@ def ivf_build(
     cents = _sample_centroids(ds, vec_col, n_centroids, seed)
 
     def assign(batch: pa.Table) -> pa.Table:
-        vecs = np.stack(batch.column(vec_col).to_pandas().to_numpy()
-                        ).astype(np.float64)
+        vecs = _vec_matrix(batch.column(vec_col), batch.num_rows)
         b = np.argmax(_normalize(vecs) @ cents.T, axis=1).astype(np.int64)
         return batch.append_column("__bucket", pa.array(b))
 

@@ -31,8 +31,9 @@ def score_buckets(emb_ds, *, vec_col: str = "embedding",
     ``floor(score·scale)`` buckets with positive = even label."""
 
     def prep(batch: pa.Table) -> pa.Table:
-        vecs = np.stack(batch.column(vec_col).to_pandas().to_numpy()
-                        ).astype(np.float64)
+        from .vecops import vec_matrix
+
+        vecs = vec_matrix(batch.column(vec_col), batch.num_rows)
         lab = batch.column(label_col).to_numpy(
             zero_copy_only=False).astype(np.int64)
         norm = np.sqrt((vecs * vecs).sum(axis=1))

@@ -15,7 +15,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from . import dedup as dd
-from . import engine, knn, multimodal, relational, text
+from . import engine, knn, multimodal, relational, text, vecops
 
 HOUR_US = 3_600_000_000
 MIN30_US = 1_800_000_000
@@ -1313,7 +1313,7 @@ def q_embedding_norms(sf_dir: str):
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
 
     def fn(batch: pa.Table) -> pa.Table:
-        vecs = np.stack(batch.column("embedding").to_pandas().to_numpy()).astype(np.float64)
+        vecs = vecops.vec_matrix(batch.column("embedding"), batch.num_rows)
         l2 = np.round(np.sqrt((vecs * vecs).sum(axis=1)), 6)
         dim = np.full(len(vecs), vecs.shape[1], dtype=np.int64)
         return pa.table({
@@ -1504,7 +1504,7 @@ def q_whiten_embeddings(sf_dir: str):
                           out_col="projected")
 
     def norms(batch: pa.Table) -> pa.Table:
-        v = np.stack(batch.column("projected").to_pandas().to_numpy())
+        v = vecops.vec_matrix(batch.column("projected"), batch.num_rows)
         return pa.table({
             "vec_id": batch.column("vec_id"),
             "proj_norm": pa.array(np.round(
