@@ -31,12 +31,27 @@ def _rd():
     return rd
 
 
-def _read(sf_dir: str, table: str, columns=None, filter=None):
+def _read(sf_dir: str, table: str, columns=None, filter=None,
+          num_blocks: int | None = None):
     """Pruned read: only the needed columns leave storage, and an optional
     pyarrow filter expression pushes the predicate into the parquet scan
-    (row-group statistics pruning + row-level filter at the source)."""
+    (row-group statistics pruning + row-level filter at the source).
+    ``num_blocks`` raises the split count for CPU-heavy downstream maps
+    (small single-file inputs default to ~16 splits, which under-feeds
+    32 CPUs; at real scale the fragment count dominates and this is moot)."""
+    kw = {"override_num_blocks": num_blocks} if num_blocks else {}
     return _rd().read_parquet(f"{sf_dir}/{table}.parquet", columns=columns,
-                              filter=filter)
+                              filter=filter, **kw)
+
+
+def _cpu_blocks(mult: int = 2) -> int:
+    """Block count ≈ mult × cluster CPUs (floor 32)."""
+    try:
+        import ray
+
+        return max(32, mult * int(ray.cluster_resources().get("CPU", 16)))
+    except Exception:
+        return 32
 
 
 def _np_round(col, d: int) -> pa.Array:
@@ -1874,10 +1889,11 @@ def q_minhash_near_dup(sf_dir: str):
     """MinHash+LSH near-dup: signature-only shuffle for candidates, then
     DISTRIBUTED shingle-Jaccard verification — the corpus never reaches
     the driver (only the small candidate pair list does)."""
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    nb = _cpu_blocks()
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], num_blocks=nb)
     cand_df = dd.minhash_candidate_pairs(docs, id_col="doc_id",
                                          text_col="text")
-    docs2 = _read(sf_dir, "documents", ["doc_id", "text"])
+    docs2 = _read(sf_dir, "documents", ["doc_id", "text"], num_blocks=nb)
     return dd.verify_jaccard_distributed(docs2, cand_df, id_col="doc_id",
                                          text_col="text", threshold=0.5)
 
