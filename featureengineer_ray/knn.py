@@ -89,36 +89,36 @@ def _finalize_topk(df: pd.DataFrame, k: int) -> pd.DataFrame:
     return df
 
 
-class _BucketScan:
-    """Per-batch probed scan: ONE matmul per (bucket present in the batch)
-    against just the queries probing that bucket — no per-query Python
-    loop (round-1 looped over every query per batch and scanned every
-    row, VERDICT r01 #4)."""
+def _bucket_scan_fn(ref, id_col: str, vec_col: str, k: int):
+    """Per-batch probed scan as a fused task fn: ONE matmul per (bucket
+    present in the batch) against just the queries probing that bucket —
+    no per-query Python loop (round-1 looped over every query per batch
+    and scanned every row, VERDICT r01 #4). The probe plan travels via
+    the object store (``ray.get`` of local plasma per batch), never in
+    the pickled closure."""
 
-    def __init__(self, ref, id_col: str, vec_col: str, k: int):
+    def scan(batch: pa.Table) -> pa.Table:
         import ray
 
-        self.qids, self.qm, self.by_bucket = ray.get(ref)
-        self.id_col, self.vec_col, self.k = id_col, vec_col, k
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, qm, by_bucket = ray.get(ref)
         bids = batch.column("__bucket").to_numpy(zero_copy_only=False)
-        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
-        vecs = _normalize(_vec_matrix(batch.column(self.vec_col),
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        vecs = _normalize(_vec_matrix(batch.column(vec_col),
                                       batch.num_rows))
         out_q, out_n, out_c = [], [], []
         for b in np.unique(bids):
-            qidx = self.by_bucket.get(int(b))
+            qidx = by_bucket.get(int(b))
             if qidx is None:
                 continue
             rows = np.flatnonzero(bids == b)
-            sims = vecs[rows] @ self.qm[qidx].T  # (m × q_b)
+            sims = vecs[rows] @ qm[qidx].T  # (m × q_b)
             m = len(rows)
-            kk = min(self.k, m)
+            kk = min(k, m)
             part = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk × q_b)
             r = part.reshape(-1)
-            c = np.repeat(np.arange(len(qidx))[None, :], kk, axis=0).reshape(-1)
-            out_q.append(self.qids[qidx[c]])
+            c = np.repeat(np.arange(len(qidx))[None, :], kk,
+                          axis=0).reshape(-1)
+            out_q.append(qids[qidx[c]])
             out_n.append(ids[rows[r]])
             out_c.append(sims[r, c])
         if not out_q:
@@ -130,6 +130,8 @@ class _BucketScan:
             "neighbor_id": pa.array(np.concatenate(out_n)),
             "cosine": pa.array(np.concatenate(out_c)),
         })
+
+    return scan
 
 
 def _probe_plan(queries, qid_col, vec_col, cents, n_probe):
@@ -173,10 +175,9 @@ def ivf_topk(
         out = batch.append_column("__bucket", pa.array(b))
         return out.filter(pa.array(np.isin(b, probe_arr)))
 
-    partials = ds.map_batches(assign_prune, batch_format="pyarrow").map_batches(
-        _BucketScan, batch_format="pyarrow", concurrency=(1, 8),
-        fn_constructor_kwargs={"ref": ref, "id_col": id_col,
-                               "vec_col": vec_col, "k": k})
+    partials = ds.map_batches(
+        assign_prune, batch_format="pyarrow").map_batches(
+        _bucket_scan_fn(ref, id_col, vec_col, k), batch_format="pyarrow")
     return _finalize_topk(partials.to_pandas(), k)
 
 
@@ -225,28 +226,21 @@ def ivf_search(
     qids, qm, by_bucket, probed = _probe_plan(queries, qid_col, vec_col,
                                               cents, n_probe)
     ref = ray.put((qids, qm, by_bucket))
-    parts = []
+    # ONE read of only the probed hive partitions: directory-level
+    # pruning by explicit path list (un-probed buckets never leave
+    # storage), one dataset execution instead of n_probe unions
+    paths = []
     for b in sorted(probed):
         p = os.path.join(index_dir, f"__bucket={b}")
-        if not os.path.isdir(p):
-            continue
-
-        def tag(batch: pa.Table, *, _b=int(b)) -> pa.Table:
-            if "__bucket" in batch.column_names:
-                return batch
-            return batch.append_column(
-                "__bucket", pa.array(np.full(batch.num_rows, _b,
-                                             dtype=np.int64)))
-
-        parts.append(rd.read_parquet(p).map_batches(
-            tag, batch_format="pyarrow"))
-    if not parts:
+        if os.path.isdir(p):
+            paths.append(p)
+    if not paths:
         return _finalize_topk(pd.DataFrame(), k)
-    corpus = parts[0]
-    for d in parts[1:]:
-        corpus = corpus.union(d)
+    files = [os.path.join(p, f) for p in paths
+             for f in sorted(os.listdir(p)) if f.endswith(".parquet")]
+    corpus = rd.read_parquet(
+        files, partitioning=ray.data.datasource.partitioning.Partitioning(
+            "hive", base_dir=index_dir))
     partials = corpus.map_batches(
-        _BucketScan, batch_format="pyarrow", concurrency=(1, 8),
-        fn_constructor_kwargs={"ref": ref, "id_col": id_col,
-                               "vec_col": vec_col, "k": k})
+        _bucket_scan_fn(ref, id_col, vec_col, k), batch_format="pyarrow")
     return _finalize_topk(partials.to_pandas(), k)
