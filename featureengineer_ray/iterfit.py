@@ -74,17 +74,17 @@ def _em_step(ds, centroids: np.ndarray, vec_col: str
     k, d = centroids.shape
     ref = ray.put(centroids)
 
-    class _Partial:
-        def __init__(self):
-            self.c = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
+    # task fn, not an actor pool: the model travels via the object store
+    # (zero-copy local ray.get per batch) and the op fuses with the read —
+    # no per-iteration pool spin-up
+    def _partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(ref)
             from .vecops import vec_matrix
 
             v = vec_matrix(batch.column(vec_col), batch.num_rows)
             # ||x-c||² = ||x||² - 2x·c + ||c||²; argmin over c
-            d2 = (-2.0 * (v @ self.c.T)
-                  + (self.c * self.c).sum(axis=1)[None, :])
+            d2 = (-2.0 * (v @ c.T)
+                  + (c * c).sum(axis=1)[None, :])
             a = np.argmin(d2, axis=1)
             xsq = (v * v).sum(axis=1)
             inertia = float((xsq + d2[np.arange(len(a)), a]).sum())
@@ -101,8 +101,8 @@ def _em_step(ds, centroids: np.ndarray, vec_col: str
     cnt = np.zeros(k)
     sums = np.zeros(k * d)
     inertia = 0.0
-    for b in ds.map_batches(_Partial, batch_format="pyarrow",
-                            concurrency=(1, 8)).iter_batches(
+    for b in ds.map_batches(_partial,
+                            batch_format="pyarrow").iter_batches(
             batch_format="pyarrow"):
         for i in range(b.num_rows):
             cnt += np.asarray(b.column("cnt")[i].as_py())
@@ -154,18 +154,14 @@ def kmeans_assign(ds, centroids: np.ndarray, *, vec_col: str,
 
     ref = ray.put(np.asarray(centroids, dtype=np.float64))
 
-    class _Assign:
-        def __init__(self):
-            self.c = ray.get(ref)
+    def _assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        from .vecops import vec_matrix
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            from .vecops import vec_matrix
+        v = vec_matrix(batch.column(vec_col), batch.num_rows)
+        d2 = (-2.0 * (v @ c.T)
+              + (c * c).sum(axis=1)[None, :])
+        return batch.append_column(
+            out_col, pa.array(np.argmin(d2, axis=1).astype(np.int64)))
 
-            v = vec_matrix(batch.column(vec_col), batch.num_rows)
-            d2 = (-2.0 * (v @ self.c.T)
-                  + (self.c * self.c).sum(axis=1)[None, :])
-            return batch.append_column(
-                out_col, pa.array(np.argmin(d2, axis=1).astype(np.int64)))
-
-    return ds.map_batches(_Assign, batch_format="pyarrow",
-                          concurrency=(1, 8))
+    return ds.map_batches(_assign, batch_format="pyarrow")
