@@ -304,15 +304,12 @@ def verify_jaccard_distributed(
     }
     ref = ray.put((cand_sorted, parts_list, pairs_by_part))
 
-    class _ShingleExplode:
-        def __init__(self):
-            self.cand, self.parts, _ = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
+    def _shingle_explode(batch: pa.Table) -> pa.Table:
+            cand, parts, _ = ray.get(ref)
             ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(self.cand, ids)
-            pos = np.clip(pos, 0, max(len(self.cand) - 1, 0))
-            hit = (self.cand[pos] == ids) if len(self.cand) else np.zeros(
+            pos = np.searchsorted(cand, ids)
+            pos = np.clip(pos, 0, max(len(cand) - 1, 0))
+            hit = (cand[pos] == ids) if len(cand) else np.zeros(
                 len(ids), dtype=bool)
             rows = np.flatnonzero(hit)
             texts = batch.column(text_col).to_numpy(
@@ -320,7 +317,7 @@ def verify_jaccard_distributed(
             out_part, out_id, out_sh = [], [], []
             for r, sh in zip(rows, _char_shingle_hashes(texts, k, seed)):
                 u = np.unique(sh).view(np.int64)
-                for p in self.parts[pos[r]]:
+                for p in parts[pos[r]]:
                     out_part.append(int(p))
                     out_id.append(ids[r])
                     out_sh.append(u)
@@ -373,8 +370,8 @@ def verify_jaccard_distributed(
                 "jaccard": pa.array(out_j, type=pa.float64()),
             })
 
-    exploded = docs_ds.map_batches(_ShingleExplode, batch_format="pyarrow",
-                                   concurrency=(1, 8))
+    exploded = docs_ds.map_batches(_shingle_explode,
+                                   batch_format="pyarrow")
     from .engine import use_push_shuffle
 
     use_push_shuffle(exploded)

@@ -402,11 +402,8 @@ def tfidf_top_term(ds, *, id_col: str = "doc_id", text_col: str = "text",
                            for t in terms_sorted], dtype=np.float64)
     ref = ray.put((terms_sorted, idf_sorted))
 
-    class _TopTerm:
-        def __init__(self):
-            self.terms, self.idf = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
+    def _top_term(batch: pa.Table) -> pa.Table:
+            _terms, _idf = ray.get(ref)
             flat, doc_of, _, _, _ = _word_lists(batch, text_col, pattern)
             if len(flat) == 0:
                 return pa.table({
@@ -425,8 +422,8 @@ def tfidf_top_term(ds, *, id_col: str = "doc_id", text_col: str = "text",
                 codes_arr.dictionary.take(
                     pa.array(p_code.astype(np.int32))
                 ).to_numpy(zero_copy_only=False), dtype=object)
-            pos = np.searchsorted(self.terms, p_terms)
-            tfidf = tf.astype(np.float64) * self.idf[pos]
+            pos = np.searchsorted(_terms, p_terms)
+            tfidf = tf.astype(np.float64) * _idf[pos]
             order = np.lexsort((p_terms, -tfidf, p_doc))
             first = np.concatenate(
                 ([True], p_doc[order][1:] != p_doc[order][:-1]))
@@ -438,8 +435,7 @@ def tfidf_top_term(ds, *, id_col: str = "doc_id", text_col: str = "text",
                 "tfidf": pa.array(np.round(tfidf[sel], 6)),
             })
 
-    return ds.map_batches(_TopTerm, batch_format="pyarrow",
-                          concurrency=(1, 8))
+    return ds.map_batches(_top_term, batch_format="pyarrow")
 
 
 def contamination_ratio(ds, bench_texts, *, id_col: str = "doc_id",
@@ -465,11 +461,8 @@ def contamination_ratio(ds, bench_texts, *, id_col: str = "doc_id",
         if bl else np.zeros(0, dtype=np.uint64))
     ref = ray.put(bench)
 
-    class _Contam:
-        def __init__(self):
-            self.bench = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
+    def _contam(batch: pa.Table) -> pa.Table:
+            bench = ray.get(ref)
             lowered = pc.utf8_lower(batch.column(text_col))
             texts = lowered.to_numpy(zero_copy_only=False)
             hl = _char_shingle_hashes(texts, k, seed)
@@ -479,10 +472,10 @@ def contamination_ratio(ds, bench_texts, *, id_col: str = "doc_id",
                 if tlen[i] < k:
                     continue
                 uniq = np.unique(h)
-                pos = np.searchsorted(self.bench, uniq)
-                pos = np.clip(pos, 0, max(len(self.bench) - 1, 0))
-                hits = (int((self.bench[pos] == uniq).sum())
-                        if len(self.bench) else 0)
+                pos = np.searchsorted(bench, uniq)
+                pos = np.clip(pos, 0, max(len(bench) - 1, 0))
+                hits = (int((bench[pos] == uniq).sum())
+                        if len(bench) else 0)
                 keep.append(i)
                 n_sh.append(len(uniq))
                 n_hit.append(hits)
@@ -496,8 +489,7 @@ def contamination_ratio(ds, bench_texts, *, id_col: str = "doc_id",
             out = out.append_column("n_hit", pa.array(nh))
             return out.append_column("contam_ratio", pa.array(ratio))
 
-    return ds.map_batches(_Contam, batch_format="pyarrow",
-                          concurrency=(1, 8))
+    return ds.map_batches(_contam, batch_format="pyarrow")
 
 
 def clean_text_batch(batch: pa.Table, *, text_col: str = "text",

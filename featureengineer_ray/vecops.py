@@ -8,8 +8,9 @@ every record's stat vector (``IVector.py:1336-1343,1508-1517``) →
 (``mpiIV.py:288-292``) → :func:`whiten`; ``lengthNorm``
 (``jyh/Utils.py:369-380``) → :func:`length_norm`.
 
-Scale shapes: matrices/moments are broadcast ONCE via ``ray.put`` and read
-in every actor's ``__init__``; the global-moments pass ships only
+Scale shapes: matrices/moments are broadcast ONCE via ``ray.put`` and
+fetched zero-copy from local plasma per batch (fused task fns); the
+global-moments pass ships only
 (d, d×d)-sized partials per batch (map-side combined — the reference's
 MPI ``Reduce`` shape, ``mpiIV.py:469-496``); per-batch work is one BLAS
 matmul. Nothing materializes the corpus.
@@ -66,17 +67,17 @@ def project(ds, matrix: np.ndarray, *, vec_col: str,
     ref = ray.put((np.asarray(matrix, dtype=np.float64),
                    None if bias is None else np.asarray(bias, np.float64)))
 
-    class _Proj:
-        def __init__(self):
-            self.m, self.b = ray.get(ref)
+    # task fn: the matrix arrives via a zero-copy local ray.get per batch
+    # and the op fuses with the read (actor pools are reserved for stages
+    # with genuinely expensive per-worker setup)
+    def _proj(batch: pa.Table) -> pa.Table:
+        m, b = ray.get(ref)
+        y = _stack(batch, vec_col) @ m
+        if b is not None:
+            y = y + b
+        return batch.append_column(out_col, _list_col(y))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            y = _stack(batch, vec_col) @ self.m
-            if self.b is not None:
-                y = y + self.b
-            return batch.append_column(out_col, _list_col(y))
-
-    return ds.map_batches(_Proj, batch_format="pyarrow", concurrency=(1, 8))
+    return ds.map_batches(_proj, batch_format="pyarrow")
 
 
 def vector_moments(ds, *, vec_col: str) -> tuple[int, np.ndarray, np.ndarray]:
@@ -149,14 +150,11 @@ def standardize_dims(ds, *, id_col: str, vec_col: str):
     std_safe = np.where(std == 0, 1.0, std)
     ref = ray.put((mean, std_safe, std == 0))
 
-    class _Standardize:
-        def __init__(self):
-            self.mean, self.std, self.degenerate = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
+    def _standardize(batch: pa.Table) -> pa.Table:
+            mean, std, degenerate = ray.get(ref)
             v = _stack(batch, vec_col)
-            z = (v - self.mean) / self.std
-            z[:, self.degenerate] = np.nan
+            z = (v - mean) / std
+            z[:, degenerate] = np.nan
             ids = batch.column(id_col)
             m, d = z.shape
             return pa.table({
@@ -167,8 +165,7 @@ def standardize_dims(ds, *, id_col: str, vec_col: str):
                 "value_std": pa.array(np.round(z.reshape(-1), 6)),
             })
 
-    return ds.map_batches(_Standardize, batch_format="pyarrow",
-                          concurrency=(1, 8))
+    return ds.map_batches(_standardize, batch_format="pyarrow")
 
 
 def class_vector_means(ds, *, vec_col: str, label_col: str,
