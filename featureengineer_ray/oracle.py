@@ -179,6 +179,9 @@ def oracle_fill(
         g[f"{col}_ffill"] = ff
         g[f"{col}_bfill"] = bf
         outs.append(g)
+    # drop empty frames before concat: pandas deprecated letting all-NA
+    # frames participate in result-dtype inference
+    outs = [o for o in outs if len(o)] or outs[:1]
     return pd.concat(outs, ignore_index=True)
 
 

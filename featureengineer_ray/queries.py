@@ -2583,6 +2583,48 @@ GROUP BY o_orderpriority
 """
 
 
+def q_time_weighted_avg(sf_dir: str):
+    """Per-entity TIME-weighted average: each value weighted by how long
+    it was 'current' (until the next event) — the event-time analog of
+    the reference's per-utterance frame averages where frames have equal
+    duration (IVector.py:508-514). One hash exchange; per-group work is
+    a vectorized diff/dot."""
+    ev = _events(sf_dir, cols=("event_id", "ts", "user_id", "value"))
+
+    def twa(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        val = group.column("value").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        ts, val = ts[order], val[order]
+        if len(ts) < 2:
+            return pa.table({
+                "user_id": pa.array([], type=group.schema.field(
+                    "user_id").type),
+                "twa": pa.array([], type=pa.float64())})
+        dt = np.diff(ts).astype(np.float64)
+        out = float(np.round((val[:-1] * dt).sum() / dt.sum(), 6))
+        return pa.table({
+            "user_id": group.column("user_id").slice(0, 1),
+            "twa": pa.array([out], type=pa.float64())})
+
+    return ev.groupby("user_id").map_groups(twa, batch_format="pyarrow")
+
+
+SQL_TIME_WEIGHTED_AVG = """
+WITH w AS (
+  SELECT user_id, value,
+         CAST(epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id))
+              - epoch_us(ts) AS DOUBLE) AS dt_us
+  FROM events)
+SELECT user_id, ROUND_EVEN(sum(value * dt_us) / sum(dt_us), 6) AS twa
+FROM w WHERE dt_us IS NOT NULL
+GROUP BY user_id
+"""
+
+
 def q_trial_mask_users(sf_dir: str):
     """Trial-mask construction (J8, the reference's dense model×segment
     Key/Ndx masks, PrepareData.py:66-71,195-212) realized relationally:
@@ -2951,6 +2993,7 @@ QUERIES = {
     "decayed_rolling": q_decayed_rolling,
     "validate_lineitem": q_validate_lineitem,
     "trial_mask_users": q_trial_mask_users,
+    "time_weighted_avg": q_time_weighted_avg,
     "unnest_embeddings": q_unnest_embeddings,
     "flagship_token_stack": flagship_token_stack,
 }
@@ -3025,5 +3068,6 @@ ORACLE_SQL = {
     "decayed_rolling": SQL_DECAYED,
     "validate_lineitem": SQL_VALIDATE,
     "trial_mask_users": SQL_TRIAL_MASK,
+    "time_weighted_avg": SQL_TIME_WEIGHTED_AVG,
     "unnest_embeddings": SQL_UNNEST_EMB,
 }
