@@ -2583,6 +2583,38 @@ GROUP BY o_orderpriority
 """
 
 
+def q_first_last_per_user(sf_dir: str):
+    """Per-entity first/last value in event-time order (the reference's
+    per-speaker enroll/test endpoint picks, PrepareData.py:34-64, as a
+    grouped ordered-aggregate): one hash exchange, vectorized lexsort
+    per group."""
+    ev = _events(sf_dir, cols=("event_id", "ts", "user_id", "value"))
+
+    def ends(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        val = group.column("value").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        return pa.table({
+            "user_id": group.column("user_id").slice(0, 1),
+            "first_value": pa.array([float(val[order[0]])]),
+            "last_value": pa.array([float(val[order[-1]])]),
+            "n": pa.array([len(val)], type=pa.int64()),
+        })
+
+    return ev.groupby("user_id").map_groups(ends, batch_format="pyarrow")
+
+
+SQL_FIRST_LAST = """
+SELECT user_id,
+       first(value ORDER BY ts, event_id) AS first_value,
+       last(value ORDER BY ts, event_id) AS last_value,
+       count(*) AS n
+FROM events GROUP BY user_id
+"""
+
+
 def q_time_weighted_avg(sf_dir: str):
     """Per-entity TIME-weighted average: each value weighted by how long
     it was 'current' (until the next event) — the event-time analog of
@@ -2994,6 +3026,7 @@ QUERIES = {
     "validate_lineitem": q_validate_lineitem,
     "trial_mask_users": q_trial_mask_users,
     "time_weighted_avg": q_time_weighted_avg,
+    "first_last_per_user": q_first_last_per_user,
     "unnest_embeddings": q_unnest_embeddings,
     "flagship_token_stack": flagship_token_stack,
 }
@@ -3069,5 +3102,6 @@ ORACLE_SQL = {
     "validate_lineitem": SQL_VALIDATE,
     "trial_mask_users": SQL_TRIAL_MASK,
     "time_weighted_avg": SQL_TIME_WEIGHTED_AVG,
+    "first_last_per_user": SQL_FIRST_LAST,
     "unnest_embeddings": SQL_UNNEST_EMB,
 }
