@@ -2583,6 +2583,67 @@ GROUP BY o_orderpriority
 """
 
 
+def q_funnel_click_purchase(sf_dir: str):
+    """Event-sequence funnel: per user, how many clicks converted to a
+    purchase within 1 hour (strictly after the click). Both legs are
+    narrow-filtered AT THE SCAN (predicate pushdown), co-shuffled once by
+    user, and each group resolves conversions with one vectorized
+    searchsorted — the trial-mask/range-join family (J8/J9) as a funnel."""
+    clicks = _read(sf_dir, "events", ["user_id", "ts", "event_type"],
+                   filter=(pc.field("event_type") == "click"))
+    purch = _read(sf_dir, "events", ["user_id", "ts", "event_type"],
+                  filter=(pc.field("event_type") == "purchase"))
+
+    def tag(which: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "user_id": batch.column("user_id"),
+                "ts": batch.column("ts"),
+                "leg": pa.array(np.full(batch.num_rows, which == "p",
+                                        dtype=np.int8)),
+            })
+
+        return fn
+
+    both = clicks.map_batches(tag("c"), batch_format="pyarrow").union(
+        purch.map_batches(tag("p"), batch_format="pyarrow"))
+
+    def funnel(group: pa.Table) -> pa.Table:
+        leg = group.column("leg").to_numpy(zero_copy_only=False)
+        ts = group.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        cts = np.sort(ts[leg == 0])
+        pts = np.sort(ts[leg == 1])
+        if len(cts) == 0:
+            return pa.table({
+                "user_id": pa.array([], type=group.schema.field(
+                    "user_id").type),
+                "n_clicks": pa.array([], type=pa.int64()),
+                "n_converted": pa.array([], type=pa.int64())})
+        lo = np.searchsorted(pts, cts, side="right")       # > click ts
+        hi = np.searchsorted(pts, cts + HOUR_US, side="right")  # ≤ +1h
+        return pa.table({
+            "user_id": group.column("user_id").slice(0, 1),
+            "n_clicks": pa.array([len(cts)], type=pa.int64()),
+            "n_converted": pa.array([int((hi > lo).sum())],
+                                    type=pa.int64())})
+
+    return both.groupby("user_id").map_groups(funnel,
+                                              batch_format="pyarrow")
+
+
+SQL_FUNNEL = """
+WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+     p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT c.user_id, count(*) AS n_clicks,
+       count(*) FILTER (WHERE EXISTS (
+         SELECT 1 FROM p WHERE p.user_id = c.user_id
+           AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR))
+         AS n_converted
+FROM c GROUP BY c.user_id
+"""
+
+
 def q_first_last_per_user(sf_dir: str):
     """Per-entity first/last value in event-time order (the reference's
     per-speaker enroll/test endpoint picks, PrepareData.py:34-64, as a
@@ -3027,6 +3088,7 @@ QUERIES = {
     "trial_mask_users": q_trial_mask_users,
     "time_weighted_avg": q_time_weighted_avg,
     "first_last_per_user": q_first_last_per_user,
+    "funnel_click_purchase": q_funnel_click_purchase,
     "unnest_embeddings": q_unnest_embeddings,
     "flagship_token_stack": flagship_token_stack,
 }
@@ -3103,5 +3165,6 @@ ORACLE_SQL = {
     "trial_mask_users": SQL_TRIAL_MASK,
     "time_weighted_avg": SQL_TIME_WEIGHTED_AVG,
     "first_last_per_user": SQL_FIRST_LAST,
+    "funnel_click_purchase": SQL_FUNNEL,
     "unnest_embeddings": SQL_UNNEST_EMB,
 }
