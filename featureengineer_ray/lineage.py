@@ -206,13 +206,15 @@ def read_output(out_dir: str):
 # incremental ingest: process only input fragments not yet marked done
 # --------------------------------------------------------------------------
 def _frag_id(path: str) -> str:
-    """Stable fragment identity: name + byte size (content-addressed
-    enough for append-only ingest dirs; a rewritten file changes size or
-    name and is re-processed)."""
+    """Stable fragment identity: name + byte size + mtime_ns. The mtime
+    component catches in-place rewrites that keep the byte size (e.g.
+    fixed-width re-exports) — without it such a rewrite would be silently
+    treated as already processed (ADVICE r2)."""
     from .hashing import hash_str
 
     st = os.stat(path)
-    return f"{hash_str(f'{os.path.basename(path)}:{st.st_size}'):016x}"
+    ident = f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns}"
+    return f"{hash_str(ident):016x}"
 
 
 def incremental_map(input_dir: str, out_dir: str, fn, *,
@@ -247,15 +249,23 @@ def incremental_map(input_dir: str, out_dir: str, fn, *,
         out_ds = fn(rd.read_parquet(path))
         os.makedirs(fdir, exist_ok=True)
         # distributed sink into a tmp dir, then ONE atomic dir rename —
-        # the fragment's output never funnels through the driver
-        tmp_dir = os.path.join(fdir, f".tmp-{uuid.uuid4().hex}")
+        # the fragment's output never funnels through the driver. The
+        # final dir name is UNIQUE per attempt and recorded in the
+        # marker: a crash between the rename and the marker write (or a
+        # concurrent run on the same new fragment) leaves an orphan dir
+        # but can never collide — a fixed "data" target made every
+        # post-crash re-run fail with ENOTEMPTY (ADVICE r2). The marker
+        # is the single atomic commit point; readers follow it.
+        attempt = uuid.uuid4().hex
+        tmp_dir = os.path.join(fdir, f".tmp-{attempt}")
         out_ds.write_parquet(tmp_dir)
         rows_out = sum(
             pq.read_metadata(os.path.join(tmp_dir, f)).num_rows
             for f in os.listdir(tmp_dir) if f.endswith(".parquet"))
-        os.replace(tmp_dir, os.path.join(fdir, "data"))
+        data_name = f"data-{attempt}"
+        os.replace(tmp_dir, os.path.join(fdir, data_name))
         rec = {"fragment": os.path.basename(path), "frag_id": fid,
-               "rows_out": rows_out,
+               "rows_out": rows_out, "data_dir": data_name,
                "wall_s": round(time.monotonic() - t0, 3)}
         mtmp = marker + f".tmp-{uuid.uuid4().hex}"
         with open(mtmp, "w") as f:
@@ -266,15 +276,23 @@ def incremental_map(input_dir: str, out_dir: str, fn, *,
 
 
 def read_incremental_output(out_dir: str):
-    """All successfully processed fragments' outputs as one Dataset."""
+    """All successfully processed fragments' outputs as one Dataset.
+
+    Follows each marker's recorded ``data_dir`` (unique-per-attempt;
+    legacy markers fall back to ``data``). With no completed fragment it
+    returns an EMPTY dataset instead of raising (ADVICE r2)."""
     import ray.data as rd
 
     paths = []
-    for d in sorted(os.listdir(out_dir)):
-        if d.startswith("frag=") and os.path.exists(
-                os.path.join(out_dir, d, "_SUCCESS.json")):
-            ddir = os.path.join(out_dir, d, "data")
+    for d in sorted(os.listdir(out_dir)) if os.path.isdir(out_dir) else []:
+        marker = os.path.join(out_dir, d, "_SUCCESS.json")
+        if d.startswith("frag=") and os.path.exists(marker):
+            with open(marker) as f:
+                rec = json.load(f)
+            ddir = os.path.join(out_dir, d, rec.get("data_dir", "data"))
             paths.extend(os.path.join(ddir, f)
                          for f in sorted(os.listdir(ddir))
                          if f.endswith(".parquet"))
+    if not paths:
+        return rd.from_arrow(pa.table({}))
     return rd.read_parquet(paths)

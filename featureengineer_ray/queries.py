@@ -2993,6 +2993,23 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def q_shuffle_rechunk(sf_dir: str):
+    """O6 as a CHECKED query: seeded global random shuffle + fixed-size
+    re-chunk (the reference's epoch shuffle + fixed-minibatch re-blocking,
+    ``DataInteger.py:380-381``). The all-to-all permutes and re-packs
+    blocks but must move every row exactly once — the oracle checks the
+    row SET is invariant (the driver compare is order-insensitive), and
+    tests/test_ops.py asserts (a) fixed-seed determinism at a fixed block
+    layout and (b) row-set invariance across different layouts."""
+    ev = _events(sf_dir)
+    return ev.random_shuffle(seed=42).repartition(_cpu_blocks())
+
+
+SQL_SHUFFLE_RECHUNK = """
+SELECT event_id, ts, user_id, event_type, value FROM events
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3090,6 +3107,7 @@ QUERIES = {
     "first_last_per_user": q_first_last_per_user,
     "funnel_click_purchase": q_funnel_click_purchase,
     "unnest_embeddings": q_unnest_embeddings,
+    "shuffle_rechunk": q_shuffle_rechunk,
     "flagship_token_stack": flagship_token_stack,
 }
 
@@ -3167,4 +3185,5 @@ ORACLE_SQL = {
     "first_last_per_user": SQL_FIRST_LAST,
     "funnel_click_purchase": SQL_FUNNEL,
     "unnest_embeddings": SQL_UNNEST_EMB,
+    "shuffle_rechunk": SQL_SHUFFLE_RECHUNK,
 }

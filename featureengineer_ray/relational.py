@@ -261,13 +261,14 @@ def global_rank(ds, *, by: list[str], descending: list[bool],
     primary = by[0]
     desc0 = descending[0]
 
-    from .hashing import mix64
+    from .hashing import hash_values
     from .partition import hash_shuffle_width
 
-    # phase 1: deterministic sample → boundaries
+    # phase 1: deterministic sample → boundaries (value-hash, not
+    # positional — see skew_join.sample_keys)
     def sample(batch: pa.Table) -> pa.Table:
         x = batch.column(primary).to_numpy(zero_copy_only=False)
-        h = mix64(np.arange(batch.num_rows, dtype=np.uint64), 0x5B)
+        h = hash_values(x, seed=0x5B)
         take = (h % np.uint64(1 << 20)) < np.uint64(
             int(sample_rate * (1 << 20)))
         return pa.table({"v": pa.array(x[take].astype(np.float64))})
@@ -506,11 +507,13 @@ def exact_percentiles(ds, col: str, qs: list[float], *,
     narrow = ds.select_columns([col])
 
     # phase 1: sample → ascending range boundaries
-    from .hashing import mix64
+    from .hashing import hash_values
 
     def sample(batch: pa.Table) -> pa.Table:
         x = batch.column(col).to_numpy(zero_copy_only=False)
-        h = mix64(np.arange(batch.num_rows, dtype=np.uint64), 0xA7)
+        # value-hash sampling (see skew_join.sample_keys): boundary
+        # estimates must not depend on per-batch row positions
+        h = hash_values(x, seed=0xA7)
         take = (h % np.uint64(1 << 20)) < np.uint64(
             int(sample_rate * (1 << 20)))
         return pa.table({"v": pa.array(x[take].astype(np.float64))})
@@ -610,7 +613,7 @@ def skew_join(left, right, *, on: str, right_on: str,
     Output columns: left columns + right non-key columns (right key is
     dropped — it equals ``on``).
     """
-    from .hashing import mix64
+    from .hashing import hash_values
 
     from .partition import estimate_rows
 
@@ -629,7 +632,12 @@ def skew_join(left, right, *, on: str, right_on: str,
 
     def sample_keys(batch: pa.Table) -> pa.Table:
         x = batch.column(on).to_numpy(zero_copy_only=False)
-        h = mix64(np.arange(batch.num_rows, dtype=np.uint64), 0xC3)
+        # hash the key VALUE (not the batch row position): positional
+        # sampling picks identical indices in every batch, biasing the
+        # hot-key estimate on ordered inputs (ADVICE r2). Value-hash
+        # sampling is also layout-invariant, so the hot-key set is
+        # stable across block layouts.
+        h = hash_values(x, seed=0xC3)
         take = (h % np.uint64(1 << 20)) < np.uint64(
             int(sample_rate * (1 << 20)))
         return pa.table({"k": pa.array(x[take])})

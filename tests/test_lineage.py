@@ -121,3 +121,67 @@ def test_incremental_map_processes_only_new_fragments(ray_session, tmp_path):
 
     got = sorted(read_incremental_output(str(out)).to_pandas()["y"])
     assert got == [2 * i for i in range(250)]
+
+
+def test_incremental_map_recovers_from_crash_before_marker(
+        ray_session, tmp_path):
+    """Crash between the data-dir rename and the marker write must not
+    poison the fragment: the re-run processes it again into a fresh
+    uniquely-named dir (ADVICE r2: a fixed 'data' target raised
+    ENOTEMPTY on every subsequent run)."""
+    import pyarrow.parquet as pq
+
+    from featureengineer_ray.lineage import (incremental_map,
+                                             read_incremental_output)
+
+    inp = tmp_path / "in"
+    out = tmp_path / "out"
+    inp.mkdir()
+    pq.write_table(pa.table({"x": pa.array(np.arange(50, dtype=np.int64))}),
+                   inp / "a.parquet")
+
+    def double(ds):
+        def fn(b: pa.Table) -> pa.Table:
+            return pa.table({"y": pa.array(
+                b.column("x").to_numpy(zero_copy_only=False) * 2)})
+
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    assert len(incremental_map(str(inp), str(out), double)) == 1
+    # simulate the crash: delete the marker but keep the renamed data dir
+    frag_dirs = [d for d in os.listdir(out) if d.startswith("frag=")]
+    assert len(frag_dirs) == 1
+    fdir = out / frag_dirs[0]
+    os.remove(fdir / "_SUCCESS.json")
+    assert any(d.startswith("data-") for d in os.listdir(fdir))
+
+    # re-run: must succeed (no ENOTEMPTY) and produce a complete output
+    redone = incremental_map(str(inp), str(out), double)
+    assert len(redone) == 1
+    got = sorted(read_incremental_output(str(out)).to_pandas()["y"])
+    assert got == [2 * i for i in range(50)]
+
+
+def test_read_incremental_output_empty_is_empty_dataset(
+        ray_session, tmp_path):
+    from featureengineer_ray.lineage import read_incremental_output
+
+    out = tmp_path / "out"
+    out.mkdir()
+    ds = read_incremental_output(str(out))
+    assert ds.count() == 0
+
+
+def test_frag_id_detects_same_size_rewrite(tmp_path):
+    """An in-place rewrite that keeps the byte size must change the
+    fragment id (mtime_ns is part of the identity, ADVICE r2)."""
+    import time as _time
+
+    from featureengineer_ray.lineage import _frag_id
+
+    p = tmp_path / "f.bin"
+    p.write_bytes(b"a" * 64)
+    fid1 = _frag_id(str(p))
+    _time.sleep(0.002)  # ensure mtime_ns differs
+    p.write_bytes(b"b" * 64)  # same size, new content
+    assert _frag_id(str(p)) != fid1

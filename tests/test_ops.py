@@ -943,3 +943,34 @@ def test_small_file_consolidation_roundtrip(rd, tmp_path):
     assert len(files) <= 8                      # consolidated
     back = rd.read_parquet(str(out)).to_pandas()["x"]
     assert sorted(back) == list(range(3200))    # nothing lost or duplicated
+
+
+def test_shuffle_rechunk_rowset_invariant_and_seeded(rd):
+    """O6: seeded random_shuffle + re-chunk. (a) the row multiset is
+    invariant across block layouts; (b) a fixed seed at a fixed layout
+    is deterministic."""
+    tbl = pa.table({"id": pa.array(np.arange(5000, dtype=np.int64)),
+                    "v": pa.array(np.arange(5000, dtype=np.int64) * 3)})
+
+    def run(n_blocks):
+        ds = rd.from_arrow(tbl).repartition(n_blocks)
+        return ds.random_shuffle(seed=7).repartition(8).to_pandas()
+
+    a, b = run(4), run(16)
+    # fixed seed + fixed layout → identical permutation
+    pd.testing.assert_frame_equal(run(4), a)
+    # row multiset invariant across layouts (permutation may differ)
+    pd.testing.assert_frame_equal(
+        a.sort_values("id").reset_index(drop=True),
+        b.sort_values("id").reset_index(drop=True))
+    assert list(a.sort_values("id")["id"]) == list(range(5000))
+
+
+def test_embedding_neardup_hyperplanes_cached_deterministic():
+    from featureengineer_ray.dedup import _hyperplanes
+
+    p1 = _hyperplanes(3, 16, 8)
+    p2 = _hyperplanes(3, 16, 8)
+    assert p1 is p2  # cached per process, not regenerated per call
+    assert p1.shape == (16, 8)
+    assert np.allclose(p1, np.random.default_rng(3).standard_normal((16, 8)))
