@@ -154,7 +154,29 @@ def grouped_agg(
     if count_alias:
         partial_specs.append((count_alias, None, "size"))
 
-    def partial(batch: pa.Table) -> pa.Table:
+    def _partial_arrow(batch: pa.Table) -> pa.Table:
+        # Arrow-native hash aggregation (C++): no pandas round-trip in the
+        # busiest partial in the repo (VERDICT r2 #4). Arrow's hash_sum
+        # defaults to min_count=1, so an all-null group contributes NULL,
+        # not 0.0 — the merged SUM matches SQL. Output columns come back
+        # as [keys..., one per aggregate in spec order]; duplicate
+        # (col, fn) pairs produce duplicate names, so rename positionally.
+        specs = []
+        for pname, col, fn in partial_specs:
+            if fn == "size":
+                specs.append((keys[0], "count", pc.CountOptions(mode="all")))
+            elif fn == "count":
+                specs.append((col, "count"))
+            else:
+                specs.append((col, fn))
+        g = batch.group_by(keys, use_threads=False).aggregate(specs)
+        cols = {k: g.column(i) for i, k in enumerate(keys)}
+        for i, (pname, _, _) in enumerate(partial_specs):
+            cols[pname] = g.column(len(keys) + i)
+        return pa.table(cols)
+
+    def _partial_pandas(batch: pa.Table) -> pa.Table:
+        # fallback for column types Arrow's hash kernels can't aggregate
         df = batch.to_pandas()
         g = df.groupby(keys, sort=False)
         out = {}
@@ -164,13 +186,17 @@ def grouped_agg(
             elif fn == "count":
                 out[pname] = g[col].count()
             elif fn == "sum":
-                # min_count=1: an all-null group contributes NULL, not 0.0,
-                # so the merged SUM matches SQL (NULL when no non-null input)
                 out[pname] = g[col].sum(min_count=1)
             else:
                 out[pname] = getattr(g[col], fn)()
         res = pd.DataFrame(out).reset_index()
         return pa.Table.from_pandas(res, preserve_index=False)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        try:
+            return _partial_arrow(batch)
+        except pa.lib.ArrowNotImplementedError:
+            return _partial_pandas(batch)
 
     from ray.data.aggregate import Max, Min, Sum
 
@@ -189,12 +215,16 @@ def grouped_agg(
     merged = partials.groupby(keys).aggregate(*combine)
 
     def finalize(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
+        # Arrow-native: float64 divide (int/int would truncate); an
+        # all-null group is null/0 → null, matching pandas' NaN
         for out_name, fn in finals:
             if fn == "mean":
-                df[out_name] = df[f"__s_{out_name}"] / df[f"__c_{out_name}"]
-                df = df.drop(columns=[f"__s_{out_name}", f"__c_{out_name}"])
-        return pa.Table.from_pandas(df, preserve_index=False)
+                s = batch.column(f"__s_{out_name}").cast(pa.float64())
+                c = batch.column(f"__c_{out_name}").cast(pa.float64())
+                batch = batch.drop_columns(
+                    [f"__s_{out_name}", f"__c_{out_name}"])
+                batch = batch.append_column(out_name, pc.divide(s, c))
+        return batch
 
     return merged.map_batches(finalize, batch_format="pyarrow")
 
