@@ -1,0 +1,263 @@
+"""Soft-posterior diagonal-GMM sufficient statistics and EM fit.
+
+This is the engine's counterpart of the reference's single most
+load-bearing compute pattern: per record, log Gaussian likelihoods
+against a broadcast mixture -> log-sum-exp -> posteriors ``pp`` ->
+zeroth/first/second-order sufficient statistics, reduced across workers
+(``IVector.py:705-730`` worker kernel, ``mpiIV.py:443-496`` MPI reduce of
+the w/mu/invcov accumulators, ``IVector.py:239-244`` per-iteration
+checkpoint artifacts). The reference runs it over MPI ranks on HDF5
+shards; here the model is broadcast once per iteration via ``ray.put``,
+each Arrow batch emits one constant-width partial row
+(k·(2d+2)+2 doubles, independent of batch size — map-side combined by
+construction), and the driver reduces the partial stream. The corpus is
+re-streamed once per iteration and never materialized.
+
+Numerics: everything is float64; the log-sum-exp subtracts the per-row
+max so posteriors are exact even when every component log-likelihood is
+far below exp's underflow range.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+_LOG2PI = float(np.log(2.0 * np.pi))
+
+
+@dataclass
+class DiagGmm:
+    """Diagonal-covariance Gaussian mixture: weights (k,), means (k,d),
+    inverse variances (k,d)."""
+
+    w: np.ndarray
+    mu: np.ndarray
+    invcov: np.ndarray
+
+    @property
+    def k(self) -> int:
+        return len(self.w)
+
+    @property
+    def d(self) -> int:
+        return self.mu.shape[1]
+
+    def log_const(self) -> np.ndarray:
+        """Per-component additive constant: log w + ½Σlog λ − d/2·log 2π
+        − ½·μᵀΛμ (the x-independent part of the expanded quadratic)."""
+        return (np.log(self.w)
+                + 0.5 * np.log(self.invcov).sum(axis=1)
+                - 0.5 * self.d * _LOG2PI
+                - 0.5 * (self.mu * self.mu * self.invcov).sum(axis=1))
+
+    def to_dict(self) -> dict:
+        return {"w": self.w.tolist(), "mu": self.mu.tolist(),
+                "invcov": self.invcov.tolist()}
+
+    @staticmethod
+    def from_dict(d: dict) -> "DiagGmm":
+        return DiagGmm(np.asarray(d["w"], dtype=np.float64),
+                       np.asarray(d["mu"], dtype=np.float64),
+                       np.asarray(d["invcov"], dtype=np.float64))
+
+
+def default_model(d: int = 64, k: int = 4, seed: int = 11) -> DiagGmm:
+    """Deterministic fixed model for the hash-checked ``gmm_stats`` query.
+
+    Parameters are rounded to 4 decimals so their repr() literals parse
+    to bit-identical doubles in both numpy and DuckDB SQL."""
+    rng = np.random.default_rng(seed)
+    w = np.asarray([0.1, 0.2, 0.3, 0.4][:k], dtype=np.float64)
+    w = w / w.sum()
+    mu = np.round(rng.normal(0.0, 0.1, size=(k, d)), 4)
+    var = np.round(rng.uniform(0.5, 2.0, size=(k, d)), 4)
+    return DiagGmm(w=w, mu=mu, invcov=1.0 / var)
+
+
+def log_posteriors(v: np.ndarray, model: DiagGmm
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    """(n,d) rows -> posteriors pp (n,k) and per-row log-evidence (n,).
+
+    lp[i,c] = const_c + x·(μΛ)_c − ½·x²·Λ_c ; log-sum-exp over c.
+    Mirrors the reference kernel: ``compute_log_posterior_probabilities``
+    + ``sum_log_probabilities`` (``IVector.py:713-719``)."""
+    m1 = model.mu * model.invcov                      # (k, d)
+    lp = (model.log_const()[None, :]
+          + v @ m1.T
+          - 0.5 * ((v * v) @ model.invcov.T))         # (n, k)
+    m = lp.max(axis=1)
+    ex = np.exp(lp - m[:, None])
+    s = ex.sum(axis=1)
+    logsum = m + np.log(s)
+    pp = ex / s[:, None]
+    return pp, logsum
+
+
+@dataclass
+class SuffStats:
+    """Reduced E-step accumulators (the reference's stat0/stat1 plus the
+    second-order stats its UBM M-step needs: ``mpiIV.py:468-488``)."""
+
+    stat0: np.ndarray   # (k,)   Σᵢ pp[i,c]
+    stat1: np.ndarray   # (k,d)  Σᵢ pp[i,c]·xᵢ
+    stat2: np.ndarray   # (k,d)  Σᵢ pp[i,c]·xᵢ²
+    llk_w: np.ndarray   # (k,)   Σᵢ pp[i,c]·logsumᵢ  (posterior-split llk)
+    llk: float          # Σᵢ logsumᵢ
+    n: int
+
+
+def suff_stats(ds, model: DiagGmm, *, vec_col: str) -> SuffStats:
+    """One distributed E-step: broadcast the model, accumulate per-batch
+    partials map-side, reduce the constant-width partial stream on the
+    driver (the Ray analog of ``comm.Reduce`` in ``mpiIV.py:469-496``)."""
+    import ray
+
+    k, d = model.k, model.d
+    ref = ray.put(model)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        from .vecops import vec_matrix
+
+        mod = ray.get(ref)
+        v = vec_matrix(batch.column(vec_col), batch.num_rows)
+        pp, logsum = log_posteriors(v, mod)
+        s0 = pp.sum(axis=0)
+        s1 = pp.T @ v
+        s2 = pp.T @ (v * v)
+        lw = pp.T @ logsum
+        return pa.table({
+            "s0": pa.array([s0.tolist()], type=pa.list_(pa.float64())),
+            "s1": pa.array([s1.reshape(-1).tolist()],
+                           type=pa.list_(pa.float64())),
+            "s2": pa.array([s2.reshape(-1).tolist()],
+                           type=pa.list_(pa.float64())),
+            "lw": pa.array([lw.tolist()], type=pa.list_(pa.float64())),
+            "llk": pa.array([float(logsum.sum())], type=pa.float64()),
+            "n": pa.array([batch.num_rows], type=pa.int64()),
+        })
+
+    s0 = np.zeros(k)
+    s1 = np.zeros(k * d)
+    s2 = np.zeros(k * d)
+    lw = np.zeros(k)
+    llk = 0.0
+    n = 0
+    out = ds.map_batches(_partial, batch_format="pyarrow")
+    for b in out.iter_batches(batch_format="pyarrow"):
+        for i in range(b.num_rows):
+            s0 += np.asarray(b.column("s0")[i].as_py())
+            s1 += np.asarray(b.column("s1")[i].as_py())
+            s2 += np.asarray(b.column("s2")[i].as_py())
+            lw += np.asarray(b.column("lw")[i].as_py())
+            llk += float(b.column("llk")[i].as_py())
+            n += int(b.column("n")[i].as_py())
+    return SuffStats(stat0=s0, stat1=s1.reshape(k, d),
+                     stat2=s2.reshape(k, d), llk_w=lw, llk=llk, n=n)
+
+
+def m_step(st: SuffStats, *, var_floor: float = 1e-8) -> DiagGmm:
+    """UBM maximization from reduced stats (``mpiIV.py:505-521`` shape):
+    w = stat0/n, μ = stat1/stat0, σ² = stat2/stat0 − μ² (floored)."""
+    k = len(st.stat0)
+    nz = st.stat0 > 0
+    w = st.stat0 / max(st.n, 1)
+    w = np.where(nz, w, 1.0 / k)
+    w = w / w.sum()
+    mu = np.where(nz[:, None], st.stat1 / np.maximum(st.stat0, 1e-300)[:, None],
+                  0.0)
+    var = st.stat2 / np.maximum(st.stat0, 1e-300)[:, None] - mu * mu
+    var = np.maximum(var, var_floor)
+    var = np.where(nz[:, None], var, 1.0)
+    return DiagGmm(w=w, mu=mu, invcov=1.0 / var)
+
+
+# --- fit lifecycle (iterfit pattern: artifact per iteration + resume) ----
+
+def _ckpt_path(ckpt_dir: str, it: int) -> str:
+    return os.path.join(ckpt_dir, f"gmm_it-{it}.json")
+
+
+def _write_ckpt(ckpt_dir: str, it: int, model: DiagGmm, llk: float,
+                n: int) -> None:
+    os.makedirs(ckpt_dir, exist_ok=True)
+    tmp = _ckpt_path(ckpt_dir, it) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"iteration": it, "llk": llk, "n": n,
+                   **model.to_dict()}, f)
+    os.replace(tmp, _ckpt_path(ckpt_dir, it))
+
+
+def load_ckpt(ckpt_dir: str, it: int) -> dict:
+    with open(_ckpt_path(ckpt_dir, it)) as f:
+        return json.load(f)
+
+
+def latest_ckpt(ckpt_dir: str) -> int | None:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    its = [int(f[len("gmm_it-"):-len(".json")]) for f in os.listdir(ckpt_dir)
+           if f.startswith("gmm_it-") and f.endswith(".json")]
+    return max(its) if its else None
+
+
+def init_model(ds, *, vec_col: str, k: int, seed: int) -> DiagGmm:
+    """Data-driven deterministic init: k means from an unbiased
+    hash-sample of the corpus (layout-invariant — not the first blocks),
+    shared global variance, uniform weights."""
+    from .vecops import sample_vectors
+
+    m = sample_vectors(ds, vec_col=vec_col, n=max(k * 32, 256), seed=seed)
+    rng = np.random.default_rng(seed)
+    mu = m[rng.choice(len(m), size=min(k, len(m)), replace=False)].copy()
+    var = np.maximum(m.var(axis=0), 1e-8)
+    return DiagGmm(w=np.full(k, 1.0 / k),
+                   mu=mu, invcov=np.tile(1.0 / var, (k, 1)))
+
+
+def gmm_fit(ds_factory, *, vec_col: str, k: int = 4, iters: int = 3,
+            ckpt_dir: str, seed: int = 13, resume: bool = True,
+            ) -> tuple[DiagGmm, list[dict]]:
+    """EM-fit a diagonal GMM with one persisted artifact per iteration
+    and exact resume (``IVector.py:239-244``). ``ds_factory`` returns a
+    fresh Dataset per pass. Each iteration is a pure function of the
+    previous model, so a resumed run is bit-identical to a straight run
+    (tested). Returns (model, history of per-iteration mean llk)."""
+    start = -1
+    history: list[dict] = []
+    model: DiagGmm | None = None
+    if resume:
+        last = latest_ckpt(ckpt_dir)
+        if last is not None:
+            start = last
+            for i in range(last + 1):
+                c = load_ckpt(ckpt_dir, i)
+                history.append({"iteration": i, "llk": c["llk"],
+                                "n": c["n"]})
+            model = DiagGmm.from_dict(load_ckpt(ckpt_dir, last))
+    if model is None:
+        model = init_model(ds_factory(), vec_col=vec_col, k=k, seed=seed)
+    for it in range(start + 1, iters):
+        st = suff_stats(ds_factory(), model, vec_col=vec_col)
+        model = m_step(st)
+        _write_ckpt(ckpt_dir, it, model, st.llk, st.n)
+        history.append({"iteration": it, "llk": st.llk, "n": st.n})
+    return model, history
+
+
+def stats_table(ds, model: DiagGmm, *, vec_col: str,
+                digits: int = 6) -> pa.Table:
+    """Per-component reduced statistics as a small Arrow table — the
+    hash-checkable surface of the E-step: (comp, stat0, stat1_sum,
+    llk_w), rounded for cross-engine float stability."""
+    st = suff_stats(ds, model, vec_col=vec_col)
+    return pa.table({
+        "comp": pa.array(np.arange(model.k, dtype=np.int64)),
+        "stat0": pa.array(np.round(st.stat0, digits)),
+        "stat1_sum": pa.array(np.round(st.stat1.sum(axis=1), digits)),
+        "llk_w": pa.array(np.round(st.llk_w, digits)),
+    })

@@ -59,8 +59,11 @@ def latest_ckpt(ckpt_dir: str) -> int | None:
 
 
 def _init_centroids(ds, vec_col: str, k: int, seed: int) -> np.ndarray:
-    sample = ds.limit(max(k * 20, 256)).to_pandas()
-    m = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+    # unbiased hash-sample (layout-invariant), not limit(): on a corpus
+    # clustered by source, limit() reads one corner of the distribution
+    from .vecops import sample_vectors
+
+    m = sample_vectors(ds, vec_col=vec_col, n=max(k * 20, 256), seed=seed)
     rng = np.random.default_rng(seed)
     return m[rng.choice(len(m), size=min(k, len(m)), replace=False)].copy()
 

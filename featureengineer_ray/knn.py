@@ -71,8 +71,13 @@ def brute_force_topk(
 
 def _sample_centroids(ds, vec_col: str, n_centroids: int, seed: int
                       ) -> np.ndarray:
-    sample = ds.limit(max(n_centroids * 20, 256)).to_pandas()
-    sm = _normalize(np.stack(sample[vec_col].to_numpy()).astype(np.float64))
+    # unbiased hash-sample (layout-invariant), not limit(): on a corpus
+    # clustered by source, limit() reads one corner of the distribution
+    from .vecops import sample_vectors
+
+    m = sample_vectors(ds, vec_col=vec_col,
+                       n=max(n_centroids * 20, 256), seed=seed)
+    sm = _normalize(m)
     rng = np.random.default_rng(seed)
     return _normalize(sm[rng.choice(len(sm), size=min(n_centroids, len(sm)),
                                     replace=False)])

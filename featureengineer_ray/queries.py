@@ -1505,6 +1505,99 @@ def q_kmeans_embeddings(sf_dir: str):
                    ["cluster", "n_rows"])
 
 
+def q_gmm_stats(sf_dir: str):
+    """Soft-posterior mixture sufficient statistics (the reference's
+    T1/A2 core kernel, ``IVector.py:705-730``): per row, log Gaussian
+    likelihoods against a FIXED broadcast diagonal GMM → log-sum-exp →
+    posteriors → per-component stat0 / Σ-dims stat1 / posterior-split
+    llk, reduced across batches. Hash-checked: the same model constants
+    are embedded in the DuckDB oracle as .17e literals."""
+    from . import gmm
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return gmm.stats_table(emb, gmm.default_model(), vec_col="embedding")
+
+
+def _gmm_stats_sql() -> str:
+    """Oracle for q_gmm_stats: identical model constants (log-const a,
+    μ·Λ vector m1, Λ vector ic) serialized at .17e so DuckDB parses the
+    bit-identical doubles; lp/log-sum-exp/posterior algebra mirrors
+    gmm.log_posteriors."""
+    from . import gmm
+
+    model = gmm.default_model()
+    a = model.log_const()
+    m1 = model.mu * model.invcov
+
+    def lit(x: float) -> str:
+        return f"{x:.17e}"
+
+    def arr(v) -> str:
+        return "[" + ", ".join(lit(float(x)) for x in v) + "]::DOUBLE[]"
+
+    rows = ",\n    ".join(
+        f"({c}, {lit(float(a[c]))}, {arr(m1[c])}, {arr(model.invcov[c])})"
+        for c in range(model.k))
+    return f"""
+WITH par AS (
+  SELECT * FROM (VALUES
+    {rows}
+  ) AS t(comp, a, m1, ic)
+),
+e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+lp AS (
+  SELECT e.vec_id, par.comp,
+         par.a + list_dot_product(e.v, par.m1)
+               - 0.5 * list_dot_product(
+                   list_transform(e.v, x -> x * x), par.ic) AS lp,
+         list_sum(e.v) AS vsum
+  FROM e CROSS JOIN par
+),
+ls AS (
+  SELECT vec_id, max(lp) + ln(sum(exp(lp - mlp))) AS logsum
+  FROM (SELECT vec_id, lp,
+               max(lp) OVER (PARTITION BY vec_id) AS mlp FROM lp)
+  GROUP BY vec_id
+)
+SELECT lp.comp,
+       ROUND_EVEN(sum(exp(lp.lp - ls.logsum)), 6) AS stat0,
+       ROUND_EVEN(sum(exp(lp.lp - ls.logsum) * lp.vsum), 6) AS stat1_sum,
+       ROUND_EVEN(sum(exp(lp.lp - ls.logsum) * ls.logsum), 6) AS llk_w
+FROM lp JOIN ls USING (vec_id)
+GROUP BY lp.comp
+ORDER BY lp.comp
+"""
+
+
+def q_gmm_fit(sf_dir: str):
+    """Full soft-EM mixture trainer lifecycle (A10 proper): 3 EM
+    iterations with a persisted artifact per iteration + exact resume
+    (``mpiIV.py:443-533``, ``IVector.py:239-244``); returns deterministic
+    per-component weights and mean norms (rows-only — iterative,
+    non-SQL)."""
+    import hashlib
+    import shutil
+
+    from . import gmm
+
+    ckpt = "/tmp/fe_gmm_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    def factory():
+        return _read(sf_dir, "embeddings", ["embedding"])
+
+    model, hist = gmm.gmm_fit(factory, vec_col="embedding", k=4, iters=3,
+                              ckpt_dir=ckpt)
+    return pa.table({
+        "comp": pa.array(np.arange(model.k, dtype=np.int64)),
+        "weight": pa.array(np.round(model.w, 6)),
+        "mu_norm": pa.array(np.round(np.linalg.norm(model.mu, axis=1), 6)),
+        "n_rows": pa.array(np.full(model.k, hist[-1]["n"], dtype=np.int64)),
+    })
+
+
 def q_whiten_embeddings(sf_dir: str):
     """Full whitening (M10) + broadcast projection (M11) exercised
     through the driver: whiten, then project onto a fixed rotation;
@@ -3108,6 +3201,8 @@ QUERIES = {
     "funnel_click_purchase": q_funnel_click_purchase,
     "unnest_embeddings": q_unnest_embeddings,
     "shuffle_rechunk": q_shuffle_rechunk,
+    "gmm_stats": q_gmm_stats,
+    "gmm_fit": q_gmm_fit,
     "flagship_token_stack": flagship_token_stack,
 }
 
@@ -3186,4 +3281,5 @@ ORACLE_SQL = {
     "funnel_click_purchase": SQL_FUNNEL,
     "unnest_embeddings": SQL_UNNEST_EMB,
     "shuffle_rechunk": SQL_SHUFFLE_RECHUNK,
+    "gmm_stats": _gmm_stats_sql(),
 }

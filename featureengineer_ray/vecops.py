@@ -55,6 +55,51 @@ def _list_col(mat: np.ndarray) -> pa.Array:
         pa.list_(pa.float64()))
 
 
+def _content_hash(mat: np.ndarray, seed: int) -> np.ndarray:
+    """Value-based uint64 hash per row of a float64 matrix: SplitMix64
+    fold over the bit patterns of every dimension — layout- and
+    batch-order-invariant by construction."""
+    from .hashing import mix64
+
+    bits = np.ascontiguousarray(mat, dtype=np.float64).view(np.uint64)
+    acc = mix64(bits[:, 0], np.uint64(seed))
+    for j in range(1, bits.shape[1]):
+        acc = mix64(acc, bits[:, j])
+    return acc
+
+
+def sample_vectors(ds, *, vec_col: str, n: int, seed: int = 0
+                   ) -> np.ndarray:
+    """Deterministic uniform sample of ≤n vectors, unbiased by layout.
+
+    Bottom-n by content hash: each batch keeps its n smallest-hash rows
+    (a mergeable bottom-k sketch), the driver merges partials and keeps
+    the global bottom-n. Unlike ``ds.limit(n)`` — which reads only the
+    FIRST blocks and, on a corpus clustered by source, samples one
+    corner of the distribution (VERDICT r2 #3) — every row competes on
+    its hash, so the sample is uniform regardless of block order, and
+    identical across re-runs and parallelism levels."""
+    def _partial(batch: pa.Table) -> pa.Table:
+        v = vec_matrix(batch.column(vec_col), batch.num_rows)
+        h = _content_hash(v, seed)
+        take = np.argsort(h, kind="stable")[:n]
+        return pa.table({"h": pa.array(h[take]),
+                         "vec": _list_col(v[take])})
+
+    hs, vs = [], []
+    out = ds.map_batches(_partial, batch_format="pyarrow")
+    for b in out.iter_batches(batch_format="pyarrow"):
+        if b.num_rows == 0:
+            continue
+        hs.append(b.column("h").to_numpy(zero_copy_only=False))
+        vs.append(vec_matrix(b.column("vec"), b.num_rows))
+    if not hs:
+        return np.zeros((0, 0))
+    h = np.concatenate(hs)
+    v = np.vstack(vs)
+    return v[np.argsort(h, kind="stable")[:n]]
+
+
 def project(ds, matrix: np.ndarray, *, vec_col: str,
             out_col: str | None = None, bias: np.ndarray | None = None):
     """y = x @ M (+ bias) for every row's vector (M11 / rotate_stat1).
