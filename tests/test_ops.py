@@ -677,6 +677,25 @@ def test_tfidf_top_term_matches_naive(rd):
         assert got[i][1] == pytest.approx(want_val, abs=1e-9)
 
 
+def test_tfidf_distributed_join_equals_broadcast(rd):
+    """With the vocab cap forced to 0, tfidf_top_term takes the
+    hash-joined distributed plan (no vocabulary-sized broadcast,
+    VERDICT r2 #1) and must produce exactly the broadcast plan's
+    result, ties included."""
+    rng = np.random.default_rng(42)
+    words = [f"w{i:03d}" for i in range(60)]
+    texts = [" ".join(rng.choice(words, size=rng.integers(3, 25)))
+             for _ in range(120)]
+    t = pa.table({"doc_id": pa.array(range(120), type=pa.int64()),
+                  "text": pa.array(texts)})
+    b = text.tfidf_top_term(rd.from_arrow(t).repartition(5)).to_pandas()
+    d = text.tfidf_top_term(rd.from_arrow(t).repartition(5),
+                            max_broadcast_terms=0).to_pandas()
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    d = d.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(b, d[b.columns])
+
+
 def test_doc_frequencies_counts_docs_not_occurrences(rd):
     texts = ["a a a b", "a c", "b b"]
     t = pa.table({"doc_id": pa.array(range(3), type=pa.int64()),
