@@ -67,6 +67,7 @@ class WindowSpec:
     rolling: dict[str, list[int]] = field(default_factory=dict)
     rolling_stats: tuple[str, ...] = ("sum", "mean", "min", "max", "std", "count")
     rolling_time: dict[str, list[int]] = field(default_factory=dict)  # µs
+    rolling_time_stats: tuple[str, ...] = ("sum", "count")
     ffill: list[str] = field(default_factory=list)
     bfill: list[str] = field(default_factory=list)
     session_gap_us: int | None = None
@@ -157,8 +158,10 @@ def _compute_window_columns(
         x = _num_sorted(part, col)
         for w in wins:
             stats = kernels.rolling_time(part, x, w)
-            out[f"{col}_troll_sum_{w}"] = stats["sum"]
-            out[f"{col}_troll_count_{w}"] = stats["count"].astype(np.int64)
+            for s in spec.rolling_time_stats:
+                v = stats[s]
+                out[f"{col}_troll_{s}_{w}"] = (
+                    v.astype(np.int64) if s == "count" else v)
     for col in spec.ffill:
         x = _num_sorted(part, col)
         idx, ok = kernels.ffill_indices(part, ~np.isnan(x))
@@ -268,8 +271,10 @@ def _compute_split_columns(
         x = _num_sorted(part, col)
         for w in wins:
             stats = kernels.rolling_time(part, x, w)
-            out[f"{col}_troll_sum_{w}"] = stats["sum"]
-            out[f"{col}_troll_count_{w}"] = stats["count"].astype(np.int64)
+            for s in spec.rolling_time_stats:
+                v = stats[s]
+                out[f"{col}_troll_{s}_{w}"] = (
+                    v.astype(np.int64) if s == "count" else v)
     for col in spec.ffill:
         x = _num_sorted(part, col)
         idx, ok = kernels.ffill_indices(part, ~np.isnan(x))

@@ -277,32 +277,105 @@ def _rolling_min_max(x, valid, start, i, seg_of_row, window):
 
 # --- rolling (time-range window) -----------------------------------------
 
-def _monotonic_composite(part: SortedPartition, extra: int) -> tuple[np.ndarray, np.ndarray]:
-    """ts made globally monotonic across segments: comp = ts_rel + seg*OFF."""
-    ts_rel = part.ts - (part.ts.min() if part.n else 0)
-    span = int(ts_rel.max()) if part.n else 0
-    off = np.int64(span + extra + 2)
-    nseg = len(part.seg_offsets) - 1
+def _range_min_max(xin: np.ndarray, lo: np.ndarray, hi: np.ndarray
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    """nan-aware min/max over arbitrary index ranges [lo, hi), hi > lo.
+
+    Sparse table (O(n log n) build, O(1) per query): level k holds
+    fmin/fmax over [i, i+2^k); a range query combines two overlapping
+    power-of-two spans. np.fmin/fmax skip NaN, so an all-null window
+    yields NaN — the same null semantics as the cumsum stats."""
+    n = len(xin)
+    if n == 0:
+        return np.zeros(0), np.zeros(0)
+    length = hi - lo
+    kmax = int(np.floor(np.log2(max(int(length.max()), 1))))
+    mins = [xin]
+    maxs = [xin]
+    for k in range(1, kmax + 1):
+        h = 1 << (k - 1)
+        mins.append(np.fmin(mins[-1][:-h], mins[-1][h:]))
+        maxs.append(np.fmax(maxs[-1][:-h], maxs[-1][h:]))
+    k_of = np.floor(np.log2(length)).astype(np.int64)
+    mn = np.empty(n)
+    mx = np.empty(n)
+    for k in range(kmax + 1):
+        rows = k_of == k
+        if not rows.any():
+            continue
+        span = 1 << k
+        a, b = lo[rows], hi[rows] - span
+        mn[rows] = np.fmin(mins[k][a], mins[k][b])
+        mx[rows] = np.fmax(maxs[k][a], maxs[k][b])
+    return mn, mx
+
+
+def _rolling_time_core(ts: np.ndarray, seg_of_row: np.ndarray,
+                       x: np.ndarray, window_us: int
+                       ) -> dict[str, np.ndarray]:
+    """Stats over [ts-W, ts] per segment for rows with known ts (sorted
+    by (segment, ts)). ts made globally monotonic via the composite-key
+    trick so two global searchsorteds bound every row's window."""
+    n = len(ts)
+    if n == 0:
+        z = np.zeros(0)
+        return {"sum": z, "mean": z.copy(), "min": z.copy(),
+                "max": z.copy(), "std": z.copy(), "count": z.copy()}
+    rel = ts - ts.min()
+    off = np.int64(int(rel.max()) + window_us + 2)
+    nseg = int(seg_of_row.max()) + 1
     if nseg * int(off) >= (1 << 62):
         raise OverflowError("composite key overflow; partition too wide")
-    comp = ts_rel + part.seg_of_row * off
-    return comp, off
-
-
-def rolling_time(
-    part: SortedPartition, x: np.ndarray, window_us: int
-) -> dict[str, np.ndarray]:
-    """Trailing [ts-W, ts] stats per entity (RANGE semantics incl. peers)."""
-    comp, _ = _monotonic_composite(part, window_us)
+    comp = rel + seg_of_row * off
     lo = np.searchsorted(comp, comp - window_us, side="left")
     hi = np.searchsorted(comp, comp, side="right")
     valid = ~np.isnan(x)
     xv = np.where(valid, x, 0.0)
     cs = np.concatenate(([0.0], np.cumsum(xv)))
+    cs2 = np.concatenate(([0.0], np.cumsum(xv * xv)))
     cc = np.concatenate(([0], np.cumsum(valid.astype(np.int64))))
     cnt = cc[hi] - cc[lo]
     s = cs[hi] - cs[lo]
-    return {"sum": np.where(cnt > 0, s, np.nan), "count": cnt.astype(np.float64)}
+    s2 = cs2[hi] - cs2[lo]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mean = np.where(cnt > 0, s / np.maximum(cnt, 1), np.nan)
+        var = np.where(
+            cnt >= 2,
+            np.maximum(s2 - s * s / np.maximum(cnt, 1), 0.0)
+            / np.maximum(cnt - 1, 1), np.nan)
+        std = np.sqrt(var)
+    mn, mx = _range_min_max(np.where(valid, x, np.nan), lo, hi)
+    return {"sum": np.where(cnt > 0, s, np.nan), "mean": mean,
+            "min": mn, "max": mx, "std": std,
+            "count": cnt.astype(np.float64)}
+
+
+def rolling_time(
+    part: SortedPartition, x: np.ndarray, window_us: int
+) -> dict[str, np.ndarray]:
+    """Trailing [ts-W, ts] stats per entity (RANGE semantics incl. equal-ts
+    peers): sum/mean/min/max/std(ddof=1)/count — the sliding-CMVN stat set
+    (``IVector.py:348,508-514``) on the time axis. Null-aware on BOTH
+    axes: nan x values are excluded from every window; rows with null ts
+    (part.ts is float/NaN then) are excluded from all windows and get
+    NaN stats themselves."""
+    tsf = np.asarray(part.ts, dtype=np.float64)
+    fin = np.isfinite(tsf)
+    if fin.all():
+        return _rolling_time_core(
+            np.asarray(part.ts).astype(np.int64), part.seg_of_row, x,
+            window_us)
+    n = part.n
+    out = {k: np.full(n, np.nan) for k in ("sum", "mean", "min", "max",
+                                           "std")}
+    out["count"] = np.zeros(n)
+    idx = np.flatnonzero(fin)
+    if len(idx):
+        sub = _rolling_time_core(tsf[idx].astype(np.int64),
+                                 part.seg_of_row[idx], x[idx], window_us)
+        for k, v in sub.items():
+            out[k][idx] = v
+    return out
 
 
 # --- fill -----------------------------------------------------------------

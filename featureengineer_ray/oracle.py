@@ -135,23 +135,36 @@ def oracle_rolling_time(
     df: pd.DataFrame, key: str, ts: str, col: str, window_us: int,
     tiebreak: str | None = None,
 ) -> pd.DataFrame:
-    """Adds {col}_troll_{sum,count} over [ts-W, ts] incl. equal-ts peers."""
+    """Adds {col}_troll_{sum,mean,min,max,std,count} over [ts-W, ts]
+    incl. equal-ts peers (std is sample, ddof=1)."""
     outs = []
     for g in _sorted_groups(df, key, ts, tiebreak):
         g = g.copy()
         tvals = g[ts].astype("int64").tolist()
-        sums, counts = [], []
+        res = {s: [] for s in ("sum", "mean", "min", "max", "std",
+                               "count")}
         for i in range(len(g)):
-            acc, cnt = 0.0, 0
+            vals = []
             for j in range(len(g)):
                 if tvals[i] - window_us <= tvals[j] <= tvals[i]:
                     v = g[col].iloc[j]
-                    if v is not None and not (isinstance(v, float) and math.isnan(v)):
-                        acc += float(v); cnt += 1
-            sums.append(acc if cnt else None)
-            counts.append(cnt)
-        g[f"{col}_troll_sum"] = sums
-        g[f"{col}_troll_count"] = counts
+                    if v is not None and not (isinstance(v, float)
+                                              and math.isnan(v)):
+                        vals.append(float(v))
+            cnt = len(vals)
+            res["count"].append(cnt)
+            res["sum"].append(sum(vals) if cnt else None)
+            res["mean"].append(sum(vals) / cnt if cnt else None)
+            res["min"].append(min(vals) if cnt else None)
+            res["max"].append(max(vals) if cnt else None)
+            if cnt >= 2:
+                m = sum(vals) / cnt
+                res["std"].append(math.sqrt(
+                    sum((v - m) ** 2 for v in vals) / (cnt - 1)))
+            else:
+                res["std"].append(None)
+        for s, v in res.items():
+            g[f"{col}_troll_{s}"] = v
         outs.append(g)
     return pd.concat(outs, ignore_index=True)
 

@@ -274,6 +274,50 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 """
 
 
+def q_window_rolling_time_stats(sf_dir: str):
+    """Full time-RANGE window stat set — mean/min/max/std over [ts-1h, ts]
+    incl. equal-ts peers (the sliding-CMVN analog, IVector.py:348,508-514,
+    on the time axis; VERDICT r2 missing #3). min/max use the nan-aware
+    sparse-table range kernel; std is sample (ddof=1)."""
+    spec = engine.WindowSpec(
+        key="user_id", ts="ts", tiebreak="event_id",
+        rolling_time={"value": [HOUR_US]},
+        rolling_time_stats=("mean", "min", "max", "std", "count"))
+    out = engine.window_features(_events(sf_dir), spec)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        names = [c.replace(f"_troll_mean_{HOUR_US}", "_troll_mean_1h")
+                 .replace(f"_troll_min_{HOUR_US}", "_troll_min_1h")
+                 .replace(f"_troll_max_{HOUR_US}", "_troll_max_1h")
+                 .replace(f"_troll_std_{HOUR_US}", "_troll_std_1h")
+                 .replace(f"_troll_count_{HOUR_US}", "_troll_count_1h")
+                 for c in batch.column_names]
+        return batch.rename_columns(names)
+
+    out = out.map_batches(rename, batch_format="pyarrow")
+    out = _round_cols(out, {"value_troll_mean_1h": 6,
+                            "value_troll_min_1h": 6,
+                            "value_troll_max_1h": 6,
+                            "value_troll_std_1h": 6})
+    return _select(out, ["event_id", "user_id", "ts",
+                         "value_troll_mean_1h", "value_troll_min_1h",
+                         "value_troll_max_1h", "value_troll_std_1h",
+                         "value_troll_count_1h"])
+
+
+SQL_ROLLING_TIME_STATS = """
+SELECT event_id, user_id, ts,
+       ROUND_EVEN(avg(value) OVER w, 6) AS value_troll_mean_1h,
+       ROUND_EVEN(min(value) OVER w, 6) AS value_troll_min_1h,
+       ROUND_EVEN(max(value) OVER w, 6) AS value_troll_max_1h,
+       ROUND_EVEN(stddev_samp(value) OVER w, 6) AS value_troll_std_1h,
+       count(value) OVER w AS value_troll_count_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_window_fill(sf_dir: str):
     ev = _events(sf_dir)
 
@@ -2732,7 +2776,7 @@ def q_funnel_click_purchase(sf_dir: str):
         # users (a per-user map_groups is a Python call per entity —
         # VERDICT r2 #2): sort by (user, leg, ts), lift ts onto a
         # per-user monotonic composite axis (offset > span + 1h, the
-        # kernels._monotonic_composite trick), then two global
+        # composite-key trick from kernels.rolling_time), then two global
         # searchsorteds resolve every user's conversions at once.
         users = part.column("user_id").to_numpy(zero_copy_only=False)
         ts = part.column("ts").cast(pa.int64()).to_numpy(
@@ -3172,6 +3216,7 @@ QUERIES = {
     "window_lag_lead": q_window_lag_lead,
     "window_rolling5": q_window_rolling5,
     "window_rolling_time_1h": q_window_rolling_time_1h,
+    "window_rolling_time_stats": q_window_rolling_time_stats,
     "window_fill": q_window_fill,
     "sessionize_30m": q_sessionize_30m,
     "session_stats": q_session_stats,
@@ -3271,6 +3316,7 @@ ORACLE_SQL = {
     "window_lag_lead": SQL_LAG_LEAD,
     "window_rolling5": SQL_ROLLING5,
     "window_rolling_time_1h": SQL_ROLLING_TIME,
+    "window_rolling_time_stats": SQL_ROLLING_TIME_STATS,
     "window_fill": SQL_FILL,
     "sessionize_30m": SQL_SESSIONIZE,
     "session_stats": SQL_SESSION_STATS,
