@@ -185,33 +185,70 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     return out
 
 
-def run_subprocess(ncpu: int) -> dict:
+def run_subprocess(ncpu: int, bench_reps: int | None = None) -> dict:
     env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), FE_BENCH_HEADLINE="1")
+    if bench_reps is not None:
+        env["FE_BENCH_REPS"] = str(bench_reps)
     p = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
                        capture_output=True, text=True, check=True)
     return json.loads(p.stdout.strip().splitlines()[-1])
+
+
+def run_scaling() -> dict:
+    """Reproducible scaling protocol (VERDICT r2 #2 — one sample is not a
+    claim): R fresh-process reps per side, INTERLEAVED lo/hi/lo/hi so
+    substrate drift (page cache, thermal, neighbor load) hits both sides
+    equally; report per-rep throughputs, the median-based efficiency, the
+    per-pair efficiencies, spread, and a 1-min load-average idle check
+    before every rep."""
+    lo = int(os.environ.get("FE_SCALE_LO", 8))
+    hi = int(os.environ.get("FE_SCALE_HI", 32))
+    reps = int(os.environ.get("FE_SCALE_REPS", 3))
+    inner = int(os.environ.get("FE_BENCH_REPS", 1))
+    tputs: dict[int, list[float]] = {lo: [], hi: []}
+    secs: dict[int, list[float]] = {lo: [], hi: []}
+    loads: list[float] = []
+    rows = 0
+    for _ in range(reps):
+        for side in (lo, hi):
+            loads.append(round(os.getloadavg()[0], 2))
+            r = run_subprocess(side, bench_reps=inner)
+            tputs[side].append(r["headline_rows_per_sec"])
+            secs[side].append(r["queries"]["flagship_token_stack"])
+            rows = r["headline_rows"]
+
+    def med(v: list[float]) -> float:
+        s = sorted(v)
+        n = len(s)
+        return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+    eff_median = (med(tputs[hi]) / med(tputs[lo])) / (hi / lo)
+    eff_pairs = [round((th / tl) / (hi / lo), 3)
+                 for tl, th in zip(tputs[lo], tputs[hi])]
+    return {
+        "headline_rows": rows,
+        "cpus": [lo, hi],
+        "reps": reps,
+        f"rows_per_sec_{lo}": tputs[lo],
+        f"rows_per_sec_{hi}": tputs[hi],
+        f"sec_{lo}": secs[lo],
+        f"sec_{hi}": secs[hi],
+        f"median_rows_per_sec_{lo}": med(tputs[lo]),
+        f"median_rows_per_sec_{hi}": med(tputs[hi]),
+        f"spread_{lo}": round(max(tputs[lo]) / min(tputs[lo]), 3),
+        f"spread_{hi}": round(max(tputs[hi]) / min(tputs[hi]), 3),
+        "scaling_efficiency": round(eff_median, 3),
+        "scaling_efficiency_per_pair": eff_pairs,
+        "loadavg_before_reps": loads,
+        "machine_idle": all(ld < 2.0 for ld in loads),
+    }
 
 
 def main():
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     if "--scaling" in sys.argv:
-        lo = int(os.environ.get("FE_SCALE_LO", 8))
-        hi = int(os.environ.get("FE_SCALE_HI", 32))
-        r_lo = run_subprocess(lo)
-        r_hi = run_subprocess(hi)
-        tput_lo = r_lo["headline_rows_per_sec"]
-        tput_hi = r_hi["headline_rows_per_sec"]
-        eff = (tput_hi / tput_lo) / (hi / lo)
-        print(json.dumps({
-            "headline_rows": r_lo["headline_rows"],
-            f"rows_per_sec_{lo}": tput_lo,
-            f"rows_per_sec_{hi}": tput_hi,
-            f"sec_{lo}": r_lo["queries"]["flagship_token_stack"],
-            f"sec_{hi}": r_hi["queries"]["flagship_token_stack"],
-            "cpus": [lo, hi],
-            "scaling_efficiency": round(eff, 3),
-        }))
+        print(json.dumps(run_scaling()))
         return
     print(json.dumps(run_bench(sf_dir, num_cpus)))
 
