@@ -74,8 +74,11 @@ def default_model(d: int = 64, k: int = 4, seed: int = 11) -> DiagGmm:
     rng = np.random.default_rng(seed)
     w = np.asarray([0.1, 0.2, 0.3, 0.4][:k], dtype=np.float64)
     w = w / w.sum()
-    mu = np.round(rng.normal(0.0, 0.1, size=(k, d)), 4)
-    var = np.round(rng.uniform(0.5, 2.0, size=(k, d)), 4)
+    # means at ±0.3 with tight variances discriminate on the near-
+    # isotropic synthetic embeddings (argmax assignments split 4 ways
+    # instead of collapsing onto one component)
+    mu = np.round(rng.normal(0.0, 0.3, size=(k, d)), 4)
+    var = np.round(rng.uniform(0.05, 0.3, size=(k, d)), 4)
     return DiagGmm(w=w, mu=mu, invcov=1.0 / var)
 
 
@@ -247,6 +250,31 @@ def gmm_fit(ds_factory, *, vec_col: str, k: int = 4, iters: int = 3,
         _write_ckpt(ckpt_dir, it, model, st.llk, st.n)
         history.append({"iteration": it, "llk": st.llk, "n": st.n})
     return model, history
+
+
+def gmm_assign(ds, model: DiagGmm, *, vec_col: str,
+               out_col: str = "comp", loglik_col: str | None = "loglik"):
+    """Tag every row with its max-posterior component (and optionally the
+    row log-evidence) under a broadcast model — the scoring counterpart
+    of :func:`suff_stats` (the reference applies the trained UBM the
+    same way before extraction, ``IVector.py:705-719``)."""
+    import ray
+
+    ref = ray.put(model)
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        from .vecops import vec_matrix
+
+        mod = ray.get(ref)
+        v = vec_matrix(batch.column(vec_col), batch.num_rows)
+        pp, logsum = log_posteriors(v, mod)
+        batch = batch.append_column(
+            out_col, pa.array(np.argmax(pp, axis=1).astype(np.int64)))
+        if loglik_col is not None:
+            batch = batch.append_column(loglik_col, pa.array(logsum))
+        return batch
+
+    return ds.map_batches(_assign, batch_format="pyarrow")
 
 
 def stats_table(ds, model: DiagGmm, *, vec_col: str,

@@ -80,10 +80,64 @@ def det_curve(emb_ds, *, vec_col: str = "embedding",
     })
 
 
+def det_curve_svg(curve: pd.DataFrame, *, width: int = 480,
+                  height: int = 480) -> str:
+    """DET plot (fpr vs fnr, log-like axes) as a standalone SVG string —
+    the reference plots this curve with matplotlib (jyh/result.py:59-69);
+    this environment has no plotting library, so the SVG is built by
+    hand from the exact curve rows. Deterministic: same curve → same
+    bytes."""
+    m = 48  # margin for axis labels
+    fpr = np.clip(curve["fpr"].to_numpy(np.float64), 1e-4, 1.0)
+    fnr = np.clip(curve["fnr"].to_numpy(np.float64), 1e-4, 1.0)
+
+    def sx(v: np.ndarray) -> np.ndarray:  # log10 scale, 1e-4..1 → px
+        return m + (np.log10(v) + 4.0) / 4.0 * (width - 2 * m)
+
+    def sy(v: np.ndarray) -> np.ndarray:
+        return height - m - (np.log10(v) + 4.0) / 4.0 * (height - 2 * m)
+
+    order = np.argsort(fpr, kind="stable")
+    pts = " ".join(f"{x:.1f},{y:.1f}"
+                   for x, y in zip(sx(fpr[order]), sy(fnr[order])))
+    ticks = [1e-4, 1e-3, 1e-2, 1e-1, 1.0]
+    grid = []
+    for t in ticks:
+        gx = float(sx(np.array([t]))[0])
+        gy = float(sy(np.array([t]))[0])
+        grid.append(f'<line x1="{gx:.1f}" y1="{m}" x2="{gx:.1f}" '
+                    f'y2="{height - m}" stroke="#ddd"/>')
+        grid.append(f'<line x1="{m}" y1="{gy:.1f}" x2="{width - m}" '
+                    f'y2="{gy:.1f}" stroke="#ddd"/>')
+        grid.append(f'<text x="{gx:.1f}" y="{height - m + 16}" '
+                    f'font-size="10" text-anchor="middle">{t:g}</text>')
+        grid.append(f'<text x="{m - 6}" y="{gy + 3:.1f}" font-size="10" '
+                    f'text-anchor="end">{t:g}</text>')
+    eer = eer_summary(curve).iloc[0]
+    return (
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" '
+        f'height="{height}" viewBox="0 0 {width} {height}">'
+        f'<rect width="{width}" height="{height}" fill="white"/>'
+        + "".join(grid)
+        + f'<polyline points="{pts}" fill="none" stroke="#1f77b4" '
+          f'stroke-width="1.5"/>'
+        + f'<line x1="{m}" y1="{height - m}" x2="{width - m}" y2="{m}" '
+          f'stroke="#999" stroke-dasharray="4 3"/>'
+        + f'<text x="{width // 2}" y="{height - 8}" font-size="12" '
+          f'text-anchor="middle">false alarm rate</text>'
+        + f'<text x="12" y="{height // 2}" font-size="12" '
+          f'text-anchor="middle" transform="rotate(-90 12 '
+          f'{height // 2})">miss rate</text>'
+        + f'<text x="{width - m}" y="{m - 6}" font-size="11" '
+          f'text-anchor="end">EER={float(eer["eer"]):.4f}</text>'
+        + "</svg>")
+
+
 def write_metrics_artifact(curve: pd.DataFrame, out_dir: str) -> dict:
     """Persist the curve + summary the way the reference's result stage
-    writes its score artifacts (S8 sink): curve.parquet + summary.json +
-    an atomic _SUCCESS marker so a resumed run can skip the stage."""
+    writes its score artifacts (S8 sink): curve.parquet + curve.svg +
+    summary.json + an atomic _SUCCESS marker so a resumed run can skip
+    the stage."""
     import json
     import os
 
@@ -96,6 +150,8 @@ def write_metrics_artifact(curve: pd.DataFrame, out_dir: str) -> dict:
             return json.load(f)
     pq.write_table(pa.Table.from_pandas(curve, preserve_index=False),
                    os.path.join(out_dir, "curve.parquet"))
+    with open(os.path.join(out_dir, "curve.svg"), "w") as f:
+        f.write(det_curve_svg(curve))
     summary = eer_summary(curve).iloc[0].to_dict()
     summary = {k: (int(v) if k == "eer_bucket" else float(v))
                for k, v in summary.items()}

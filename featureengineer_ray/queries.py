@@ -1615,6 +1615,85 @@ ORDER BY lp.comp
 """
 
 
+def q_gmm_assign(sf_dir: str):
+    """Broadcast-model scoring (T1 as tagging): every embedding row gets
+    its max-posterior component + log-evidence under the fixed mixture;
+    per-component row counts and mean log-evidence are hash-checked
+    against the same constants in SQL."""
+    from . import gmm
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    tagged = gmm.gmm_assign(emb, gmm.default_model(), vec_col="embedding")
+    agg = relational.grouped_agg(
+        tagged.select_columns(["comp", "loglik"]), ["comp"],
+        {"mean_loglik": ("loglik", "mean")}, count_alias="n_rows")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "comp": batch.column("comp"),
+            "n_rows": batch.column("n_rows").cast(pa.int64()),
+            "mean_loglik": _np_round(batch.column("mean_loglik"), 6),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _gmm_assign_sql() -> str:
+    """Oracle for q_gmm_assign: same .17e model constants; the argmax
+    posterior equals the argmax log-likelihood, realized as a
+    row_number over (lp DESC, comp ASC)."""
+    from . import gmm
+
+    model = gmm.default_model()
+    a = model.log_const()
+    m1 = model.mu * model.invcov
+
+    def lit(x: float) -> str:
+        return f"{x:.17e}"
+
+    def arr(v) -> str:
+        return "[" + ", ".join(lit(float(x)) for x in v) + "]::DOUBLE[]"
+
+    rows = ",\n    ".join(
+        f"({c}, {lit(float(a[c]))}, {arr(m1[c])}, {arr(model.invcov[c])})"
+        for c in range(model.k))
+    return f"""
+WITH par AS (
+  SELECT * FROM (VALUES
+    {rows}
+  ) AS t(comp, a, m1, ic)
+),
+e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+lp AS (
+  SELECT e.vec_id, par.comp,
+         par.a + list_dot_product(e.v, par.m1)
+               - 0.5 * list_dot_product(
+                   list_transform(e.v, x -> x * x), par.ic) AS lp
+  FROM e CROSS JOIN par
+),
+ls AS (
+  SELECT vec_id, max(lp) + ln(sum(exp(lp - mlp))) AS logsum
+  FROM (SELECT vec_id, lp,
+               max(lp) OVER (PARTITION BY vec_id) AS mlp FROM lp)
+  GROUP BY vec_id
+),
+win AS (
+  SELECT vec_id, comp,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY lp DESC, comp ASC) AS rn
+  FROM lp
+)
+SELECT win.comp, count(*) AS n_rows,
+       ROUND_EVEN(avg(ls.logsum), 6) AS mean_loglik
+FROM win JOIN ls USING (vec_id)
+WHERE win.rn = 1
+GROUP BY win.comp
+ORDER BY win.comp
+"""
+
+
 def q_gmm_fit(sf_dir: str):
     """Full soft-EM mixture trainer lifecycle (A10 proper): 3 EM
     iterations with a persisted artifact per iteration + exact resume
@@ -3305,6 +3384,7 @@ QUERIES = {
     "unnest_embeddings": q_unnest_embeddings,
     "shuffle_rechunk": q_shuffle_rechunk,
     "gmm_stats": q_gmm_stats,
+    "gmm_assign": q_gmm_assign,
     "gmm_fit": q_gmm_fit,
     "flagship_token_stack": flagship_token_stack,
 }
@@ -3386,4 +3466,5 @@ ORACLE_SQL = {
     "unnest_embeddings": SQL_UNNEST_EMB,
     "shuffle_rechunk": SQL_SHUFFLE_RECHUNK,
     "gmm_stats": _gmm_stats_sql(),
+    "gmm_assign": _gmm_assign_sql(),
 }

@@ -102,6 +102,9 @@ def test_metrics_artifact_sink(rd, tmp_path):
     s1 = metrics.write_metrics_artifact(curve, out)
     assert (tmp_path / "metrics" / "curve.parquet").exists()
     assert (tmp_path / "metrics" / "_SUCCESS.json").exists()
+    svg = (tmp_path / "metrics" / "curve.svg").read_text()
+    assert svg.startswith("<svg") and "polyline" in svg
+    assert svg == metrics.det_curve_svg(curve)  # deterministic bytes
     # idempotent resume: second call is a no-op returning the same summary
     s2 = metrics.write_metrics_artifact(curve.iloc[:1], out)
     assert s1 == s2
