@@ -252,6 +252,103 @@ def gmm_fit(ds_factory, *, vec_col: str, k: int = 4, iters: int = 3,
     return model, history
 
 
+def entity_suff_stats(ds, model: DiagGmm, *, vec_col: str,
+                      entity_col: str,
+                      target_rows_per_part: int = 1_000_000):
+    """Per-ENTITY zeroth/first-order statistics under a broadcast model —
+    the reference's per-utterance StatServer accumulation
+    (``IVector.py:705-730``: ``stat0 = pp.sum(0)``, ``stat1 = cepᵀ·pp``
+    per show), re-expressed as one data-sized hash exchange.
+
+    Per batch: posteriors, then per-(entity, component) partial sums via
+    k segment-reduceat passes (k is small; no per-entity Python calls).
+    Partials — one row per entity per batch, width k·(d+1)+1 — shuffle
+    by entity hash; each partition merges ALL of its entities in one
+    vectorized pass. Returns a Dataset with columns
+    (entity, n, stat0: list<k>, stat1: list<k·d>)."""
+    import ray
+
+    from .hashing import hash_values
+    from .partition import estimate_rows, hash_shuffle_width
+
+    k, d = model.k, model.d
+    ref = ray.put(model)
+    est = estimate_rows(ds, entity_col)
+    P = hash_shuffle_width(est, target_rows_per_part)
+
+    def _lists(s0: np.ndarray, s1: np.ndarray) -> tuple[pa.Array, pa.Array]:
+        m = len(s0)
+        off0 = pa.array(np.arange(m + 1, dtype=np.int64) * k)
+        off1 = pa.array(np.arange(m + 1, dtype=np.int64) * (k * d))
+        a0 = pa.ListArray.from_arrays(
+            off0.cast(pa.int32()), pa.array(s0.reshape(-1)))
+        a1 = pa.ListArray.from_arrays(
+            off1.cast(pa.int32()), pa.array(s1.reshape(-1)))
+        return a0, a1
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        from .vecops import vec_matrix
+
+        mod = ray.get(ref)
+        ents = batch.column(entity_col).to_numpy(zero_copy_only=False)
+        v = vec_matrix(batch.column(vec_col), batch.num_rows)
+        pp, _ = log_posteriors(v, mod)
+        uniq, inv = np.unique(ents, return_inverse=True)
+        order = np.argsort(inv, kind="stable")
+        inv_s = inv[order]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(np.diff(inv_s)) + 1)).astype(np.int64)
+        m = len(uniq)
+        s0 = np.empty((m, k))
+        s1 = np.empty((m, k, d))
+        pp_s, v_s = pp[order], v[order]
+        for c in range(k):
+            s0[:, c] = np.add.reduceat(pp_s[:, c], starts)
+            s1[:, c, :] = np.add.reduceat(v_s * pp_s[:, c:c + 1], starts,
+                                          axis=0)
+        n_e = np.diff(np.concatenate((starts, [len(inv_s)])))
+        a0, a1 = _lists(s0, s1.reshape(m, k * d))
+        h = hash_values(uniq)
+        return pa.table({
+            entity_col: pa.array(uniq,
+                                 type=batch.schema.field(entity_col).type),
+            "n": pa.array(n_e.astype(np.int64)),
+            "stat0": a0,
+            "stat1": a1,
+            "__part": pa.array((h % np.uint64(P)).astype(np.int32)),
+        })
+
+    def _merge(part: pa.Table) -> pa.Table:
+        from .vecops import vec_matrix
+
+        ents = part.column(entity_col).to_numpy(zero_copy_only=False)
+        n = part.column("n").to_numpy(zero_copy_only=False)
+        s0 = vec_matrix(part.column("stat0"), part.num_rows)
+        s1 = vec_matrix(part.column("stat1"), part.num_rows)
+        uniq, inv = np.unique(ents, return_inverse=True)
+        order = np.argsort(inv, kind="stable")
+        inv_s = inv[order]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(np.diff(inv_s)) + 1)).astype(np.int64)
+        m = len(uniq)
+        ms0 = np.add.reduceat(s0[order], starts, axis=0)
+        ms1 = np.add.reduceat(s1[order], starts, axis=0)
+        mn = np.add.reduceat(n[order].astype(np.int64), starts)
+        a0, a1 = _lists(ms0, ms1)
+        return pa.table({
+            entity_col: pa.array(uniq,
+                                 type=part.schema.field(entity_col).type),
+            "n": pa.array(mn.astype(np.int64)),
+            "stat0": a0,
+            "stat1": a1,
+        })
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow")
+    return partials.groupby("__part").map_groups(
+        lambda g: _merge(g.drop_columns(["__part"])),
+        batch_format="pyarrow")
+
+
 def gmm_assign(ds, model: DiagGmm, *, vec_col: str,
                out_col: str = "comp", loglik_col: str | None = "loglik"):
     """Tag every row with its max-posterior component (and optionally the

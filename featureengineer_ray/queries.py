@@ -1694,6 +1694,136 @@ ORDER BY win.comp
 """
 
 
+def q_gmm_entity_stats(sf_dir: str):
+    """Per-ENTITY sufficient statistics (the reference's per-utterance
+    StatServer rows, IVector.py:705-730): one data-sized hash exchange
+    groups posterior partials by label; hash-checked per (label, comp)
+    on stat0 and Σ-dims stat1."""
+    from . import gmm
+
+    emb = _read(sf_dir, "embeddings", ["embedding", "label"])
+
+    def widen(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("label")
+        return batch.set_column(i, "label",
+                                batch.column("label").cast(pa.int64()))
+
+    emb = emb.map_batches(widen, batch_format="pyarrow")
+    stats = gmm.entity_suff_stats(emb, gmm.default_model(),
+                                  vec_col="embedding", entity_col="label")
+    model = gmm.default_model()
+
+    def explode(batch: pa.Table) -> pa.Table:
+        from .vecops import vec_matrix
+
+        k, d = model.k, model.d
+        s0 = vec_matrix(batch.column("stat0"), batch.num_rows)
+        s1 = vec_matrix(batch.column("stat1"), batch.num_rows)
+        lab = batch.column("label").to_numpy(zero_copy_only=False)
+        m = len(lab)
+        return pa.table({
+            "label": pa.array(np.repeat(lab, k)),
+            "comp": pa.array(np.tile(np.arange(k, dtype=np.int64), m)),
+            "stat0": pa.array(np.round(s0.reshape(-1), 6)),
+            "stat1_sum": pa.array(np.round(
+                s1.reshape(m, k, d).sum(axis=2).reshape(-1), 6)),
+        })
+
+    return stats.map_batches(explode, batch_format="pyarrow")
+
+
+def _gmm_entity_stats_sql() -> str:
+    from . import gmm
+
+    model = gmm.default_model()
+    a = model.log_const()
+    m1 = model.mu * model.invcov
+
+    def lit(x: float) -> str:
+        return f"{x:.17e}"
+
+    def arr(v) -> str:
+        return "[" + ", ".join(lit(float(x)) for x in v) + "]::DOUBLE[]"
+
+    rows = ",\n    ".join(
+        f"({c}, {lit(float(a[c]))}, {arr(m1[c])}, {arr(model.invcov[c])})"
+        for c in range(model.k))
+    return f"""
+WITH par AS (
+  SELECT * FROM (VALUES
+    {rows}
+  ) AS t(comp, a, m1, ic)
+),
+e AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+),
+lp AS (
+  SELECT e.vec_id, e.label, par.comp,
+         par.a + list_dot_product(e.v, par.m1)
+               - 0.5 * list_dot_product(
+                   list_transform(e.v, x -> x * x), par.ic) AS lp,
+         list_sum(e.v) AS vsum
+  FROM e CROSS JOIN par
+),
+ls AS (
+  SELECT vec_id, max(lp) + ln(sum(exp(lp - mlp))) AS logsum
+  FROM (SELECT vec_id, lp,
+               max(lp) OVER (PARTITION BY vec_id) AS mlp FROM lp)
+  GROUP BY vec_id
+)
+SELECT lp.label, lp.comp,
+       ROUND_EVEN(sum(exp(lp.lp - ls.logsum)), 6) AS stat0,
+       ROUND_EVEN(sum(exp(lp.lp - ls.logsum) * lp.vsum), 6) AS stat1_sum
+FROM lp JOIN ls USING (vec_id)
+GROUP BY lp.label, lp.comp
+ORDER BY lp.label, lp.comp
+"""
+
+
+def q_ivector_project(sf_dir: str):
+    """Total-variability trainer + i-vector extraction (the reference's
+    flagship EM, IVector.py:131-244,795-816): 3 EM iterations for a
+    rank-8 T over per-label sufficient stats, artifact per iteration +
+    exact resume, then the latent posterior mean per label (rows-only —
+    iterative matrix EM, non-SQL)."""
+    import hashlib
+    import shutil
+
+    from . import gmm, tv
+
+    ckpt = "/tmp/fe_tv_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    shutil.rmtree(ckpt, ignore_errors=True)
+    model = gmm.default_model()
+
+    def widen(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("label")
+        return batch.set_column(i, "label",
+                                batch.column("label").cast(pa.int64()))
+
+    def stats_factory():
+        emb = _read(sf_dir, "embeddings", ["embedding", "label"])
+        emb = emb.map_batches(widen, batch_format="pyarrow")
+        return gmm.entity_suff_stats(emb, model, vec_col="embedding",
+                                     entity_col="label")
+
+    T = tv.tv_fit(stats_factory, model, rank=8, iters=3, ckpt_dir=ckpt)
+    iv = tv.ivector_extract(stats_factory(), model, T, entity_col="label")
+
+    def norms(batch: pa.Table) -> pa.Table:
+        from .vecops import vec_matrix
+
+        y = vec_matrix(batch.column("ivector"), batch.num_rows)
+        return pa.table({
+            "label": batch.column("label"),
+            "n": batch.column("n"),
+            "iv_norm": pa.array(np.round(np.linalg.norm(y, axis=1), 4)),
+        })
+
+    return iv.map_batches(norms, batch_format="pyarrow")
+
+
 def q_gmm_fit(sf_dir: str):
     """Full soft-EM mixture trainer lifecycle (A10 proper): 3 EM
     iterations with a persisted artifact per iteration + exact resume
@@ -3385,7 +3515,9 @@ QUERIES = {
     "shuffle_rechunk": q_shuffle_rechunk,
     "gmm_stats": q_gmm_stats,
     "gmm_assign": q_gmm_assign,
+    "gmm_entity_stats": q_gmm_entity_stats,
     "gmm_fit": q_gmm_fit,
+    "ivector_project": q_ivector_project,
     "flagship_token_stack": flagship_token_stack,
 }
 
@@ -3467,4 +3599,5 @@ ORACLE_SQL = {
     "shuffle_rechunk": SQL_SHUFFLE_RECHUNK,
     "gmm_stats": _gmm_stats_sql(),
     "gmm_assign": _gmm_assign_sql(),
+    "gmm_entity_stats": _gmm_entity_stats_sql(),
 }
