@@ -58,6 +58,14 @@ def det_curve(emb_ds, *, vec_col: str = "embedding",
     miss / false-alarm rates. Integer-exact until the final division."""
     buckets = score_buckets(emb_ds, vec_col=vec_col, label_col=label_col,
                             scale=scale).to_pandas()
+    return det_curve_from_buckets(buckets)
+
+
+def det_curve_from_buckets(buckets: pd.DataFrame) -> pd.DataFrame:
+    """The cumulative DET sweep over an already-histogrammed
+    (bucket, n_pos, n) table — shared by the built-in probe score and
+    any external trial scorer (e.g. the i-vector cosine trials)."""
+    buckets = buckets.copy()
     buckets["n_pos"] = buckets["n_pos"].astype("int64")
     buckets["n"] = buckets["n"].astype("int64")
     buckets["n_neg"] = buckets["n"] - buckets["n_pos"]

@@ -1824,6 +1824,67 @@ def q_ivector_project(sf_dir: str):
     return iv.map_batches(norms, batch_format="pyarrow")
 
 
+def q_ivector_det(sf_dir: str):
+    """The reference's COMPLETE pipeline, end to end
+    (ivMpi_PipeLine/{ubm1,stat2,tv3,iv4,result5}.py): broadcast-GMM
+    posteriors → per-record sufficient stats → total-variability EM →
+    i-vector extraction → length-norm → cosine trial scores against
+    per-class mean i-vectors → bucketed DET sweep → EER summary.
+    Rows-only (iterative matrix EM is non-SQL); every stage streams —
+    the only driver-sized objects are the model, T, and the class-mean
+    matrix."""
+    import hashlib
+    import shutil
+
+    import ray
+
+    from . import gmm, metrics, tv, vecops
+
+    model = gmm.default_model()
+    ckpt = "/tmp/fe_ivdet_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    def stats_factory():
+        emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        return gmm.entity_suff_stats(emb, model, vec_col="embedding",
+                                     entity_col="vec_id")
+
+    T = tv.tv_fit(stats_factory, model, rank=8, iters=2, ckpt_dir=ckpt)
+    iv = tv.ivector_extract(stats_factory(), model, T, entity_col="vec_id")
+    iv = vecops.length_norm(iv, vec_col="ivector")
+    # class labels: a genuinely small side (one row per trial model) —
+    # broadcast-join them onto the streaming i-vectors
+    lab = _read(sf_dir, "embeddings", ["vec_id", "label"]).to_pandas()
+    lab["label"] = lab["label"].astype("int64")
+    iv = relational.broadcast_join(iv, lab, on="vec_id")
+    # enroll side: per-class mean of the unit i-vectors (tiny: C × R)
+    means = vecops.class_vector_means(
+        iv, vec_col="ivector_unit", label_col="label").to_pandas()
+    means = means.sort_values(["label", "dim"])
+    classes = np.sort(means["label"].unique())
+    M = means.pivot(index="label", columns="dim",
+                    values="mu").loc[classes].to_numpy()
+    Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    ref = ray.put((classes.astype(np.int64), Mn))
+
+    def score(batch: pa.Table) -> pa.Table:
+        cls, Mb = ray.get(ref)
+        v = vecops.vec_matrix(batch.column("ivector_unit"),
+                              batch.num_rows)
+        lab_b = batch.column("label").to_numpy(zero_copy_only=False)
+        S = v @ Mb.T                                # (n, C) cosine trials
+        bucket = np.floor(S * 400.0).astype(np.int64).reshape(-1)
+        pos = (lab_b[:, None] == cls[None, :]).astype(np.int64).reshape(-1)
+        return pa.table({"bucket": pa.array(bucket),
+                         "pos": pa.array(pos)})
+
+    buckets = relational.grouped_agg(
+        iv.map_batches(score, batch_format="pyarrow"),
+        ["bucket"], {"n_pos": ("pos", "sum")}, count_alias="n").to_pandas()
+    curve = metrics.det_curve_from_buckets(buckets)
+    return metrics.eer_summary(curve)
+
+
 def q_gmm_fit(sf_dir: str):
     """Full soft-EM mixture trainer lifecycle (A10 proper): 3 EM
     iterations with a persisted artifact per iteration + exact resume
@@ -3518,6 +3579,7 @@ QUERIES = {
     "gmm_entity_stats": q_gmm_entity_stats,
     "gmm_fit": q_gmm_fit,
     "ivector_project": q_ivector_project,
+    "ivector_det": q_ivector_det,
     "flagship_token_stack": flagship_token_stack,
 }
 
