@@ -209,8 +209,16 @@ def run_scaling() -> dict:
     secs: dict[int, list[float]] = {lo: [], hi: []}
     loads: list[float] = []
     rows = 0
+    cooldown = int(os.environ.get("FE_SCALE_COOLDOWN", 60))
+    first = True
     for _ in range(reps):
         for side in (lo, hi):
+            if not first:
+                # drain OUR OWN previous rep out of the 1-min load
+                # average — without this the idle check reads the tail
+                # of the benchmark itself and always reports busy
+                time.sleep(cooldown)
+            first = False
             loads.append(round(os.getloadavg()[0], 2))
             r = run_subprocess(side, bench_reps=inner)
             tputs[side].append(r["headline_rows_per_sec"])
