@@ -1824,6 +1824,61 @@ def q_ivector_project(sf_dir: str):
     return iv.map_batches(norms, batch_format="pyarrow")
 
 
+def _maha_model(d: int = 64, r: int = 8, seed: int = 31
+                ) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic (μ, L) for the Mahalanobis query: 4-decimal
+    literals parse bit-identically in numpy and DuckDB."""
+    rng = np.random.default_rng(seed)
+    mu = np.round(rng.normal(0.0, 0.1, size=d), 4)
+    L = np.round(rng.normal(0.0, 0.5, size=(r, d)), 4)
+    return mu, L
+
+
+def q_mahalanobis_scores(sf_dir: str):
+    """Quadratic-form trial scoring against a broadcast model (the
+    reference's Mahalanobis / two-covariance scorer family,
+    IVector.py:1317-1400): maha = ‖L(x−μ)‖² per row, one BLAS matmul
+    per batch; hash-checked against the same factor rows in SQL."""
+    from . import vecops
+
+    mu, L = _maha_model()
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = vecops.mahalanobis_scores(emb, mu, L, vec_col="embedding")
+    return _select(out, ["vec_id", "maha"])
+
+
+def _mahalanobis_sql() -> str:
+    """Oracle: per out-dim j, y_j = x·L_j − (L_j·μ) with the dot-with-μ
+    precomputed in Python (identical doubles); maha = Σ_j y_j²."""
+    mu, L = _maha_model()
+    c = L @ mu
+
+    def lit(x: float) -> str:
+        return f"{x:.17e}"
+
+    def arr(v) -> str:
+        return "[" + ", ".join(lit(float(x)) for x in v) + "]::DOUBLE[]"
+
+    rows = ",\n    ".join(f"({j}, {arr(L[j])}, {lit(float(c[j]))})"
+                          for j in range(L.shape[0]))
+    return f"""
+WITH lrows AS (
+  SELECT * FROM (VALUES
+    {rows}
+  ) AS t(j, lrow, c)
+),
+y AS (
+  SELECT e.vec_id,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), l.lrow) - l.c
+           AS yj,
+         l.j
+  FROM embeddings e CROSS JOIN lrows l
+)
+SELECT vec_id, ROUND_EVEN(sum(yj * yj), 6) AS maha
+FROM y GROUP BY vec_id
+"""
+
+
 def q_ivector_det(sf_dir: str):
     """The reference's COMPLETE pipeline, end to end
     (ivMpi_PipeLine/{ubm1,stat2,tv3,iv4,result5}.py): broadcast-GMM
@@ -3580,6 +3635,7 @@ QUERIES = {
     "gmm_fit": q_gmm_fit,
     "ivector_project": q_ivector_project,
     "ivector_det": q_ivector_det,
+    "mahalanobis_scores": q_mahalanobis_scores,
     "flagship_token_stack": flagship_token_stack,
 }
 
@@ -3662,4 +3718,5 @@ ORACLE_SQL = {
     "gmm_stats": _gmm_stats_sql(),
     "gmm_assign": _gmm_assign_sql(),
     "gmm_entity_stats": _gmm_entity_stats_sql(),
+    "mahalanobis_scores": _mahalanobis_sql(),
 }

@@ -171,6 +171,32 @@ def whiten(ds, *, vec_col: str, out_col: str | None = None,
                    bias=-(mean @ w))
 
 
+def mahalanobis_scores(ds, mu: np.ndarray, L: np.ndarray, *,
+                       vec_col: str, out_col: str = "maha",
+                       digits: int | None = 6):
+    """Per-row Mahalanobis-family quadratic score against a broadcast
+    model: ``(x−μ)ᵀ W (x−μ)`` with ``W = Lᵀ L`` supplied by its factor —
+    the reference's Mahalanobis / two-covariance scorer kernel
+    (``IVector.py:1317-1400``: trials scored against a fixed
+    within/between-covariance model). Computed as ``‖L(x−μ)‖²`` via one
+    BLAS matmul per batch; (μ, L) ride the object store once."""
+    import ray
+
+    c = L @ np.asarray(mu, dtype=np.float64)
+    ref = ray.put((np.asarray(L, dtype=np.float64), c))
+
+    def _score(batch: pa.Table) -> pa.Table:
+        Lm, cv = ray.get(ref)
+        v = _stack(batch, vec_col)
+        y = v @ Lm.T - cv[None, :]
+        s = (y * y).sum(axis=1)
+        if digits is not None:
+            s = np.round(s, digits)
+        return batch.append_column(out_col, pa.array(s))
+
+    return ds.map_batches(_score, batch_format="pyarrow")
+
+
 def length_norm(ds, *, vec_col: str, out_col: str | None = None):
     """L2-normalize each row's vector (lengthNorm, jyh/Utils.py:369-380)."""
     out_col = out_col or f"{vec_col}_unit"

@@ -132,6 +132,21 @@ def test_small_file_consolidation(rd, tmp_path):
     assert list(got["k"]) == list(range(200))
 
 
+def test_mahalanobis_scores_match_numpy(rd, vec_df):
+    """‖L(x−μ)‖² == (x−μ)ᵀ LᵀL (x−μ) against a direct numpy loop."""
+    rng = np.random.default_rng(8)
+    mu = rng.normal(0, 1, 12)
+    L = rng.normal(0, 0.5, (5, 12))
+    out = vecops.mahalanobis_scores(
+        rd.from_pandas(vec_df).repartition(3), mu, L,
+        vec_col="embedding", digits=None).to_pandas()
+    out = out.sort_values("vec_id").reset_index(drop=True)
+    v = np.stack(vec_df["embedding"].to_numpy())
+    W = L.T @ L
+    exp = np.einsum("nd,de,ne->n", v - mu, W, v - mu)
+    np.testing.assert_allclose(out["maha"].to_numpy(), exp, rtol=1e-9)
+
+
 def test_kmeans_converges_and_resumes(rd, vec_df, tmp_path):
     def factory():
         return rd.from_pandas(vec_df).repartition(3)
