@@ -41,7 +41,8 @@ def ensure_corpus() -> dict:
     spec = GenSpec(n_rows=BENCH_ROWS, n_entities=BENCH_ENTITIES,
                    zipf_a=1.1, seed=42, max_len=256,
                    n_spine=BENCH_ROWS // 4)
-    paths = write_corpus(CORPUS_DIR, spec, n_files=32)
+    paths = write_corpus(CORPUS_DIR, spec, n_files=32,
+                         n_procs=min(16, os.cpu_count() or 1))
     with open(marker, "w") as f:
         f.write("ok")
     return paths
@@ -49,6 +50,10 @@ def ensure_corpus() -> dict:
 
 def run_bench(sf_dir: str, num_cpus: int) -> dict:
     import ray
+
+    # corpus BEFORE ray.init: generation forks a process pool, which
+    # must not inherit a live Ray session
+    paths = ensure_corpus()
 
     # a starved object store (Ray's 30-40% default) forces spilling on
     # payload-heavy shuffles long before RAM is exhausted
@@ -67,8 +72,6 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     from featureengineer_ray import engine, queries as Q
     from featureengineer_ray.pipelines import run_token_stack
-
-    paths = ensure_corpus()
 
     def consume(ds) -> int:
         n = 0

@@ -265,21 +265,40 @@ def _event_meta(spec: GenSpec) -> dict:
             "lens": lens, "src": src, "shuf": shuf}
 
 
-def write_corpus(out_dir: str, spec: GenSpec, n_files: int = 4) -> dict[str, str]:
+def _write_events_shard(args: tuple) -> str:
+    """Module-level worker for parallel shard generation (picklable)."""
+    out_path, spec, i, n_files, meta = args
+    pq.write_table(_generate_events_shard(spec, i, n_files, meta),
+                   out_path)
+    return out_path
+
+
+def write_corpus(out_dir: str, spec: GenSpec, n_files: int = 4,
+                 n_procs: int = 1) -> dict[str, str]:
     """Write events (sharded — parallel read source) + spine parquet.
 
     Shards are generated independently (bounded memory; a whole-table
     build at 10^9+ tokens both overflows int32 list offsets and goes
-    super-linear from allocator pressure)."""
+    super-linear from allocator pressure). Each shard is a pure
+    function of (spec, i, n_files), so ``n_procs > 1`` generates them
+    in a process pool with byte-identical output."""
     os.makedirs(out_dir, exist_ok=True)
     ev_dir = os.path.join(out_dir, "events")
     os.makedirs(ev_dir, exist_ok=True)
     meta = _event_meta(spec)
-    for i in range(n_files):
-        pq.write_table(
-            _generate_events_shard(spec, i, n_files, meta),
-            os.path.join(ev_dir, f"part-{i:04d}.parquet"),
-        )
+    jobs = [(os.path.join(ev_dir, f"part-{i:04d}.parquet"),
+             spec, i, n_files, meta) for i in range(n_files)]
+    if n_procs > 1:
+        import multiprocessing as mp
+
+        # fork, not spawn: workers only run numpy/pyarrow (callers
+        # generate corpora before any ray.init), and fork keeps this
+        # usable from scripts and stdin alike
+        with mp.get_context("fork").Pool(n_procs) as pool:
+            pool.map(_write_events_shard, jobs)
+    else:
+        for j in jobs:
+            _write_events_shard(j)
     sp = generate_spine(spec)
     sp_dir = os.path.join(out_dir, "spine")
     os.makedirs(sp_dir, exist_ok=True)
