@@ -265,10 +265,15 @@ def _event_meta(spec: GenSpec) -> dict:
             "lens": lens, "src": src, "shuf": shuf}
 
 
+_FORK_META: dict | None = None  # inherited copy-on-write by fork workers
+
+
 def _write_events_shard(args: tuple) -> str:
-    """Module-level worker for parallel shard generation (picklable)."""
-    out_path, spec, i, n_files, meta = args
-    pq.write_table(_generate_events_shard(spec, i, n_files, meta),
+    """Module-level worker for parallel shard generation. The whole-
+    corpus meta arrays (GBs at 10^8 rows) are NOT pickled per job —
+    fork workers read them from the module global they inherited."""
+    out_path, spec, i, n_files = args
+    pq.write_table(_generate_events_shard(spec, i, n_files, _FORK_META),
                    out_path)
     return out_path
 
@@ -285,20 +290,25 @@ def write_corpus(out_dir: str, spec: GenSpec, n_files: int = 4,
     os.makedirs(out_dir, exist_ok=True)
     ev_dir = os.path.join(out_dir, "events")
     os.makedirs(ev_dir, exist_ok=True)
-    meta = _event_meta(spec)
+    global _FORK_META
+    _FORK_META = _event_meta(spec)
     jobs = [(os.path.join(ev_dir, f"part-{i:04d}.parquet"),
-             spec, i, n_files, meta) for i in range(n_files)]
-    if n_procs > 1:
-        import multiprocessing as mp
+             spec, i, n_files) for i in range(n_files)]
+    try:
+        if n_procs > 1:
+            import multiprocessing as mp
 
-        # fork, not spawn: workers only run numpy/pyarrow (callers
-        # generate corpora before any ray.init), and fork keeps this
-        # usable from scripts and stdin alike
-        with mp.get_context("fork").Pool(n_procs) as pool:
-            pool.map(_write_events_shard, jobs)
-    else:
-        for j in jobs:
-            _write_events_shard(j)
+            # fork, not spawn: workers inherit the GB-sized meta arrays
+            # copy-on-write through the module global (pickling them per
+            # job serializes the whole corpus through a pipe); callers
+            # generate corpora before any ray.init
+            with mp.get_context("fork").Pool(n_procs) as pool:
+                pool.map(_write_events_shard, jobs)
+        else:
+            for j in jobs:
+                _write_events_shard(j)
+    finally:
+        _FORK_META = None
     sp = generate_spine(spec)
     sp_dir = os.path.join(out_dir, "spine")
     os.makedirs(sp_dir, exist_ok=True)
