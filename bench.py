@@ -212,7 +212,13 @@ def run_scaling() -> dict:
     secs: dict[int, list[float]] = {lo: [], hi: []}
     loads: list[float] = []
     rows = 0
-    cooldown = int(os.environ.get("FE_SCALE_COOLDOWN", 60))
+    # The 1-min load average decays with a 60 s time constant, so after a
+    # 32-wide rep (load ~32) a 60 s cooldown still reads ~32/e ≈ 11.8 and
+    # the idle check false-positives on our own tail. 240 s drains a
+    # 32-wide rep to ~0.6 (32·e⁻⁴); the committed 48M/96M r3 files used
+    # cooldown=60 and their machine_idle:false is exactly this artifact
+    # (loads 1.9-7.3 right after wide reps, 0.06-0.59 on cold starts).
+    cooldown = int(os.environ.get("FE_SCALE_COOLDOWN", 240))
     first = True
     for _ in range(reps):
         for side in (lo, hi):
