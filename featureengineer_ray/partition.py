@@ -106,7 +106,14 @@ class _SamplePartials:
             h = mix64(np.arange(batch.num_rows, dtype=np.uint64), 0x5A)
             # (no stable ts: per-batch index sampling — plan quality only)
         take = (h % _MOD) < np.uint64(int(self.rate * float(_MOD)))
-        keys = batch.column(self.key).to_numpy(zero_copy_only=False)[take]
+        # filter in Arrow BEFORE any numpy conversion: materializing the
+        # full key column as Python objects just to drop ~95% of it was
+        # the dominant cost of the planning scan (measured 96M rows @32
+        # cpus: ~2/3 of the scan wall was this conversion)
+        kcol = batch.column(self.key)
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        keys = kcol.filter(pa.array(take)).to_numpy(zero_copy_only=False)
         hs = h[take]
         if self.ts is not None:
             tsv = tsv[take]
@@ -139,6 +146,62 @@ class _SamplePartials:
         })
 
 
+SKETCH_MERGE_CAP = 1024  # bottom-k kept per key by the distributed combine
+
+
+def _merge_sample_partials(part: pa.Table) -> pa.Table:
+    """Fold one hash-partition of (key, batch) sample partials to one row
+    per key: n summed, ts extrema folded, bottom-k ts sketches merged by
+    keeping the SKETCH_MERGE_CAP smallest sample hashes per key — the
+    same segment-vectorized slice _SamplePartials uses, over all keys of
+    the partition at once (no per-key Python calls)."""
+    part = part.drop_columns(["__part"])
+    keys = part.column("key").to_numpy(zero_copy_only=False)
+    n = part.column("n").to_numpy(zero_copy_only=False)
+    lo = part.column("ts_lo").to_numpy(zero_copy_only=False)
+    hi = part.column("ts_hi").to_numpy(zero_copy_only=False)
+    uniq, inv = np.unique(keys, return_inverse=True)
+    m = len(uniq)
+    mn = np.bincount(inv, weights=n.astype(np.float64),
+                     minlength=m).astype(np.int64)
+    mlo = np.full(m, np.iinfo(np.int64).max, dtype=np.int64)
+    mhi = np.full(m, np.iinfo(np.int64).min, dtype=np.int64)
+    np.minimum.at(mlo, inv, lo)
+    np.maximum.at(mhi, inv, hi)
+
+    tcol = part.column("ts_sketch")
+    hcol = part.column("h_sketch")
+    if isinstance(tcol, pa.ChunkedArray):
+        tcol = tcol.combine_chunks()
+    if isinstance(hcol, pa.ChunkedArray):
+        hcol = hcol.combine_chunks()
+    offs = tcol.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    hoffs = hcol.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    tvals = tcol.values.to_numpy(zero_copy_only=False)[offs[0]:offs[-1]]
+    hvals = hcol.values.to_numpy(zero_copy_only=False)[hoffs[0]:hoffs[-1]]
+    row_of = np.repeat(np.arange(part.num_rows, dtype=np.int64),
+                       np.diff(offs))
+    ki = inv[row_of]
+    order = np.lexsort((hvals.view(np.uint64), ki))
+    ki_s, ts_s, h_s = ki[order], tvals[order], hvals[order]
+    seg_counts = np.bincount(ki, minlength=m)
+    seg_start = np.concatenate(([0], np.cumsum(seg_counts)))[:-1]
+    pos = np.arange(len(ki_s), dtype=np.int64) - seg_start[ki_s]
+    keep = pos < SKETCH_MERGE_CAP
+    kept = np.bincount(ki_s[keep], minlength=m)
+    offs2 = np.concatenate(([0], np.cumsum(kept))).astype(np.int64)
+    return pa.table({
+        "key": pa.array(uniq),
+        "n": pa.array(mn), "ts_lo": pa.array(mlo), "ts_hi": pa.array(mhi),
+        "ts_sketch": pa.ListArray.from_arrays(
+            pa.array(offs2, type=pa.int32()),
+            pa.array(ts_s[keep], type=pa.int64())),
+        "h_sketch": pa.ListArray.from_arrays(
+            pa.array(offs2, type=pa.int32()),
+            pa.array(h_s[keep], type=pa.int64())),
+    })
+
+
 def plan_partitions(
     ds,
     key: str,
@@ -154,12 +217,26 @@ def plan_partitions(
 ) -> PartitionPlan:
     """One sampling pass over (key, ts) → a PartitionPlan."""
     cols = [key] + ([ts] if ts else [])
+    partials = ds.select_columns(cols).map_batches(
+        _SamplePartials(key, ts, sample_rate, seed),
+        batch_format="pyarrow",
+    )
+    # distributed per-key combine BEFORE the driver collect: the partial
+    # stream has one row per (key, batch), so the driver pull grows with
+    # blocks×keys — ~2.1M rows / 0.7 GB at 96M rows·384 blocks·5k keys,
+    # unbounded at scale. One tiny hash shuffle folds it to ≤1 row per
+    # key with sketches truncated to the bottom-SKETCH_MERGE_CAP hashes,
+    # which preserves the driver's bottom-kk selection exactly (kk ≤ CAP).
+    def _tag(b: pa.Table) -> pa.Table:
+        kh = hash_str_array(
+            b.column("key").to_numpy(zero_copy_only=False), seed=seed)
+        return b.append_column(
+            "__part", pa.array((kh % np.uint64(32)).astype(np.int32)))
+
     sample = (
-        ds.select_columns(cols)
-        .map_batches(
-            _SamplePartials(key, ts, sample_rate, seed),
-            batch_format="pyarrow",
-        )
+        partials.map_batches(_tag, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(_merge_sample_partials, batch_format="pyarrow")
         .to_pandas()
     )
     if min_parts is None:

