@@ -241,10 +241,23 @@ def incremental_map(input_dir: str, out_dir: str, fn, *,
     done_now = []
     for path in frags:
         fid = _frag_id(path)
-        fdir = os.path.join(out_dir, f"frag={fid}")
+        # Output dir keyed by the fragment NAME, not the content id: an
+        # in-place rewrite (same name, new bytes/mtime) must SUPERSEDE the
+        # old output, not sit next to it. With id-keyed dirs the stale
+        # frag=<oldid> dir kept its marker and read_incremental_output
+        # unioned both old and new rows (ADVICE r3). The content id lives
+        # INSIDE the marker; a mismatch triggers reprocessing and an
+        # atomic marker replacement, after which only the new data_dir is
+        # followed (the stale attempt dir is best-effort deleted).
+        fdir = os.path.join(out_dir, f"frag={os.path.basename(path)}")
         marker = os.path.join(fdir, "_SUCCESS.json")
+        stale_dir = None
         if os.path.exists(marker):
-            continue
+            with open(marker) as f:
+                prev = json.load(f)
+            if prev.get("frag_id") == fid:
+                continue
+            stale_dir = os.path.join(fdir, prev.get("data_dir", "data"))
         t0 = time.monotonic()
         out_ds = fn(rd.read_parquet(path))
         os.makedirs(fdir, exist_ok=True)
@@ -271,6 +284,10 @@ def incremental_map(input_dir: str, out_dir: str, fn, *,
         with open(mtmp, "w") as f:
             json.dump(rec, f)
         os.replace(mtmp, marker)
+        if stale_dir is not None and os.path.isdir(stale_dir):
+            import shutil
+
+            shutil.rmtree(stale_dir, ignore_errors=True)
         done_now.append(fid)
     return done_now
 

@@ -225,8 +225,11 @@ def plan_partitions(
     # stream has one row per (key, batch), so the driver pull grows with
     # blocks×keys — ~2.1M rows / 0.7 GB at 96M rows·384 blocks·5k keys,
     # unbounded at scale. One tiny hash shuffle folds it to ≤1 row per
-    # key with sketches truncated to the bottom-SKETCH_MERGE_CAP hashes,
-    # which preserves the driver's bottom-kk selection exactly (kk ≤ CAP).
+    # key with sketches truncated to the bottom-SKETCH_MERGE_CAP hashes.
+    # The driver's bottom-kk selection is exact while kk ≤ CAP (kk is
+    # clamped to CAP below); a hotter key (>128 sub-splits) gets its ts
+    # quantiles from a bottom-CAP sample — still a uniform sample of the
+    # key's own rows, so quantile error is O(1/sqrt(CAP)), not a bias.
     def _tag(b: pa.Table) -> pa.Table:
         kh = hash_str_array(
             b.column("key").to_numpy(zero_copy_only=False), seed=seed)
@@ -304,7 +307,12 @@ def plan_partitions(
                 h_all = np.concatenate([
                     np.asarray(x, dtype=np.int64)
                     for x in ksample["h_sketch"]]).view(np.uint64)
-                kk = min(len(ts_all), max(256, 8 * n_sub))
+                # clamp to the combine's per-key sketch cap: beyond it
+                # the bottom-kk hashes are no longer all present, so the
+                # selection would silently become a sample-of-a-sample
+                # with a misleading size (ADVICE r3)
+                kk = min(len(ts_all), max(256, 8 * n_sub),
+                         SKETCH_MERGE_CAP)
                 sel = np.argsort(h_all, kind="stable")[:kk]
                 tvals = np.sort(ts_all[sel])
             else:  # fallback: per-batch extrema only

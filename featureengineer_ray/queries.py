@@ -3112,6 +3112,13 @@ def q_funnel_click_purchase(sf_dir: str):
         inv_s, leg_s, ts_s = inv[order], leg[order], ts[order]
         rel = ts_s - (ts_s.min() if len(ts_s) else 0)
         off = np.int64((rel.max() if len(rel) else 0) + HOUR_US + 2)
+        # same int64-overflow guard as kernels._rolling_time_core: a
+        # partition with ~1M users over a multi-year µs span silently
+        # wraps the composite key and corrupts the searchsorted bounds
+        # (ADVICE r3) — fail loudly so the caller raises max_parts
+        if len(uc) * int(off) >= (1 << 62):
+            raise OverflowError(
+                "composite key overflow; partition too wide")
         comp = rel + inv_s * off
         c_mask = leg_s == 0
         comp_c, comp_p = comp[c_mask], comp[~c_mask]

@@ -170,6 +170,14 @@ def grouped_agg(
             else:
                 specs.append((col, fn))
         g = batch.group_by(keys, use_threads=False).aggregate(specs)
+        # the positional rename assumes keys-first layout; pyarrow has
+        # shipped keys-LAST in older releases, and a silent layout change
+        # would mislabel every partial without an error (ADVICE r3) —
+        # assert the contract before relying on it
+        if g.column_names[:len(keys)] != list(keys):
+            raise AssertionError(
+                f"group_by layout changed: expected keys {list(keys)} "
+                f"first, got columns {g.column_names}")
         cols = {k: g.column(i) for i, k in enumerate(keys)}
         for i, (pname, _, _) in enumerate(partial_specs):
             cols[pname] = g.column(len(keys) + i)
@@ -615,6 +623,47 @@ def exact_percentiles(ds, col: str, qs: list[float], *,
                      "value": pa.array(values, type=pa.float64())})
 
 
+def _estimate_hot_keys(left, on: str, *, sample_rate: float,
+                       hot_row_threshold: int | None,
+                       num_partitions: int) -> np.ndarray:
+    """Deterministic per-ROW sample of the left key column → keys whose
+    estimated row count exceeds ``hot_row_threshold``.
+
+    Per-row decision (value hash mixed with the within-batch row
+    position), NOT per-key-value: hashing only the key value makes
+    inclusion all-or-nothing per key (equal keys share one hash), so a
+    true hot key is entirely missed with probability 1-sample_rate and a
+    sampled key's full count gets divided by sample_rate, inflating its
+    estimate ~1/sample_rate× — both defeating skew handling (ADVICE r3).
+    Pure positional sampling alone was rejected in r2 for bias on
+    ordered inputs; the value-hash component decorrelates that.
+    """
+    from .hashing import hash_values, mix64
+
+    def sample_keys(batch: pa.Table) -> pa.Table:
+        x = batch.column(on).to_numpy(zero_copy_only=False)
+        h = mix64(hash_values(x, seed=0xC3),
+                  np.arange(len(x), dtype=np.uint64))
+        take = (h % np.uint64(1 << 20)) < np.uint64(
+            int(sample_rate * (1 << 20)))
+        return pa.table({"k": pa.array(x[take])})
+
+    sk = []
+    for b in left.select_columns([on]).map_batches(
+            sample_keys, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        sk.append(b.column("k").to_numpy(zero_copy_only=False))
+    skv = np.concatenate(sk) if sk else np.zeros(0, dtype=np.int64)
+    est_total = int(len(skv) / max(sample_rate, 1e-9))
+    if hot_row_threshold is None:
+        hot_row_threshold = max(
+            1000, est_total // max(num_partitions, 1) // 4)
+    uniq, cnt = (np.unique(skv, return_counts=True) if len(skv)
+                 else (np.zeros(0, dtype=np.int64), np.zeros(0, np.int64)))
+    est_rows = cnt / max(sample_rate, 1e-9)
+    return uniq[est_rows > hot_row_threshold]
+
+
 def skew_join(left, right, *, on: str, right_on: str,
               num_partitions: int = 16,
               hot_row_threshold: int | None = None,
@@ -643,8 +692,6 @@ def skew_join(left, right, *, on: str, right_on: str,
     Output columns: left columns + right non-key columns (right key is
     dropped — it equals ``on``).
     """
-    from .hashing import hash_values
-
     from .partition import estimate_rows
 
     if estimate_rows(right, right_on) == 0:
@@ -660,32 +707,10 @@ def skew_join(left, right, *, on: str, right_on: str,
         return _rd.from_arrow(pa.table(
             {n: pa.array([], type=types[n]) for n in names}))
 
-    def sample_keys(batch: pa.Table) -> pa.Table:
-        x = batch.column(on).to_numpy(zero_copy_only=False)
-        # hash the key VALUE (not the batch row position): positional
-        # sampling picks identical indices in every batch, biasing the
-        # hot-key estimate on ordered inputs (ADVICE r2). Value-hash
-        # sampling is also layout-invariant, so the hot-key set is
-        # stable across block layouts.
-        h = hash_values(x, seed=0xC3)
-        take = (h % np.uint64(1 << 20)) < np.uint64(
-            int(sample_rate * (1 << 20)))
-        return pa.table({"k": pa.array(x[take])})
-
-    sk = []
-    for b in left.select_columns([on]).map_batches(
-            sample_keys, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow"):
-        sk.append(b.column("k").to_numpy(zero_copy_only=False))
-    skv = np.concatenate(sk) if sk else np.zeros(0, dtype=np.int64)
-    est_total = int(len(skv) / max(sample_rate, 1e-9))
-    if hot_row_threshold is None:
-        hot_row_threshold = max(
-            1000, est_total // max(num_partitions, 1) // 4)
-    uniq, cnt = (np.unique(skv, return_counts=True) if len(skv)
-                 else (np.zeros(0, dtype=np.int64), np.zeros(0, np.int64)))
-    est_rows = cnt / max(sample_rate, 1e-9)
-    hot_keys = uniq[est_rows > hot_row_threshold]
+    hot_keys = _estimate_hot_keys(
+        left, on, sample_rate=sample_rate,
+        hot_row_threshold=hot_row_threshold,
+        num_partitions=num_partitions)
 
     if len(hot_keys) == 0:
         # native join emits left cols + right non-key cols (right key

@@ -123,6 +123,50 @@ def test_incremental_map_processes_only_new_fragments(ray_session, tmp_path):
     assert got == [2 * i for i in range(250)]
 
 
+def test_incremental_map_rewrite_supersedes_stale_output(
+        ray_session, tmp_path):
+    """An in-place rewrite of a fragment (same name, new content/mtime)
+    must REPLACE its old output, not union with it: the output dir is
+    keyed by fragment name and the content id lives in the marker
+    (ADVICE r3: id-keyed dirs left the stale marker discoverable, so
+    read_incremental_output double-counted the fragment)."""
+    import pyarrow.parquet as pq
+
+    from featureengineer_ray.lineage import (incremental_map,
+                                             read_incremental_output)
+
+    inp = tmp_path / "in"
+    out = tmp_path / "out"
+    inp.mkdir()
+
+    def double(ds):
+        def fn(b: pa.Table) -> pa.Table:
+            return pa.table({"y": pa.array(
+                b.column("x").to_numpy(zero_copy_only=False) * 2)})
+
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    pq.write_table(pa.table({"x": pa.array(
+        np.arange(0, 100, dtype=np.int64))}), inp / "a.parquet")
+    assert len(incremental_map(str(inp), str(out), double)) == 1
+
+    # in-place rewrite: different rows, same file name
+    pq.write_table(pa.table({"x": pa.array(
+        np.arange(1000, 1050, dtype=np.int64))}), inp / "a.parquet")
+    os.utime(inp / "a.parquet")  # ensure mtime_ns moves even on coarse fs
+    assert len(incremental_map(str(inp), str(out), double)) == 1
+
+    got = sorted(read_incremental_output(str(out)).to_pandas()["y"])
+    assert got == [2 * i for i in range(1000, 1050)]  # old rows GONE
+
+    # mtime-only touch (cp/rsync without timestamp preservation):
+    # reprocessed, still exactly one copy in the output
+    os.utime(inp / "a.parquet")
+    assert len(incremental_map(str(inp), str(out), double)) == 1
+    got = sorted(read_incremental_output(str(out)).to_pandas()["y"])
+    assert got == [2 * i for i in range(1000, 1050)]
+
+
 def test_incremental_map_recovers_from_crash_before_marker(
         ray_session, tmp_path):
     """Crash between the data-dir rename and the marker write must not

@@ -828,6 +828,26 @@ def test_skew_join_matches_pandas_merge(rd):
         check_dtype=False)
 
 
+def test_skew_join_hot_key_detection_is_proportional(rd):
+    """Per-row sampling: a hot key must be detected at realistic sample
+    rates, and a moderate key's estimate must be ~its true count.
+    Per-key-VALUE sampling (ADVICE r3) missed the hot key with
+    probability 1-sample_rate and inflated sampled keys 1/sample_rate×.
+    """
+    rng = np.random.default_rng(7)
+    # key 0: 8000 rows (hot); keys 1..199: ~60 rows each (moderate)
+    keys = np.concatenate([
+        np.zeros(8000, dtype=np.int64),
+        rng.integers(1, 200, 12000).astype(np.int64)])
+    left = rd.from_arrow(pa.table({"k": pa.array(keys)}))
+    hot = relational._estimate_hot_keys(
+        left, "k", sample_rate=0.02, hot_row_threshold=1000,
+        num_partitions=4)
+    assert 0 in set(hot.tolist())          # the hot key IS detected
+    # no moderate key (true count ~60) is inflated past the 1000 bar
+    assert set(hot.tolist()) == {0}
+
+
 def test_skew_join_no_hot_keys_falls_back_to_hash_join(rd):
     left = rd.from_items([{"k": i, "lv": i * 2} for i in range(100)])
     right = rd.from_items([{"rk": i, "rv": i + 500} for i in range(0, 100, 2)])
