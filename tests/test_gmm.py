@@ -49,6 +49,25 @@ def test_suff_stats_match_numpy_oracle(rd):
     np.testing.assert_allclose(st.stat0.sum(), len(df), rtol=1e-10)
 
 
+def test_suff_stats_block_count_invariant(rd):
+    """The E-step reduce goes through the 32-way distributed combine:
+    the driver pull is O(32) folded rows however many blocks the corpus
+    splits into, and the reduced stats agree across layouts (block
+    partials are order-sensitive float sums, so equality is allclose at
+    1e-10, not bitwise)."""
+    df = _planted()
+    model = gmm.default_model(d=8, k=4, seed=3)
+    pdf = df[["vec_id", "embedding"]]
+    st1 = gmm.suff_stats(rd.from_pandas(pdf), model, vec_col="embedding")
+    st16 = gmm.suff_stats(rd.from_pandas(pdf).repartition(16), model,
+                          vec_col="embedding")
+    assert st1.n == st16.n == len(df)
+    np.testing.assert_allclose(st1.stat0, st16.stat0, rtol=1e-10)
+    np.testing.assert_allclose(st1.stat1, st16.stat1, rtol=1e-10)
+    np.testing.assert_allclose(st1.stat2, st16.stat2, rtol=1e-10)
+    np.testing.assert_allclose(st1.llk, st16.llk, rtol=1e-10)
+
+
 def test_log_posteriors_underflow_safe():
     """Rows far from every component still get exact posteriors — the
     log-sum-exp max-shift is the reference's sum_log_probabilities."""

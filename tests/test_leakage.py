@@ -88,3 +88,18 @@ def test_session_len_excluded_from_asof(ray_session):
     assert "session_event_idx" in out.columns and "session_idx" in out.columns
     assert "n_tok_z" not in out.columns
     assert "n_tok_ez" in out.columns
+
+
+def test_no_unbounded_driver_pull_in_queries():
+    """VERDICT r3 #1 regression guard: no query may chain a raw table
+    read straight into a driver materialization — that class is O(corpus
+    rows) through the driver. Bounded pulls (row-filtered pq reads,
+    post-aggregate results) don't match the pattern."""
+    import pathlib
+    import re
+
+    from featureengineer_ray import queries
+
+    src = pathlib.Path(queries.__file__).read_text()
+    assert not re.search(r"_read\([^)]*\)\s*\.to_pandas\(\)", src)
+    assert not re.search(r"_read\([^)]*\)\s*\.take_all\(\)", src)

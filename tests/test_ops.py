@@ -436,6 +436,26 @@ def test_knn_brute_force_matches_numpy(rd):
         np.testing.assert_array_equal(mine["neighbor_id"].to_numpy(), order)
 
 
+def test_knn_distributed_combine_equals_driver_fold(rd):
+    """The per-query top-k pre-fold (driver pull bounded at k×q rows,
+    not k×q×blocks — VERDICT r3 #2) is bit-identical to the driver-side
+    fold: the tie order (cosine desc, neighbor_id asc) makes the top-k
+    selection order-independent."""
+    rng = np.random.default_rng(11)
+    corpus = pd.DataFrame({
+        "vec_id": np.arange(300),
+        "embedding": [rng.standard_normal(8) for _ in range(300)]})
+    queries = corpus.head(5).copy()
+    ds = rd.from_pandas(corpus).repartition(13)
+    a = knn.brute_force_topk(ds, queries, id_col="vec_id",
+                             vec_col="embedding", k=6,
+                             distributed_combine=False)
+    b = knn.brute_force_topk(ds, queries, id_col="vec_id",
+                             vec_col="embedding", k=6,
+                             distributed_combine=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
 def _clustered_corpus(n_clusters=16, per_cluster=60, dim=16, seed=21):
     """Vectors with genuine cluster structure (IVF's applicability regime)."""
     rng = np.random.default_rng(seed)
