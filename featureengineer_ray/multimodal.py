@@ -1,15 +1,20 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-The decode/resize/frame-sample kernels themselves are STUBBED (no
-image/audio libraries in this environment — clearly marked below); the
-Ray-side plumbing is real and tested: schema, actor-pool stage shape,
-bounded batch sizes for large payloads, and deterministic fake features so
-pipelines are end-to-end runnable and oracle-checkable on the byte-level
-columns.
+Image decode is REAL for uncompressed 24-bit BMP (a pure-numpy parser —
+:func:`decode_bmp` / :func:`encode_bmp`; no imaging library needed), so
+the decode → feature-extract → resize path runs on genuine image bytes
+end-to-end and is oracle-checked on deterministic synthetic images
+(VERDICT r3 next-#6). Compressed formats (JPEG/PNG/...) still require an
+imaging library absent from this environment and raise
+NotImplementedError with a clear message; the deterministic fake-decode
+stub remains available (``use_stub_decode=True``) for payloads that are
+not images at all (the text-bytes shim).
 """
 
 from __future__ import annotations
+
+import struct
 
 import numpy as np
 import pyarrow as pa
@@ -39,12 +44,66 @@ def attach_payload(batch: pa.Table, *, text_col: str = "text",
     return out
 
 
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Grayscale (h, w) uint8 → uncompressed 24-bit bottom-up BMP bytes
+    (BITMAPFILEHEADER + BITMAPINFOHEADER, BI_RGB, rows padded to 4 bytes
+    — the standard layout, public format spec). Pure numpy/struct."""
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    # bottom-up row order; gray replicated into B,G,R
+    rows[:, :w * 3] = np.repeat(img[::-1, :, None], 3,
+                                axis=2).reshape(h, w * 3)
+    data = rows.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                       2835, 2835, 0, 0)
+    return header + info + data
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP bytes → grayscale (h, w) uint8 (blue
+    channel; the encoder writes gray into all three). Handles bottom-up
+    and top-down row order and per-row 4-byte padding."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (off,) = struct.unpack_from("<I", payload, 10)
+    _hsz, w, h, _planes, bits, comp = struct.unpack_from(
+        "<IiiHHI", payload, 14)
+    if bits != 24 or comp != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP supported (bits={bits}, "
+            f"compression={comp})")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    arr = np.frombuffer(payload, dtype=np.uint8, count=h * stride,
+                        offset=off).reshape(h, stride)
+    px = arr[:, :w * 3].reshape(h, w, 3)[:, :, 0]
+    return px[::-1].copy() if bottom_up else px.copy()
+
+
+def synthetic_image(media_id: int, h: int = 30, w: int = 30) -> np.ndarray:
+    """Deterministic test image with a CLOSED-FORM pixel distribution:
+    px[r, c] = (3r + 7c + 11·media_id) mod 256 — so a SQL oracle can
+    compute the exact mean/std a correct decode must reproduce (w=30
+    keeps the BMP row stride unaligned, exercising the padding path)."""
+    r = np.arange(h, dtype=np.int64)[:, None]
+    c = np.arange(w, dtype=np.int64)[None, :]
+    return ((3 * r + 7 * c + 11 * int(media_id)) % 256).astype(np.uint8)
+
+
 def _decode_image(payload: bytes) -> "np.ndarray":
-    """STUB — image decoding requires PIL/opencv, not present in this
-    container. A real deployment replaces this body with e.g.
+    """Real decode for uncompressed 24-bit BMP (pure numpy, above);
+    compressed formats require PIL/opencv, absent from this container —
+    a real deployment extends this with
     ``np.asarray(PIL.Image.open(io.BytesIO(payload)))``."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
     raise NotImplementedError(
-        "image decode stubbed: no imaging library in this environment")
+        "only BMP decode available: no imaging library in this "
+        "environment for compressed formats")
 
 
 class MediaFeatureExtractor:
@@ -180,6 +239,38 @@ def frame_pipeline(ds, *, text_col: str = "text", id_col: str = "doc_id",
         FrameSampler, batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency,
         fn_constructor_kwargs={"stride": stride})
+
+
+def attach_bmp_payload(batch: pa.Table, *, id_col: str = "doc_id",
+                       h: int = 30, w: int = 30) -> pa.Table:
+    """REAL image payloads: one deterministic synthetic BMP per row
+    (closed-form pixels, :func:`synthetic_image`), encoded to genuine
+    uncompressed 24-bit BMP bytes — the oracle-checkable counterpart of
+    the text-bytes shim."""
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    payloads = [encode_bmp(synthetic_image(int(i), h, w)) for i in ids]
+    pay = pa.array(payloads, type=pa.binary())
+    return pa.table({
+        "media_id": batch.column(id_col).cast(pa.int64()),
+        "payload": pay,
+        "media_type": pa.array(["image"] * len(ids)),
+        "n_bytes": pa.compute.binary_length(pay).cast(pa.int64()),
+    })
+
+
+def bmp_decode_pipeline(ds, *, id_col: str = "doc_id", h: int = 30,
+                        w: int = 30, batch_size: int = 256,
+                        concurrency=(1, 4)):
+    """documents → real BMP payloads → actor-pool REAL decode + feature
+    extraction (no stub anywhere on this path)."""
+
+    def attach(batch: pa.Table) -> pa.Table:
+        return attach_bmp_payload(batch, id_col=id_col, h=h, w=w)
+
+    return ds.map_batches(attach, batch_format="pyarrow").map_batches(
+        MediaFeatureExtractor, batch_format="pyarrow",
+        batch_size=batch_size, concurrency=concurrency,
+        fn_constructor_kwargs={"use_stub_decode": False})
 
 
 def media_pipeline(ds, *, text_col: str = "text", id_col: str = "doc_id",

@@ -2434,11 +2434,45 @@ def q_doc_fingerprint(sf_dir: str):
     return _select(out, ["doc_id", "fingerprint"])
 
 
-def q_multimodal_decode_stub(sf_dir: str):
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    out = multimodal.media_pipeline(docs)
-    return _select(out, ["media_id", "n_bytes", "px_mean", "px_std",
-                         "height", "width"])
+def q_multimodal_decode(sf_dir: str):
+    """REAL image decode end to end (no stub on this path): one
+    deterministic synthetic BMP per document (closed-form pixels,
+    ``multimodal.synthetic_image``), encoded to genuine uncompressed
+    24-bit BMP bytes, decoded back by the pure-numpy parser in an
+    actor-pool stage. The SQL oracle recomputes the exact pixel mean
+    arithmetically — a decoder that misreads the header, the 4-byte row
+    padding (w=30 forces a 2-byte pad), or the bottom-up row order fails
+    the hash. px_std is intentionally excluded: variance formulas differ
+    across engines in the last ulps and a rounding-boundary hit would be
+    a spurious mismatch; the mean is bit-exact (integer sums in f64)."""
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    out = multimodal.bmp_decode_pipeline(docs)
+
+    def final(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "n_bytes": batch.column("n_bytes"),
+            "px_mean": pc.round(batch.column("px_mean"), ndigits=6),
+            "height": batch.column("height"),
+            "width": batch.column("width"),
+        })
+
+    return out.map_batches(final, batch_format="pyarrow")
+
+
+SQL_MULTIMODAL_DECODE = """
+WITH px AS (
+  SELECT d.doc_id,
+         ((3 * (t.i // 30) + 7 * (t.i % 30) + 11 * d.doc_id) % 256) AS v
+  FROM documents d, range(900) t(i)
+)
+SELECT doc_id AS media_id,
+       CAST(2814 AS BIGINT) AS n_bytes,  -- 54-byte header + 30 rows x 92-byte padded stride
+       round(avg(v), 6) AS px_mean,
+       CAST(30 AS BIGINT) AS height,
+       CAST(30 AS BIGINT) AS width
+FROM px GROUP BY doc_id
+"""
 
 
 def q_knn_ivf(sf_dir: str):
@@ -3619,7 +3653,7 @@ QUERIES = {
     "simhash_near_dup": q_simhash_near_dup,
     "lang_id_quality": q_lang_id_quality,
     "doc_fingerprint": q_doc_fingerprint,
-    "multimodal_decode_stub": q_multimodal_decode_stub,
+    "multimodal_decode": q_multimodal_decode,
     "knn_ivf": q_knn_ivf,
     "knn_ivf_index": q_knn_ivf_index,
     "embedding_near_dup": q_embedding_near_dup,
@@ -3694,6 +3728,7 @@ ORACLE_SQL = {
     "pack_documents": SQL_PACK_DOCS,
     "multimodal_meta": SQL_MULTIMODAL_META,
     "multimodal_frames": SQL_MULTIMODAL_FRAMES,
+    "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "knn_cosine": SQL_KNN,
     "embedding_norms": SQL_EMB_NORMS,
     "det_curve": SQL_DET_CURVE,

@@ -317,7 +317,8 @@ def test_dedup_first(events_tbl):
 
 
 def test_rolling_large_window_fallback():
-    """window > 128 exercises the pandas-deque path in _rolling_min_max."""
+    """window > 128 exercises the sparse-table path in _rolling_min_max
+    (the strided sliding_window_view handles only w <= 128)."""
     spec = GenSpec(n_rows=600, n_entities=2, zipf_a=1.01, seed=9)
     tbl = generate_events(spec)
     part = kernels.sort_partition(tbl, "doc_id", "ts", "event_seq")

@@ -384,6 +384,25 @@ def test_langid_detects_planted_languages():
     assert (q[:4] > q[4]).all()  # real language scores above noise
 
 
+def test_langid_accuracy_on_planted_corpus(rd):
+    """M2 graduates from self-consistency: a 2000-doc corpus with PLANTED
+    language labels (datagen.generate_documents — each doc's function
+    words drawn from its language's list, with genuine fr/es overlap) is
+    classified by the distributed LangIdQuality stage at >= 95% accuracy,
+    scored against the ground truth column (VERDICT r3 next-#5)."""
+    from featureengineer_ray.datagen import generate_documents
+
+    tbl = generate_documents(2000, seed=17)
+    out = (rd.from_arrow(tbl).repartition(8)
+           .map_batches(text.LangIdQuality(), batch_format="pyarrow")
+           .to_pandas())
+    acc = (out["lang_pred"] == out["lang"]).mean()
+    assert acc >= 0.95, f"planted-label accuracy {acc:.3f}"
+    # per-language recall: no language collapses into another
+    for lg, sub in out.groupby("lang"):
+        assert (sub["lang_pred"] == lg).mean() >= 0.85, lg
+
+
 def test_tokenizer_deterministic_and_consistent():
     tbl = pa.table({"text": ["Hello, world!", "", "a b c"]})
     tok = text.Tokenizer()
@@ -1033,3 +1052,42 @@ def test_embedding_neardup_hyperplanes_cached_deterministic():
     assert p1 is p2  # cached per process, not regenerated per call
     assert p1.shape == (16, 8)
     assert np.allclose(p1, np.random.default_rng(3).standard_normal((16, 8)))
+
+
+def test_bmp_roundtrip_and_oracle_mean():
+    """Pure-numpy BMP codec: encode → decode is identity for arbitrary
+    grayscale images incl. non-4-byte-aligned widths (padding path) and
+    1-pixel edges; the synthetic image's mean matches its closed form."""
+    rng = np.random.default_rng(3)
+    for h, w in [(30, 30), (7, 5), (1, 1), (16, 31), (3, 4)]:
+        img = rng.integers(0, 256, size=(h, w)).astype(np.uint8)
+        back = multimodal.decode_bmp(multimodal.encode_bmp(img))
+        np.testing.assert_array_equal(back, img)
+    # closed-form mean the SQL oracle recomputes
+    for mid in (0, 7, 12345):
+        img = multimodal.synthetic_image(mid)
+        i = np.arange(900)
+        exp = (((3 * (i // 30) + 7 * (i % 30) + 11 * mid) % 256)
+               .astype(np.float64).mean())
+        assert img.astype(np.float64).mean() == exp
+
+
+def test_media_extractor_real_decode(rd):
+    """MediaFeatureExtractor with use_stub_decode=False decodes genuine
+    BMP bytes through the actor-pool pipeline (the NotImplementedError
+    now covers only compressed formats)."""
+    import ray.data as _rd
+
+    docs = _rd.from_arrow(pa.table({"doc_id": pa.array(
+        np.arange(20, dtype=np.int64))}))
+    out = multimodal.bmp_decode_pipeline(docs, concurrency=(1, 2)
+                                         ).to_pandas()
+    assert len(out) == 20
+    assert (out["height"] == 30).all() and (out["width"] == 30).all()
+    i = np.arange(900)
+    for _, row in out.head(5).iterrows():
+        exp = (((3 * (i // 30) + 7 * (i % 30) + 11 * row["media_id"])
+                % 256).astype(np.float64).mean())
+        assert row["px_mean"] == exp
+    with pytest.raises(NotImplementedError):
+        multimodal._decode_image(b"\x89PNG....")
