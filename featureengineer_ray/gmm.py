@@ -247,6 +247,127 @@ def gmm_fit(ds_factory, *, vec_col: str, k: int = 4, iters: int = 3,
     return model, history
 
 
+# --- mixture-splitting UBM growth (EM_split lifecycle) --------------------
+#
+# The reference trains its UBM 1 → 2048 gaussians by iterative component
+# splitting with an artifact per split level (lifecycle driver
+# ``IVector.py:539-586``: save ``ubm_{n}g.h5``, ``_split_ditribution()``,
+# re-run EM; MPI variant ``mpiIV.py:433-453``). The split recipe is the
+# standard public one (each Gaussian splits in two along its
+# maximum-variance axis); the E/M machinery is exactly `suff_stats` +
+# `m_step` above, so this is a lifecycle wrapper, not a new kernel.
+
+def split_model(model: DiagGmm, scale: float = 1.0) -> DiagGmm:
+    """Double the component count: each Gaussian becomes two at
+    μ ± scale·σ along its max-variance dimension, halved weights,
+    copied covariances. Vectorized (no per-component Python loop)."""
+    var = 1.0 / model.invcov
+    j = np.argmax(var, axis=1)
+    rows = np.arange(model.k)
+    shift = np.zeros_like(model.mu)
+    shift[rows, j] = scale * np.sqrt(var[rows, j])
+    return DiagGmm(w=np.concatenate([model.w, model.w]) * 0.5,
+                   mu=np.vstack([model.mu - shift, model.mu + shift]),
+                   invcov=np.vstack([model.invcov, model.invcov]))
+
+
+def _split_ckpt_path(ckpt_dir: str, k: int, it: int) -> str:
+    return os.path.join(ckpt_dir, f"gmm_k{k}_it-{it}.json")
+
+
+def latest_split_ckpt(ckpt_dir: str) -> tuple[int, int] | None:
+    """(k, iteration) of the furthest checkpoint on the ladder, or None."""
+    if not os.path.isdir(ckpt_dir):
+        return None
+    best = None
+    for f in os.listdir(ckpt_dir):
+        if f.startswith("gmm_k") and "_it-" in f and f.endswith(".json"):
+            k_s, it_s = f[len("gmm_k"):-len(".json")].split("_it-")
+            cand = (int(k_s), int(it_s))
+            if best is None or cand > best:
+                best = cand
+    return best
+
+
+def gmm_fit_split(ds_factory, *, vec_col: str, target_k: int,
+                  iters_per_level: int = 2, ckpt_dir: str,
+                  split_scale: float = 1.0, resume: bool = True,
+                  var_floor: float = 1e-8,
+                  ) -> tuple[DiagGmm, list[dict]]:
+    """EM_split UBM growth: k=1 (one exact global-moments M-step) →
+    split → EM ×``iters_per_level`` → split → ... until ``target_k``
+    (a power of two), checkpointing ``gmm_k{n}_it-{i}.json`` per
+    iteration per level. Every step is a pure function of the previous
+    model, so a run resumed from ANY mid-ladder checkpoint is
+    bit-identical to a straight run (tested). Returns (model, history
+    rows {k, iteration, llk, n})."""
+    if target_k < 1 or (target_k & (target_k - 1)) != 0:
+        raise ValueError("target_k must be a power of two")
+    os.makedirs(ckpt_dir, exist_ok=True)
+
+    def _save(k: int, it: int, model: DiagGmm, llk: float, n: int):
+        tmp = _split_ckpt_path(ckpt_dir, k, it) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"k": k, "iteration": it, "llk": llk, "n": n,
+                       **model.to_dict()}, f)
+        os.replace(tmp, _split_ckpt_path(ckpt_dir, k, it))
+
+    history: list[dict] = []
+    model: DiagGmm | None = None
+    start_k, start_it = 1, -1
+    if resume:
+        last = latest_split_ckpt(ckpt_dir)
+        if last is not None:
+            start_k, start_it = last
+            with open(_split_ckpt_path(ckpt_dir, *last)) as f:
+                c = json.load(f)
+            model = DiagGmm.from_dict(c)
+            # rebuild history from the persisted ladder (ordered walk)
+            k = 1
+            while k <= start_k:
+                for i in range(iters_per_level):
+                    p = _split_ckpt_path(ckpt_dir, k, i)
+                    if os.path.exists(p):
+                        with open(p) as f:
+                            cc = json.load(f)
+                        history.append({"k": k, "iteration": i,
+                                        "llk": cc["llk"], "n": cc["n"]})
+                k *= 2
+    if model is None:
+        # k=1: the E-step posterior is identically 1 whatever the model
+        # params, so ONE pass + M-step yields the exact global moments
+        from .vecops import sample_vectors
+
+        probe = sample_vectors(ds_factory(), vec_col=vec_col, n=4, seed=1)
+        d_probe = probe.shape[1]
+        init = DiagGmm(w=np.ones(1), mu=np.zeros((1, d_probe)),
+                       invcov=np.ones((1, d_probe)))
+        st = suff_stats(ds_factory(), init, vec_col=vec_col)
+        model = m_step(st, var_floor=var_floor)
+        _save(1, 0, model, st.llk, st.n)
+        history.append({"k": 1, "iteration": 0, "llk": st.llk, "n": st.n})
+        start_k, start_it = 1, 0
+
+    k = start_k
+    it0 = start_it + 1
+    while True:
+        # finish the current level's remaining EM iterations
+        # (level 1 is the exact moments fit — a single iteration)
+        level_iters = 1 if k == 1 else iters_per_level
+        for i in range(it0, level_iters):
+            st = suff_stats(ds_factory(), model, vec_col=vec_col)
+            model = m_step(st, var_floor=var_floor)
+            _save(k, i, model, st.llk, st.n)
+            history.append({"k": k, "iteration": i, "llk": st.llk,
+                            "n": st.n})
+        if k >= target_k:
+            break
+        model = split_model(model, scale=split_scale)
+        k *= 2
+        it0 = 0
+    return model, history
+
+
 def entity_suff_stats(ds, model: DiagGmm, *, vec_col: str,
                       entity_col: str,
                       target_rows_per_part: int = 1_000_000,

@@ -1976,6 +1976,47 @@ def q_gmm_fit(sf_dir: str):
     })
 
 
+def q_gmm_fit_split(sf_dir: str):
+    """Mixture-splitting UBM growth — the reference's ACTUAL UBM recipe
+    (lifecycle ``IVector.py:539-586``: save ``ubm_{n}g.h5`` per level,
+    split, re-run EM; MPI variant ``mpiIV.py:433-453``): 1 → 8 gaussians
+    by a split→EM ladder with one persisted artifact per (level,
+    iteration) and exact mid-ladder resume. Returns per-component
+    assignment counts + model summary (rows-only — iterative EM is
+    non-SQL)."""
+    import hashlib
+    import shutil
+
+    from . import gmm
+
+    ckpt = "/tmp/fe_gmmsplit_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    def factory():
+        return _read(sf_dir, "embeddings", ["embedding"])
+
+    model, hist = gmm.gmm_fit_split(factory, vec_col="embedding",
+                                    target_k=8, iters_per_level=2,
+                                    ckpt_dir=ckpt)
+    assigned = gmm.gmm_assign(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), model,
+        vec_col="embedding", loglik_col=None)
+    counts = relational.grouped_agg(
+        assigned.select_columns(["comp"]), ["comp"], {},
+        count_alias="n_assigned").to_pandas()
+    counts = counts.set_index("comp").reindex(
+        np.arange(model.k)).fillna(0).reset_index()
+    return pa.table({
+        "comp": pa.array(np.arange(model.k, dtype=np.int64)),
+        "n_assigned": pa.array(
+            counts["n_assigned"].to_numpy().astype(np.int64)),
+        "weight": pa.array(np.round(model.w, 6)),
+        "mu_norm": pa.array(np.round(np.linalg.norm(model.mu, axis=1), 6)),
+        "n_levels": pa.array(np.full(model.k, len(
+            {h["k"] for h in hist}), dtype=np.int64)),
+    })
+
+
 def q_whiten_embeddings(sf_dir: str):
     """Full whitening (M10) + broadcast projection (M11) exercised
     through the driver: whiten, then project onto a fixed rotation;
@@ -3683,6 +3724,7 @@ QUERIES = {
     "gmm_assign": q_gmm_assign,
     "gmm_entity_stats": q_gmm_entity_stats,
     "gmm_fit": q_gmm_fit,
+    "gmm_fit_split": q_gmm_fit_split,
     "ivector_project": q_ivector_project,
     "ivector_det": q_ivector_det,
     "mahalanobis_scores": q_mahalanobis_scores,

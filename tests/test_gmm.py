@@ -114,6 +114,67 @@ def test_gmm_fit_monotone_and_resumes(rd, tmp_path):
     assert m_full.w.min() > 0.15 and m_full.w.max() < 0.55
 
 
+def test_gmm_fit_split_ladder_monotone_and_resumes(rd, tmp_path):
+    """EM_split lifecycle: llk is monotone within each level (EM
+    guarantee) and the per-level FINAL llk is non-decreasing up the
+    ladder (more components fit at least as well); a run resumed from a
+    mid-ladder checkpoint is bit-identical to a straight run."""
+    df = _planted(n_per=150, k=4, dim=6, seed=8)
+
+    def factory():
+        return rd.from_pandas(df[["vec_id", "embedding"]]).repartition(4)
+
+    d1 = str(tmp_path / "straight")
+    m1, h1 = gmm.gmm_fit_split(factory, vec_col="embedding", target_k=4,
+                               iters_per_level=3, ckpt_dir=d1)
+    assert m1.k == 4
+    h = pd.DataFrame(h1)
+    assert sorted(h["k"].unique()) == [1, 2, 4]
+    for _, sub in h.groupby("k"):
+        llks = sub.sort_values("iteration")["llk"].to_numpy()
+        assert (np.diff(llks) >= -1e-9 * np.abs(llks[:-1])).all()
+    finals = h.sort_values(["k", "iteration"]).groupby("k")["llk"].last()
+    f = finals.loc[[1, 2, 4]].to_numpy()
+    assert (np.diff(f) >= -1e-9 * np.abs(f[:-1])).all()
+
+    # resume: stop the ladder at k=2, continue to k=4 in the same dir
+    d2 = str(tmp_path / "resumed")
+    gmm.gmm_fit_split(factory, vec_col="embedding", target_k=2,
+                      iters_per_level=3, ckpt_dir=d2)
+    m2, h2 = gmm.gmm_fit_split(factory, vec_col="embedding", target_k=4,
+                               iters_per_level=3, ckpt_dir=d2)
+    assert m2.k == 4
+    assert m1.mu.tobytes() == m2.mu.tobytes()
+    assert m1.w.tobytes() == m2.w.tobytes()
+    assert m1.invcov.tobytes() == m2.invcov.tobytes()
+    assert [(r["k"], r["iteration"]) for r in h2] \
+        == [(r["k"], r["iteration"]) for r in h1]
+
+    # artifact-per-level naming matches the reference lifecycle shape
+    import os
+
+    files = sorted(os.listdir(d1))
+    assert "gmm_k1_it-0.json" in files and "gmm_k4_it-2.json" in files
+
+
+def test_split_model_doubles_components():
+    m = gmm.default_model(d=8, k=4, seed=3)
+    s = gmm.split_model(m)
+    assert s.k == 8 and s.mu.shape == (8, 8)
+    np.testing.assert_allclose(s.w.sum(), 1.0)
+    np.testing.assert_allclose(s.w, np.concatenate([m.w, m.w]) * 0.5)
+    # the two children straddle the parent mean along ONE axis
+    var = 1.0 / m.invcov
+    j = np.argmax(var, axis=1)
+    for c in range(4):
+        dlt = s.mu[c + 4] - s.mu[c]
+        nz = np.flatnonzero(dlt)
+        assert list(nz) == [j[c]]
+        np.testing.assert_allclose(
+            dlt[j[c]], 2.0 * np.sqrt(var[c, j[c]]))
+        np.testing.assert_allclose((s.mu[c] + s.mu[c + 4]) / 2, m.mu[c])
+
+
 def test_mstep_recovers_planted_parameters(rd):
     """On well-separated clusters, a few EM steps recover per-cluster
     means and (heteroscedastic) variances."""
