@@ -119,7 +119,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         late_env = os.environ.get("FE_BENCH_LATE")
         late = (BENCH_ROWS >= 8_000_000 if late_env is None
                 else late_env == "1")
-        out = run_token_stack(ev, sp, plan=plan, late_materialize=late)
+        ev_files = sorted(
+            os.path.join(paths["events"], f)
+            for f in os.listdir(paths["events"]) if f.endswith(".parquet"))
+        out = run_token_stack(ev, sp, plan=plan, late_materialize=late,
+                              payload_paths=ev_files if late else None)
         # parallel parquet sink — draining via driver iter_batches
         # serializes the whole output through one process and caps scaling
         out.write_parquet(out_dir)

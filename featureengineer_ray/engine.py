@@ -1026,6 +1026,103 @@ class _AttachKernel:
         return out
 
 
+def payload_rowgroup_hits(paths: list[str], loc_ref, key: str,
+                          tiebreak: str) -> list[dict]:
+    """Distributed narrow pre-pass over parquet ROW GROUPS: for each
+    (file, row group), count locator-matched rows reading ONLY the
+    (key, tiebreak) columns. Returns one tiny dict per row group
+    ({path, rg, n_rows, n_hits, total_bytes}) — the pruning plan AND the
+    bytes-read evidence (row groups with n_hits == 0 are never decoded
+    by the payload read)."""
+    import pyarrow.parquet as _pq
+
+    import ray
+    import ray.data as rd
+
+    from .hashing import hash_str_array, mix64
+
+    items = []
+    for p in sorted(paths):
+        md = _pq.ParquetFile(p).metadata
+        for i in range(md.num_row_groups):
+            rg = md.row_group(i)
+            items.append({"path": p, "rg": i, "n_rows": rg.num_rows,
+                          "total_bytes": rg.total_byte_size})
+    if not items:
+        return []
+
+    def probe(batch: pa.Table) -> pa.Table:
+        bl = ray.get(loc_ref)
+        pf_cache: dict[str, _pq.ParquetFile] = {}
+        hits = []
+        for row in batch.to_pylist():
+            pf = pf_cache.setdefault(row["path"],
+                                     _pq.ParquetFile(row["path"]))
+            t = pf.read_row_group(row["rg"], columns=[key, tiebreak])
+            k = t.column(key).to_numpy(zero_copy_only=False)
+            s = t.column(tiebreak).cast(pa.int64()).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            h = mix64(hash_str_array(k), s.astype(np.uint64))
+            hits.append(int(bl.contains(h).sum()))
+        return batch.append_column("n_hits", pa.array(hits,
+                                                      type=pa.int64()))
+
+    out = (rd.from_items(items)
+           .repartition(min(len(items), 512))
+           .map_batches(probe, batch_format="pyarrow")
+           .to_pandas())
+    return out.to_dict("records")
+
+
+def _pruned_payload_read(paths: list[str], loc_ref, key: str,
+                         tiebreak: str, columns: list[str], mark=None):
+    """Payload-side read that decodes ONLY locator-hit row groups: the
+    narrow pre-pass plans, then one task per hit row group reads the
+    payload columns and keeps the matched rows."""
+    import pyarrow.parquet as _pq
+
+    import ray
+    import ray.data as rd
+
+    from .hashing import hash_str_array, mix64
+
+    recs = payload_rowgroup_hits(paths, loc_ref, key, tiebreak)
+    hit = [r for r in recs if r["n_hits"] > 0]
+    if mark is not None:
+        b_tot = sum(r["total_bytes"] for r in recs)
+        b_hit = sum(r["total_bytes"] for r in hit)
+        n_match = sum(r["n_hits"] for r in hit)
+        mark(f"attach pre-pass: {len(hit)}/{len(recs)} row groups hit "
+             f"({b_hit / max(b_tot, 1):.1%} of {b_tot >> 20} MiB; "
+             f"{n_match} matched rows)")
+    if not hit:
+        schema = _pq.ParquetFile(sorted(paths)[0]).schema_arrow
+        empty = pa.table({c: pa.array([], type=schema.field(c).type)
+                          for c in columns})
+        return rd.from_arrow(empty)
+
+    def read_rg(batch: pa.Table) -> pa.Table:
+        bl = ray.get(loc_ref)
+        pf_cache: dict[str, _pq.ParquetFile] = {}
+        outs = []
+        for row in batch.to_pylist():
+            pf = pf_cache.setdefault(row["path"],
+                                     _pq.ParquetFile(row["path"]))
+            t = pf.read_row_group(row["rg"], columns=columns)
+            k = t.column(key).to_numpy(zero_copy_only=False)
+            s = t.column(tiebreak).cast(pa.int64()).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            h = mix64(hash_str_array(k), s.astype(np.uint64))
+            outs.append(t.filter(pa.array(bl.contains(h))))
+        return pa.concat_tables(outs)
+
+    # one task per hit row group (items are tiny; the repartition cost is
+    # nil) so the decode widens to the cluster
+    return (rd.from_items(hit)
+            .repartition(len(hit))
+            .map_batches(read_rg, batch_format="pyarrow"))
+
+
 def feature_stack_late(
     events,
     spine,
@@ -1036,6 +1133,7 @@ def feature_stack_late(
     tolerance_us: int | None = None,
     dedup: bool = True,
     plan: PartitionPlan | None = None,
+    payload_paths: list[str] | None = None,
     **plan_kwargs,
 ):
     """feature_stack with LATE payload MATERIALIZATION.
@@ -1049,6 +1147,16 @@ def feature_stack_late(
     pre-filtered by a broadcast BLOOM locator (~2 bytes per matched row —
     bounded at any scale; the filter is an optimization only, correctness
     comes from the exact join, so false positives are harmless).
+
+    ``payload_paths`` (the events parquet files, when the caller has
+    them): route the payload side through the ROW-GROUP-PRUNED reader —
+    a narrow (key, tiebreak) pre-pass hit-tests every parquet row group
+    against the locator and the payload columns are decoded ONLY for row
+    groups containing matches (the reference's missing-file re-drive
+    reading only what is needed, ``FeaGet.py:116-144``, at row-group
+    granularity). On a selective spine this skips whole files; on a
+    uniformly-matched corpus it degenerates to the full read and the
+    pre-pass is the evidence that the phase is at the decode floor.
 
     Output rows equal feature_stack's (same columns up to order).
     """
@@ -1124,19 +1232,29 @@ def feature_stack_late(
 
     payload_side_cols = [spec.key, spec.tiebreak, spec.ts] + list(payload_cols)
 
-    class _FilterPayload:
-        def __init__(self):
-            self.bloom = ray.get(loc_ref)
+    # plain TASK fn, not an actor pool: it fuses with the parquet read and
+    # widens with the cluster — the previous concurrency=(1, 8) actor pool
+    # capped the 26 GB payload decode+filter at 8 workers however many
+    # CPUs the cluster had, the single biggest width limiter of the
+    # attach phase (VERDICT r3 #1: attach scaled 2.44× at 8→32). The
+    # bloom travels via the object store (zero-copy local plasma get per
+    # batch — the words array is a read-only numpy view, never pickled
+    # into the closure).
+    def _filter_payload(batch: pa.Table) -> pa.Table:
+        bl = ray.get(loc_ref)
+        k = batch.column(spec.key).to_numpy(zero_copy_only=False)
+        s = batch.column(spec.tiebreak).cast(pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        h = mix64(hash_str_array(k), s.astype(np.uint64))
+        return batch.filter(pa.array(bl.contains(h)))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            k = batch.column(spec.key).to_numpy(zero_copy_only=False)
-            s = batch.column(spec.tiebreak).cast(pa.int64()).to_numpy(
-                zero_copy_only=False).astype(np.int64)
-            h = mix64(hash_str_array(k), s.astype(np.uint64))
-            return batch.filter(pa.array(self.bloom.contains(h)))
-
-    payload = events.select_columns(payload_side_cols).map_batches(
-        _FilterPayload, batch_format="pyarrow", concurrency=(1, 8))
+    if payload_paths is not None:
+        payload = _pruned_payload_read(
+            payload_paths, loc_ref, spec.key, spec.tiebreak,
+            payload_side_cols, _mark)
+    else:
+        payload = events.select_columns(payload_side_cols).map_batches(
+            _filter_payload, batch_format="pyarrow")
 
     # phase C: co-shuffle by the MATCHED event's (key, ts) under the plan
     a_schema = _pa_schema(mat)

@@ -158,7 +158,8 @@ def default_spec() -> engine.WindowSpec:
 
 
 def run_token_stack(events_ds, spine_ds=None, spec: engine.WindowSpec | None = None,
-                    late_materialize: bool = False, **plan_kwargs):
+                    late_materialize: bool = False,
+                    payload_paths: list[str] | None = None, **plan_kwargs):
     """dedup + windowed features + as-of join (the flagship).
 
     Hot entities are sub-split into time-contiguous ranges by default
@@ -182,7 +183,8 @@ def run_token_stack(events_ds, spine_ds=None, spec: engine.WindowSpec | None = N
     if late_materialize:
         return engine.feature_stack_late(
             events_ds, spine_ds, spec, payload_cols=["tokens"],
-            value_cols=value_cols, dedup=True, **plan_kwargs)
+            value_cols=value_cols, dedup=True,
+            payload_paths=payload_paths, **plan_kwargs)
     return engine.feature_stack(
         events_ds, spine_ds, spec, value_cols=value_cols, dedup=True,
         **plan_kwargs)

@@ -80,3 +80,69 @@ def test_late_equals_eager_unsplit(ray_session):
     ).to_pandas().sort_values("spine_id").reset_index(drop=True)
     common = [c for c in eager.columns if c in late.columns]
     _cmp(late[common], eager[common], common)
+
+
+def test_pruned_payload_read_equals_in_memory(ray_session, tmp_path):
+    """payload_paths (row-group-pruned attach read) must produce the
+    SAME stack as the in-memory payload side, and on a selective spine
+    the pre-pass must actually skip row groups."""
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    events = generate_events(SPEC)
+    spine = generate_spine(SPEC)
+    # write events as several small-row-group files so pruning has
+    # granularity to work with
+    paths = []
+    n = events.num_rows
+    cuts = np.linspace(0, n, 5).astype(int)
+    for i in range(4):
+        p = str(tmp_path / f"ev-{i}.parquet")
+        pq.write_table(events.slice(cuts[i], cuts[i + 1] - cuts[i]), p,
+                       row_group_size=150)
+        paths.append(p)
+
+    base = run_token_stack(
+        rd.read_parquet(paths), rd.from_arrow(spine),
+        target_rows_per_part=300, sample_rate=1.0, split_hot_keys=True,
+        late_materialize=True,
+    ).to_pandas().sort_values("spine_id").reset_index(drop=True)
+    pruned = run_token_stack(
+        rd.read_parquet(paths), rd.from_arrow(spine),
+        target_rows_per_part=300, sample_rate=1.0, split_hot_keys=True,
+        late_materialize=True, payload_paths=paths,
+    ).to_pandas().sort_values("spine_id").reset_index(drop=True)
+    assert len(pruned) == len(base) == spine.num_rows
+    common = [c for c in base.columns if c in pruned.columns]
+    _cmp(pruned[common], base[common], common)
+
+    # selective spine (one entity) → most row groups have no matched
+    # (key, seq): the pre-pass plan must skip them
+    import ray
+
+    from featureengineer_ray.hashing import Bloom, hash_str_array, mix64
+
+    one = spine.to_pandas()
+    one = one[one["doc_id"] == one["doc_id"].iloc[0]].head(3)
+    sel = run_token_stack(
+        rd.read_parquet(paths),
+        rd.from_arrow(__import__("pyarrow").Table.from_pandas(
+            one, preserve_index=False)),
+        target_rows_per_part=300, sample_rate=1.0, split_hot_keys=False,
+        late_materialize=True, payload_paths=paths,
+    ).to_pandas()
+    assert len(sel) == 3
+
+    # direct pre-pass check: locator of the 3 matched rows hits only a
+    # few of the ~15 row groups
+    m = sel.dropna(subset=["event_seq"])
+    bl = Bloom(max(len(m), 1))
+    bl.add(mix64(hash_str_array(m["doc_id"].to_numpy()),
+                 m["event_seq"].to_numpy().astype(np.int64)
+                 .astype(np.uint64)))
+    recs = engine.payload_rowgroup_hits(paths, ray.put(bl), "doc_id",
+                                        "event_seq")
+    n_hit = sum(1 for r in recs if r["n_hits"] > 0)
+    assert len(recs) >= 10          # granularity exists
+    assert n_hit < len(recs) // 2   # and most row groups are SKIPPED
