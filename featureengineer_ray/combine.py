@@ -73,14 +73,16 @@ def _content_hash(batch: pa.Table, columns: list[str]) -> np.ndarray:
 
 
 def combine_sum(partials, columns: list[str],
-                zeros: dict[str, np.ndarray | float | int],
-                *, width: int = COMBINE_WIDTH) -> dict:
+                zeros: dict[str, np.ndarray | float | int] | None = None,
+                *, width: int = COMBINE_WIDTH) -> dict | None:
     """Sum every row of ``partials`` per column, with a ``width``-way
     distributed pre-fold so the driver pulls ≤ ``width`` rows.
 
     ``columns``: the payload columns (list<float64> summed element-wise;
     float64/int64 scalars summed). ``zeros``: per-column zero values of
-    the right shape (also the result for an empty stream).
+    the right shape (also the result for an empty stream); omit it when
+    the caller cannot know the widths upfront — an EMPTY stream then
+    returns None.
     """
     def _tag(batch: pa.Table) -> pa.Table:
         h = _content_hash(batch, columns)
@@ -113,24 +115,30 @@ def combine_sum(partials, columns: list[str],
               .groupby("__cpart")
               .map_groups(_fold, batch_format="pyarrow")
               .to_pandas())
-    result = {k: (np.asarray(z, dtype=np.float64).copy()
-                  if isinstance(z, np.ndarray) else z)
-              for k, z in zeros.items()}
     if len(folded) == 0:
-        return result
+        if zeros is None:
+            return None
+        return {k: (np.asarray(z, dtype=np.float64).copy()
+                    if isinstance(z, np.ndarray) else z)
+                for k, z in zeros.items()}
     folded = folded.sort_values("__cpart", kind="stable")
+    result: dict = {}
     for name in columns:
         vals = folded[name].to_numpy()
-        if isinstance(result[name], np.ndarray):
-            acc = result[name]
+        if vals.dtype == object:  # list column → element-wise vector sum
+            acc = (np.asarray(zeros[name], dtype=np.float64).copy()
+                   if zeros is not None
+                   else np.zeros_like(np.asarray(vals[0],
+                                                 dtype=np.float64)))
             for v in vals:
                 acc = acc + np.asarray(v, dtype=np.float64)
             result[name] = acc
-        elif isinstance(result[name], float):
-            s = result[name]
+        elif np.issubdtype(vals.dtype, np.integer):
+            base = int(zeros[name]) if zeros is not None else 0
+            result[name] = base + int(vals.sum())
+        else:
+            s = float(zeros[name]) if zeros is not None else 0.0
             for v in vals:
                 s += float(v)
             result[name] = s
-        else:
-            result[name] = int(result[name] + int(vals.sum()))
     return result

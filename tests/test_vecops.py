@@ -220,3 +220,43 @@ def test_lda_fit_matches_numpy_oracle(rd):
     between = min(np.linalg.norm(cent[a] - cent[b])
                   for a in range(3) for b in range(a + 1, 3))
     assert between > 3 * within
+
+
+def test_spectral_norm_matches_numpy_reference(rd):
+    """Distributed EFR (iterated whiten + length-norm) equals a
+    driver-side numpy implementation of the same recursion, and each
+    whitening stage actually whitens (identity covariance before the
+    length norm)."""
+    from featureengineer_ray import vecops
+
+    rng = np.random.default_rng(12)
+    A = rng.standard_normal((6, 6))
+    vecs = rng.standard_normal((400, 6)) @ A + rng.standard_normal(6) * 3
+    df = pd.DataFrame({"vec_id": np.arange(400),
+                       "embedding": list(vecs)})
+
+    def factory():
+        return rd.from_pandas(df).repartition(5)
+
+    params = vecops.estimate_spectral_norm(factory, vec_col="embedding",
+                                           iters=3, eps=0.0)
+    got = (vecops.spectral_norm(factory(), params, vec_col="embedding")
+           .to_pandas().sort_values("vec_id"))
+    gm = np.stack(got["embedding_sn"].to_numpy())
+
+    # numpy reference of the same recursion
+    x = vecs.copy()
+    for it in range(3):
+        mean = x.mean(axis=0)
+        cov = np.cov(x, rowvar=False, ddof=1)
+        W = np.linalg.inv(np.linalg.cholesky(cov)).T
+        np.testing.assert_allclose(params[it][0], mean, rtol=1e-9,
+                                   atol=1e-12)
+        np.testing.assert_allclose(params[it][1], W, rtol=1e-7, atol=1e-9)
+        y = (x - mean) @ W
+        # whitening check: identity covariance at every stage
+        np.testing.assert_allclose(np.cov(y, rowvar=False, ddof=1),
+                                   np.eye(6), atol=1e-8)
+        x = y / np.linalg.norm(y, axis=1, keepdims=True)
+    np.testing.assert_allclose(gm, x, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.linalg.norm(gm, axis=1), 1.0, rtol=1e-12)
