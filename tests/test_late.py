@@ -146,3 +146,31 @@ def test_pruned_payload_read_equals_in_memory(ray_session, tmp_path):
     n_hit = sum(1 for r in recs if r["n_hits"] > 0)
     assert len(recs) >= 10          # granularity exists
     assert n_hit < len(recs) // 2   # and most row groups are SKIPPED
+
+
+def test_dense_probe_skips_prepass(ray_session, tmp_path):
+    """When every sampled row group contains matches, the pruned reader
+    must fall back to the streaming filter (no full pre-pass)."""
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from featureengineer_ray.hashing import Bloom, hash_str_array, mix64
+
+    events = generate_events(SPEC)
+    p = str(tmp_path / "ev.parquet")
+    pq.write_table(events, p, row_group_size=100)  # ~22 row groups
+
+    df = events.to_pandas()
+    bl = Bloom(len(df))
+    bl.add(mix64(hash_str_array(df["doc_id"].to_numpy()),
+                 df["event_seq"].to_numpy().astype(np.int64)
+                 .astype(np.uint64)))
+    marks = []
+    sentinel = object()
+    out = engine._pruned_payload_read(
+        [p], ray.put(bl), "doc_id", "event_seq",
+        ["doc_id", "event_seq", "ts", "tokens"], mark=marks.append,
+        dense_fallback=lambda: sentinel)
+    assert out is sentinel
+    assert any("dense workload" in m for m in marks)
