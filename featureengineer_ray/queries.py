@@ -1879,6 +1879,137 @@ FROM y GROUP BY vec_id
 """
 
 
+def _plda_query_model(d: int = 64, r: int = 6, n_enroll: int = 4,
+                      seed: int = 41):
+    """Deterministic (model, enroll) for the plda_scores query. The SQL
+    oracle serializes the DERIVED (Q, PE, off) constants at .17e from
+    the same numpy computation, so only determinism (not decimal
+    roundness) of the raw model matters."""
+    from .plda import PldaModel
+
+    rng = np.random.default_rng(seed)
+    mu = np.round(rng.normal(0.0, 0.1, size=d), 4)
+    F = np.round(rng.normal(0.0, 0.3, size=(d, r)), 4)
+    A = np.round(rng.normal(0.0, 0.2, size=(d, d)), 4)
+    Sigma = A @ A.T / d + np.eye(d) * 0.5
+    enroll = np.round(rng.normal(0.0, 1.0, size=(n_enroll, d)), 4)
+    return PldaModel(mu, F, Sigma), enroll
+
+
+def q_plda_scores(sf_dir: str):
+    """PLDA two-Gaussian LLR trial scoring against a broadcast model
+    (the reference's top-tier scorer, IVector.py:1425-1447 /
+    1432-1434 — there delegated to sidekit fa.plda; here plda.py's
+    exact joint-Gaussian form): every embedding × 4 enrollment models,
+    one BLAS matmul per batch; hash-checked against the expanded
+    per-term quadratic in SQL."""
+    from . import plda
+
+    model, enroll = _plda_query_model()
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = plda.plda_score(emb, model, enroll,
+                          np.arange(len(enroll), dtype=np.int64),
+                          vec_col="embedding", id_cols=["vec_id"])
+    return _select(out, ["vec_id", "enroll_id", "llr"])
+
+
+def _plda_sql() -> str:
+    """Oracle: llr = Σ_i (x_i−μ_i)(Q_i·x − Q_i·μ) + x·pe_j + off_j with
+    every derived constant (Q rows, pe_j = P(e_j−μ), off_j = qe_j + c0
+    − μ·pe_j) precomputed in Python at .17e — identical doubles, same
+    per-term grouping as plda.plda_score."""
+    from . import plda
+
+    model, enroll = _plda_query_model()
+    Q, P, c0 = plda.llr_params(model)
+    mu = model.mu
+    Ec = enroll - mu[None, :]
+    PE = P @ Ec.T                                 # (d, C)
+    qe = ((Ec @ Q) * Ec).sum(axis=1)
+    off = qe + c0 - mu @ PE                       # (C,)
+    Qc = Q @ mu
+
+    def lit(x: float) -> str:
+        return f"{x:.17e}"
+
+    def arr(v) -> str:
+        return "[" + ", ".join(lit(float(x)) for x in v) + "]::DOUBLE[]"
+
+    d = len(mu)
+    qrows = ",\n    ".join(
+        f"({i + 1}, {lit(float(mu[i]))}, {arr(Q[i])}, {lit(float(Qc[i]))})"
+        for i in range(d))
+    enr = ",\n    ".join(
+        f"({j}, {arr(PE[:, j])}, {lit(float(off[j]))})"
+        for j in range(PE.shape[1]))
+    return f"""
+WITH qrows AS (
+  SELECT * FROM (VALUES
+    {qrows}
+  ) AS t(i, mui, qrow, qc)
+),
+enr AS (
+  SELECT * FROM (VALUES
+    {enr}
+  ) AS t(j, pe, off)
+),
+x AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+quad AS (
+  SELECT x.vec_id,
+         SUM((x.v[q.i] - q.mui)
+             * (list_dot_product(x.v, q.qrow) - q.qc)) AS qx
+  FROM x CROSS JOIN qrows q GROUP BY x.vec_id
+)
+SELECT x.vec_id,
+       CAST(n.j AS BIGINT) AS enroll_id,
+       ROUND_EVEN(quad.qx + list_dot_product(x.v, n.pe) + n.off, 6) AS llr
+FROM quad JOIN x USING (vec_id) CROSS JOIN enr n
+"""
+
+
+def q_plda_fit_assign(sf_dir: str):
+    """Full PLDA lifecycle — global moments → per-class sum stats (one
+    hash exchange) → EM fit with per-iteration artifacts → LLR scoring
+    of every embedding against the per-class mean enrollment models
+    (the reference's train-then-score recipe around IVector.py:1432-1447).
+    Rows-only: iterative matrix EM is non-SQL; fit correctness is
+    pytest-oracled (distributed ≡ numpy EM, planted-subspace recovery,
+    resume ≡ straight)."""
+    import hashlib
+    import shutil
+
+    from . import plda, vecops
+
+    emb_cols = ["vec_id", "embedding", "label"]
+    emb = _read(sf_dir, "embeddings", emb_cols)
+    N, mu, cov = vecops.vector_moments(emb, vec_col="embedding")
+    S = cov * (N - 1)
+    ckpt = "/tmp/fe_plda_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    def stats_factory():
+        return plda.class_sum_stats(
+            _read(sf_dir, "embeddings", ["embedding", "label"]),
+            vec_col="embedding", label_col="label", d=len(mu))
+
+    model = plda.plda_fit(stats_factory, (N, mu, S), rank=6, iters=3,
+                          ckpt_dir=ckpt)
+    # enrollment side: per-class mean vectors (tiny C × d driver object)
+    means = vecops.class_vector_means(
+        emb, vec_col="embedding", label_col="label").to_pandas()
+    means = means.sort_values(["label", "dim"])
+    classes = np.sort(means["label"].unique())
+    M = means.pivot(index="label", columns="dim",
+                    values="mu").loc[classes].to_numpy()
+    out = plda.plda_score(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        model, M, classes.astype(np.int64), vec_col="embedding",
+        id_cols=["vec_id"], enroll_id_col="enroll_label", digits=4)
+    return _select(out, ["vec_id", "enroll_label", "llr"])
+
+
 def q_ivector_det(sf_dir: str):
     """The reference's COMPLETE pipeline, end to end
     (ivMpi_PipeLine/{ubm1,stat2,tv3,iv4,result5}.py): broadcast-GMM
@@ -3757,6 +3888,8 @@ QUERIES = {
     "ivector_project": q_ivector_project,
     "ivector_det": q_ivector_det,
     "mahalanobis_scores": q_mahalanobis_scores,
+    "plda_scores": q_plda_scores,
+    "plda_fit_assign": q_plda_fit_assign,
     "flagship_token_stack": flagship_token_stack,
 }
 
@@ -3841,4 +3974,5 @@ ORACLE_SQL = {
     "gmm_assign": _gmm_assign_sql(),
     "gmm_entity_stats": _gmm_entity_stats_sql(),
     "mahalanobis_scores": _mahalanobis_sql(),
+    "plda_scores": _plda_sql(),
 }
