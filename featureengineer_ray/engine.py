@@ -1086,7 +1086,7 @@ def payload_rowgroup_hits(paths: list[str], loc_ref, key: str,
 
 def _pruned_payload_read(paths: list[str], loc_ref, key: str,
                          tiebreak: str, columns: list[str], mark=None,
-                         dense_fallback=None, probe_rgs: int = 8):
+                         probe_rgs: int = 8):
     """Payload-side read that decodes ONLY locator-hit row groups: the
     narrow pre-pass plans, then one task per hit row group reads the
     payload columns and keeps the matched rows.
@@ -1095,9 +1095,12 @@ def _pruned_payload_read(paths: list[str], loc_ref, key: str,
     bench: every row group hit), the full narrow pre-pass is pure
     overhead (~43 s over 26 GB at 32 CPUs, measured) — so ``probe_rgs``
     evenly-spaced row groups are hit-tested first, and if ALL of them
-    contain matches the read falls back to the streaming filter
-    (``dense_fallback``) without the pre-pass. Any probed miss →
-    selective workload → full pre-pass + pruned read."""
+    contain matches the pre-pass is skipped and EVERY row group goes
+    straight to the per-row-group direct read below. At 100% hits that
+    read is simply a wide, evenly-sized decode of the corpus — measured
+    2-4x faster at width 32 than re-reading through a Ray Data
+    streaming-filter pipeline, and no slower at width 8 (disk floor).
+    Any probed miss → selective workload → full pre-pass + pruned read."""
     import pyarrow.parquet as _pq
 
     import ray
@@ -1106,27 +1109,31 @@ def _pruned_payload_read(paths: list[str], loc_ref, key: str,
     from .hashing import hash_str_array, mix64
 
     items = _list_rowgroups(paths)
-    if dense_fallback is not None and len(items) > 2 * probe_rgs:
+    dense = False
+    if probe_rgs and len(items) > 2 * probe_rgs:
         idx = np.linspace(0, len(items) - 1, probe_rgs).astype(int)
         probe = payload_rowgroup_hits(paths, loc_ref, key, tiebreak,
                                       items=[items[i] for i in idx])
-        if all(r["n_hits"] > 0 for r in probe):
-            if mark is not None:
-                mark(f"attach probe: {len(probe)}/{len(probe)} sampled "
-                     "row groups hit -> dense workload, streaming filter "
-                     "(pre-pass skipped)")
-            return dense_fallback()
+        dense = bool(probe) and all(r["n_hits"] > 0 for r in probe)
 
-    recs = payload_rowgroup_hits(paths, loc_ref, key, tiebreak,
-                                 items=items)
-    hit = [r for r in recs if r["n_hits"] > 0]
-    if mark is not None:
-        b_tot = sum(r["total_bytes"] for r in recs)
-        b_hit = sum(r["total_bytes"] for r in hit)
-        n_match = sum(r["n_hits"] for r in hit)
-        mark(f"attach pre-pass: {len(hit)}/{len(recs)} row groups hit "
-             f"({b_hit / max(b_tot, 1):.1%} of {b_tot >> 20} MiB; "
-             f"{n_match} matched rows)")
+    if dense:
+        hit = items
+        if mark is not None:
+            mark(f"attach probe: {probe_rgs}/{probe_rgs} sampled row "
+                 f"groups hit -> dense workload, pre-pass skipped; "
+                 f"direct per-row-group read of all {len(items)} "
+                 "row groups")
+    else:
+        recs = payload_rowgroup_hits(paths, loc_ref, key, tiebreak,
+                                     items=items)
+        hit = [r for r in recs if r["n_hits"] > 0]
+        if mark is not None:
+            b_tot = sum(r["total_bytes"] for r in recs)
+            b_hit = sum(r["total_bytes"] for r in hit)
+            n_match = sum(r["n_hits"] for r in hit)
+            mark(f"attach pre-pass: {len(hit)}/{len(recs)} row groups hit "
+                 f"({b_hit / max(b_tot, 1):.1%} of {b_tot >> 20} MiB; "
+                 f"{n_match} matched rows)")
     if not hit:
         schema = _pq.ParquetFile(sorted(paths)[0]).schema_arrow
         empty = pa.table({c: pa.array([], type=schema.field(c).type)
@@ -1283,10 +1290,7 @@ def feature_stack_late(
     if payload_paths is not None:
         payload = _pruned_payload_read(
             payload_paths, loc_ref, spec.key, spec.tiebreak,
-            payload_side_cols, _mark,
-            dense_fallback=lambda: events.select_columns(
-                payload_side_cols).map_batches(
-                _filter_payload, batch_format="pyarrow"))
+            payload_side_cols, _mark)
     else:
         payload = events.select_columns(payload_side_cols).map_batches(
             _filter_payload, batch_format="pyarrow")

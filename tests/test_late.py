@@ -150,7 +150,9 @@ def test_pruned_payload_read_equals_in_memory(ray_session, tmp_path):
 
 def test_dense_probe_skips_prepass(ray_session, tmp_path):
     """When every sampled row group contains matches, the pruned reader
-    must fall back to the streaming filter (no full pre-pass)."""
+    must skip the hit-counting pre-pass and route ALL row groups through
+    the direct per-row-group read — returning exactly the locator-matched
+    rows (here: the full table)."""
     import pyarrow.parquet as pq
 
     import ray
@@ -167,10 +169,17 @@ def test_dense_probe_skips_prepass(ray_session, tmp_path):
                  df["event_seq"].to_numpy().astype(np.int64)
                  .astype(np.uint64)))
     marks = []
-    sentinel = object()
+    cols = ["doc_id", "event_seq", "ts", "tokens"]
     out = engine._pruned_payload_read(
-        [p], ray.put(bl), "doc_id", "event_seq",
-        ["doc_id", "event_seq", "ts", "tokens"], mark=marks.append,
-        dense_fallback=lambda: sentinel)
-    assert out is sentinel
-    assert any("dense workload" in m for m in marks)
+        [p], ray.put(bl), "doc_id", "event_seq", cols,
+        mark=marks.append).to_pandas()
+    assert any("dense workload" in m and "pre-pass skipped" in m
+               for m in marks)
+    assert not any("attach pre-pass" in m for m in marks)
+    exp = df[cols].sort_values(["doc_id", "event_seq"]).reset_index(
+        drop=True)
+    got = out.sort_values(["doc_id", "event_seq"]).reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert got["doc_id"].equals(exp["doc_id"])
+    assert got["event_seq"].equals(exp["event_seq"])
+    assert (got["ts"].to_numpy() == exp["ts"].to_numpy()).all()
