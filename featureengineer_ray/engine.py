@@ -37,7 +37,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from . import kernels, splitstate
+from . import deltas, kernels, splitstate
 from .partition import PartitionPlan, assign_partition_ids, plan_partitions
 from .splitstate import CTX_COL, SubCorrection
 
@@ -56,6 +56,7 @@ class WindowSpec:
     All per-entity, ordered by ``(ts, tiebreak)``. Output column names:
     ``{col}_lag_{k}``, ``{col}_lead_{k}``, ``{col}_roll_{stat}_{w}``,
     ``{col}_troll_{stat}``, ``{col}_ffill``, ``{col}_bfill``, ``{col}_z``,
+    ``{col}_delta_{k}``, ``{col}_ddelta_{k}``,
     ``session_idx``, ``session_event_idx``, ``session_len``.
     """
 
@@ -64,6 +65,12 @@ class WindowSpec:
     tiebreak: str | None = None
     lags: dict[str, list[int]] = field(default_factory=dict)
     leads: dict[str, list[int]] = field(default_factory=dict)
+    # regression delta / double-delta over ±k rows (deltas.py; the
+    # reference FeaturesServer's delta=/double_delta= options,
+    # IVector.py:256-266). Forward-looking like leads: refuses hot-key
+    # splitting (same guard).
+    deltas: dict[str, list[int]] = field(default_factory=dict)
+    double_deltas: dict[str, list[int]] = field(default_factory=dict)
     rolling: dict[str, list[int]] = field(default_factory=dict)
     rolling_stats: tuple[str, ...] = ("sum", "mean", "min", "max", "std", "count")
     rolling_time: dict[str, list[int]] = field(default_factory=dict)  # µs
@@ -85,11 +92,16 @@ class WindowSpec:
             c = max(c, max(ks, default=0))
         for ws in self.rolling.values():
             c = max(c, max(ws, default=1) - 1)
+        for ks in self.deltas.values():
+            c = max(c, max(ks, default=0))
+        for ks in self.double_deltas.values():
+            c = max(c, 2 * max(ks, default=0))
         return c
 
     def numeric_cols(self) -> list[str]:
         cols = set()
-        for d in (self.lags, self.leads, self.rolling, self.rolling_time):
+        for d in (self.lags, self.leads, self.rolling, self.rolling_time,
+                  self.deltas, self.double_deltas):
             cols.update(d.keys())
         cols.update(self.ffill)
         cols.update(self.bfill)
@@ -181,6 +193,14 @@ def _compute_window_columns(
     for col in spec.expanding_zscore:
         x = _num_sorted(part, col)
         out[f"{col}_ez"] = kernels.expanding_zscore(part, x)
+    for col, ks in spec.deltas.items():
+        x = _num_sorted(part, col)
+        for k in ks:
+            out[f"{col}_delta_{k}"] = deltas.delta(part, x, k)
+    for col, ks in spec.double_deltas.items():
+        x = _num_sorted(part, col)
+        for k in ks:
+            out[f"{col}_ddelta_{k}"] = deltas.double_delta(part, x, k)
     return out
 
 
@@ -742,12 +762,13 @@ def _split_state(ds, plan: PartitionPlan, spec: WindowSpec | None,
         # windowed features must be exact → it needs its own C predecessors
         ctx_rows = spec.context_rows + (spec.context_rows if fused_asof else 0)
         twins = [w for ws in spec.rolling_time.values() for w in ws]
-        if spec.leads or spec.bfill:
+        if spec.leads or spec.bfill or spec.deltas or spec.double_deltas:
             # forward context for split entities is not carried; reject
-            # rather than silently emit wrong leads/bfill at boundaries.
+            # rather than silently emit wrong forward-looking features
+            # at sub boundaries.
             raise ValueError(
-                "lead/bfill are not supported on sub-split hot entities; "
-                "disable split_hot_keys or drop leads/bfill")
+                "lead/bfill/delta are not supported on sub-split hot "
+                "entities; disable split_hot_keys or drop them")
     else:
         numeric, gap, ctx_rows, twins = [], None, 1, []
     twins = twins + list(extra_time_windows or [])
@@ -964,10 +985,11 @@ def feature_stack(
     non-leaky trailing z). Both retrospective forms remain available from
     :func:`window_features`.
     """
-    if spec.leads or spec.bfill:
+    if spec.leads or spec.bfill or spec.deltas or spec.double_deltas:
         raise ValueError(
-            "lead/bfill features read past the as-of boundary and cannot "
-            "be emitted from feature_stack (zero-temporal-leakage rule)")
+            "lead/bfill/delta features read past the as-of boundary and "
+            "cannot be emitted from feature_stack (zero-temporal-leakage "
+            "rule)")
     leaky = ("session_len",) + tuple(f"{c}_z" for c in spec.zscore)
     return asof_join(
         events, spine, key=spec.key, ts=spec.ts, value_cols=value_cols,
@@ -1140,20 +1162,31 @@ def _pruned_payload_read(paths: list[str], loc_ref, key: str,
                           for c in columns})
         return rd.from_arrow(empty)
 
-    def read_rg(batch: pa.Table) -> pa.Table:
+    # Decode each hit row group INCREMENTALLY (~250k-row record batches,
+    # the repo's measured right-size for payload blocks entering the
+    # attach sort — BASELINE.md "read blocks sized by rows") and yield
+    # filtered chunks: one whole-row-group table per task (≈1M rows of
+    # payload) hands the downstream exchange oversized blocks and spikes
+    # per-task memory — measured +37% on the 8-wide 96M attach phase.
+    chunk_rows = 250_000
+
+    def read_rg(batch: pa.Table):
         bl = ray.get(loc_ref)
         pf_cache: dict[str, _pq.ParquetFile] = {}
-        outs = []
         for row in batch.to_pylist():
             pf = pf_cache.setdefault(row["path"],
                                      _pq.ParquetFile(row["path"]))
-            t = pf.read_row_group(row["rg"], columns=columns)
-            k = t.column(key).to_numpy(zero_copy_only=False)
-            s = t.column(tiebreak).cast(pa.int64()).to_numpy(
-                zero_copy_only=False).astype(np.int64)
-            h = mix64(hash_str_array(k), s.astype(np.uint64))
-            outs.append(t.filter(pa.array(bl.contains(h))))
-        return pa.concat_tables(outs)
+            for rb in pf.iter_batches(batch_size=chunk_rows,
+                                      row_groups=[row["rg"]],
+                                      columns=columns):
+                t = pa.Table.from_batches([rb])
+                k = t.column(key).to_numpy(zero_copy_only=False)
+                s = t.column(tiebreak).cast(pa.int64()).to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                h = mix64(hash_str_array(k), s.astype(np.uint64))
+                out = t.filter(pa.array(bl.contains(h)))
+                if out.num_rows:
+                    yield out
 
     # one task per hit row group (items are tiny; the repartition cost is
     # nil) so the decode widens to the cluster

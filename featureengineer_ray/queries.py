@@ -211,6 +211,51 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def q_delta_features(sf_dir: str):
+    """Regression delta + double delta (±2 rows, edge-clamped) per user —
+    the reference FeaturesServer's delta/double_delta load options
+    (IVector.py:256-266) on the engine's ordered-entity axis."""
+    spec = engine.WindowSpec(
+        key="user_id", ts="ts", tiebreak="event_id",
+        deltas={"value": [2]}, double_deltas={"value": [2]})
+    out = engine.window_features(_events(sf_dir), spec)
+    out = _round_cols(out, {"value_delta_2": 6, "value_ddelta_2": 6})
+    return _select(out, ["event_id", "user_id", "ts", "value",
+                         "value_delta_2", "value_ddelta_2"])
+
+
+# Clamped neighbor access via row-number arithmetic (LEAST/GREATEST), not
+# COALESCE(lead(...), last_value(...)): with NULL values in the column the
+# coalesce form cannot distinguish "out of frame" from "neighbor is null".
+SQL_DELTA_FEATURES = """
+WITH b AS (
+  SELECT event_id, user_id, ts, value,
+         row_number() OVER w AS rn,
+         count(*) OVER (PARTITION BY user_id) AS cnt
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+d1 AS (
+  SELECT b.event_id, b.user_id, b.ts, b.value, b.rn, b.cnt,
+         (1*(f1.value - g1.value) + 2*(f2.value - g2.value)) / 10.0 AS vd
+  FROM b
+  JOIN b f1 ON f1.user_id = b.user_id AND f1.rn = LEAST(b.rn + 1, b.cnt)
+  JOIN b f2 ON f2.user_id = b.user_id AND f2.rn = LEAST(b.rn + 2, b.cnt)
+  JOIN b g1 ON g1.user_id = b.user_id AND g1.rn = GREATEST(b.rn - 1, 1)
+  JOIN b g2 ON g2.user_id = b.user_id AND g2.rn = GREATEST(b.rn - 2, 1)
+)
+SELECT d.event_id, d.user_id, d.ts, d.value,
+       ROUND_EVEN(d.vd, 6) AS value_delta_2,
+       ROUND_EVEN((1*(f1.vd - g1.vd) + 2*(f2.vd - g2.vd)) / 10.0, 6)
+         AS value_ddelta_2
+FROM d1 d
+JOIN d1 f1 ON f1.user_id = d.user_id AND f1.rn = LEAST(d.rn + 1, d.cnt)
+JOIN d1 f2 ON f2.user_id = d.user_id AND f2.rn = LEAST(d.rn + 2, d.cnt)
+JOIN d1 g1 ON g1.user_id = d.user_id AND g1.rn = GREATEST(d.rn - 1, 1)
+JOIN d1 g2 ON g2.user_id = d.user_id AND g2.rn = GREATEST(d.rn - 2, 1)
+"""
+
+
 def q_window_rolling5(sf_dir: str):
     spec = engine.WindowSpec(
         key="user_id", ts="ts", tiebreak="event_id",
@@ -3789,6 +3834,7 @@ QUERIES = {
     "asof_tolerance_1h": q_asof_tolerance_1h,
     "range_join_1h": q_range_join_1h,
     "window_lag_lead": q_window_lag_lead,
+    "delta_features": q_delta_features,
     "window_rolling5": q_window_rolling5,
     "window_rolling_time_1h": q_window_rolling_time_1h,
     "window_rolling_time_stats": q_window_rolling_time_stats,
@@ -3898,6 +3944,7 @@ ORACLE_SQL = {
     "asof_tolerance_1h": SQL_ASOF_TOL,
     "range_join_1h": SQL_RANGE_JOIN,
     "window_lag_lead": SQL_LAG_LEAD,
+    "delta_features": SQL_DELTA_FEATURES,
     "window_rolling5": SQL_ROLLING5,
     "window_rolling_time_1h": SQL_ROLLING_TIME,
     "window_rolling_time_stats": SQL_ROLLING_TIME_STATS,
