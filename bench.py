@@ -192,13 +192,27 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     return out
 
 
-def run_subprocess(ncpu: int, bench_reps: int | None = None) -> dict:
+def run_subprocess(ncpu: int, bench_reps: int | None = None,
+                   retries: int = 1) -> dict:
     env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), FE_BENCH_HEADLINE="1")
     if bench_reps is not None:
         env["FE_BENCH_REPS"] = str(bench_reps)
-    p = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
-                       capture_output=True, text=True, check=True)
-    return json.loads(p.stdout.strip().splitlines()[-1])
+    for attempt in range(retries + 1):
+        p = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           env=env, capture_output=True, text=True)
+        if p.returncode == 0:
+            return json.loads(p.stdout.strip().splitlines()[-1])
+        # surface the child's stderr (a swallowed traceback cost a full
+        # measurement window once) and retry ONCE: Ray occasionally dies
+        # on startup/shutdown (raylet segfault) independent of the job
+        sys.stderr.write(
+            f"[bench] subprocess cpus={ncpu} attempt {attempt} exited "
+            f"{p.returncode}; stderr tail:\n{p.stderr[-4000:]}\n")
+        sys.stderr.flush()
+        if attempt < retries:
+            time.sleep(60)
+    raise RuntimeError(
+        f"bench subprocess (cpus={ncpu}) failed after {retries + 1} attempts")
 
 
 def run_scaling() -> dict:
