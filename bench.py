@@ -193,13 +193,19 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
 
 def run_subprocess(ncpu: int, bench_reps: int | None = None,
-                   retries: int = 1) -> dict:
+                   retries: int = 1, log_tag: str | None = None) -> dict:
     env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), FE_BENCH_HEADLINE="1")
     if bench_reps is not None:
         env["FE_BENCH_REPS"] = str(bench_reps)
     for attempt in range(retries + 1):
         p = subprocess.run([sys.executable, os.path.abspath(__file__)],
                            env=env, capture_output=True, text=True)
+        if log_tag and os.environ.get("FE_SCALE_SAVE_LOGS") == "1":
+            # keep each rep's stderr (FE_PHASE_TIMING lines) as evidence
+            d = os.environ.get("FE_SCALE_LOG_DIR", "/tmp/fe_scaling_logs")
+            os.makedirs(d, exist_ok=True)
+            with open(os.path.join(d, f"{log_tag}_a{attempt}.log"), "w") as f:
+                f.write(p.stderr)
         if p.returncode == 0:
             return json.loads(p.stdout.strip().splitlines()[-1])
         # surface the child's stderr (a swallowed traceback cost a full
@@ -238,7 +244,7 @@ def run_scaling() -> dict:
     # (loads 1.9-7.3 right after wide reps, 0.06-0.59 on cold starts).
     cooldown = int(os.environ.get("FE_SCALE_COOLDOWN", 240))
     first = True
-    for _ in range(reps):
+    for rep_i in range(reps):
         for side in (lo, hi):
             if not first:
                 # drain OUR OWN previous rep out of the 1-min load
@@ -247,7 +253,8 @@ def run_scaling() -> dict:
                 time.sleep(cooldown)
             first = False
             loads.append(round(os.getloadavg()[0], 2))
-            r = run_subprocess(side, bench_reps=inner)
+            r = run_subprocess(side, bench_reps=inner,
+                               log_tag=f"rep{rep_i}_cpu{side}")
             tputs[side].append(r["headline_rows_per_sec"])
             secs[side].append(r["queries"]["flagship_token_stack"])
             rows = r["headline_rows"]

@@ -5,8 +5,11 @@ Image decode is REAL for uncompressed 24-bit BMP (a pure-numpy parser —
 :func:`decode_bmp` / :func:`encode_bmp`; no imaging library needed), so
 the decode → feature-extract → resize path runs on genuine image bytes
 end-to-end and is oracle-checked on deterministic synthetic images
-(VERDICT r3 next-#6). Compressed formats (JPEG/PNG/...) still require an
-imaging library absent from this environment and raise
+(VERDICT r3 next-#6). Audio decode is likewise REAL for RIFF/WAVE PCM16
+(:func:`decode_wav` / :func:`encode_wav` — chunk-walking parser, pure
+numpy/struct) with per-clip features (RMS, zero crossings) checked
+against an arithmetic SQL oracle. Compressed formats (JPEG/PNG/MP3/...)
+still require codec libraries absent from this environment and raise
 NotImplementedError with a clear message; the deterministic fake-decode
 stub remains available (``use_stub_decode=True``) for payloads that are
 not images at all (the text-bytes shim).
@@ -271,6 +274,123 @@ def bmp_decode_pipeline(ds, *, id_col: str = "doc_id", h: int = 30,
         MediaFeatureExtractor, batch_format="pyarrow",
         batch_size=batch_size, concurrency=concurrency,
         fn_constructor_kwargs={"use_stub_decode": False})
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Mono int16 PCM → RIFF/WAVE bytes (canonical 44-byte header:
+    RIFF size + fmt chunk (PCM, 1 channel, 16 bit) + data chunk —
+    public format spec). Pure numpy/struct; no audio library."""
+    samples = np.asarray(samples, dtype="<i2")
+    data = samples.tobytes()
+    n = len(data)
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + n, b"WAVE", b"fmt ", 16, 1, 1,
+        sample_rate, sample_rate * 2, 2, 16, b"data", n)
+    return hdr + data
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM16 mono bytes → (int16 samples, sample_rate).
+
+    Walks the chunk list (tolerates extra chunks such as LIST/INFO
+    before or after data; chunk bodies are word-aligned per the spec)
+    instead of assuming a fixed 44-byte layout."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos = 12
+    sr: int | None = None
+    samples: np.ndarray | None = None
+    while pos + 8 <= len(payload):
+        cid, sz = struct.unpack_from("<4sI", payload, pos)
+        body = pos + 8
+        if cid == b"fmt ":
+            fmt, channels, sr = struct.unpack_from("<HHI", payload, body)
+            (bits,) = struct.unpack_from("<H", payload, body + 14)
+            if fmt != 1 or bits != 16 or channels != 1:
+                raise NotImplementedError(
+                    f"only mono 16-bit PCM WAV supported (fmt={fmt}, "
+                    f"channels={channels}, bits={bits})")
+        elif cid == b"data":
+            samples = np.frombuffer(payload, dtype="<i2", count=sz // 2,
+                                    offset=body)
+        pos = body + sz + (sz & 1)  # chunks are word-aligned
+    if sr is None or samples is None:
+        raise ValueError("WAV payload missing fmt or data chunk")
+    return samples, sr
+
+
+def synthetic_audio(media_id: int, n: int = 1000) -> np.ndarray:
+    """Deterministic test signal with a CLOSED-FORM sample distribution:
+    s[t] = ((13t + 17·media_id) mod 4001) − 2000 — so a SQL oracle can
+    arithmetically recompute the exact mean / RMS / zero-crossing count
+    a correct decode must reproduce (the audio analog of
+    :func:`synthetic_image`)."""
+    t = np.arange(n, dtype=np.int64)
+    return (((13 * t + 17 * int(media_id)) % 4001) - 2000).astype(np.int16)
+
+
+def attach_wav_payload(batch: pa.Table, *, id_col: str = "doc_id",
+                       n: int = 1000,
+                       sample_rate: int = 16000) -> pa.Table:
+    """REAL audio payloads: one deterministic synthetic WAV per row,
+    encoded to genuine RIFF PCM16 bytes."""
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    payloads = [encode_wav(synthetic_audio(int(i), n), sample_rate)
+                for i in ids]
+    pay = pa.array(payloads, type=pa.binary())
+    return pa.table({
+        "media_id": batch.column(id_col).cast(pa.int64()),
+        "payload": pay,
+        "media_type": pa.array(["audio"] * len(ids)),
+        "n_bytes": pa.compute.binary_length(pay).cast(pa.int64()),
+    })
+
+
+class AudioFeatureExtractor:
+    """Actor-pool audio stage: REAL WAV decode (pure numpy, above) →
+    per-clip features: sample count, rate, mean amplitude, RMS,
+    zero-crossing count. Signal math in int64/float64 (an int16 square
+    overflows — 2000² > 32767 — so samples are widened first)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        n_s, rates, means, rmss, zcs = [], [], [], [], []
+        for p in payloads:
+            s16, sr = decode_wav(p)
+            s = s16.astype(np.int64)
+            n = len(s)
+            n_s.append(n)
+            rates.append(sr)
+            means.append(float(s.mean()) if n else 0.0)
+            rmss.append(float(np.sqrt((s * s).mean())) if n else 0.0)
+            zcs.append(int(np.count_nonzero(s[:-1] * s[1:] < 0)))
+        out = batch.append_column("n_samples",
+                                  pa.array(n_s, type=pa.int64()))
+        out = out.append_column("sample_rate",
+                                pa.array(rates, type=pa.int64()))
+        out = out.append_column("amp_mean",
+                                pa.array(means, type=pa.float64()))
+        out = out.append_column("amp_rms",
+                                pa.array(rmss, type=pa.float64()))
+        return out.append_column("n_zero_cross",
+                                 pa.array(zcs, type=pa.int64()))
+
+
+def wav_decode_pipeline(ds, *, id_col: str = "doc_id", n: int = 1000,
+                        sample_rate: int = 16000, batch_size: int = 256,
+                        concurrency=(1, 4)):
+    """documents → real WAV payloads → actor-pool REAL decode + feature
+    extraction (no stub anywhere on this path — the audio counterpart
+    of :func:`bmp_decode_pipeline`)."""
+
+    def attach(batch: pa.Table) -> pa.Table:
+        return attach_wav_payload(batch, id_col=id_col, n=n,
+                                  sample_rate=sample_rate)
+
+    return ds.map_batches(attach, batch_format="pyarrow").map_batches(
+        AudioFeatureExtractor, batch_format="pyarrow",
+        batch_size=batch_size, concurrency=concurrency)
 
 
 def media_pipeline(ds, *, text_col: str = "text", id_col: str = "doc_id",

@@ -2505,6 +2505,97 @@ ORDER BY n DESC, term LIMIT 50
 """
 
 
+def q_dup_ngram_frac(sf_dir: str):
+    """Cross-document duplicate 3-gram fraction per document (the
+    Lee-et-al substring-dedup quality signal): one vocab-sized
+    grouped min/max exchange finds grams occurring in ≥2 distinct
+    docs; a measured-size plan switch then either broadcasts the dup
+    set or hash-joins it distributed (text.dup_ngram_stats)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return _select(text.dup_ngram_stats(docs),
+                   ["doc_id", "n_grams", "dup_grams", "dup_frac"])
+
+
+SQL_DUP_NGRAM = """
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+  FROM documents
+), g AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+  FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)
+), d AS (
+  SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+), c AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_grams
+  FROM g JOIN d USING (gram) GROUP BY doc_id
+)
+SELECT w.doc_id,
+       CAST(GREATEST(len(ws) - 2, 0) AS BIGINT) AS n_grams,
+       COALESCE(c.dup_grams, 0) AS dup_grams,
+       CASE WHEN len(ws) >= 3
+            THEN CAST(COALESCE(c.dup_grams, 0) AS DOUBLE) / (len(ws) - 2)
+            ELSE 0.0 END AS dup_frac
+FROM w LEFT JOIN c USING (doc_id)
+"""
+
+
+def q_top_term_per_lang(sf_dir: str):
+    """Per-language top term (grouped heavy-hitter argmax): map-side
+    combined (lang, term) partial counts — packed-code np.unique per
+    batch, one row per distinct pair per batch — then one grouped-sum
+    exchange and a grouped top-1 per lang (count desc, term asc
+    tiebreak). Composition of the vocab partials with grouped_top_k;
+    nothing vocabulary-sized on the driver."""
+    docs = _read(sf_dir, "documents", ["lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"lang": pa.array([], type=pa.string()),
+                          "term": pa.array([], type=pa.string()),
+                          "n": pa.array([], type=pa.int64())})
+        lowered = pc.utf8_lower(batch.column("text"))
+        flat, doc_of, _ = text._split_words(lowered, "[^a-z0-9]+")
+        if len(flat) == 0:
+            return empty
+        langs = batch.column("lang").to_numpy(
+            zero_copy_only=False)[doc_of]
+        lu, lcode = np.unique(langs, return_inverse=True)
+        tu, tcode = np.unique(flat, return_inverse=True)
+        base = np.int64(len(tu) + 1)
+        pairs, counts = np.unique(lcode.astype(np.int64) * base + tcode,
+                                  return_counts=True)
+        return pa.table({
+            "lang": pa.array(lu[(pairs // base)], type=pa.string()),
+            "term": pa.array(tu[(pairs % base)], type=pa.string()),
+            "n": pa.array(counts.astype(np.int64)),
+        })
+
+    partials = docs.map_batches(partial, batch_format="pyarrow")
+    counts = relational.grouped_agg(partials, ["lang", "term"],
+                                    {"n": ("n", "sum")})
+    top = relational.grouped_top_k(counts, ["lang"], 1,
+                                   by=["n", "term"],
+                                   descending=[True, False])
+    return _select(top, ["lang", "term", "n"])
+
+
+SQL_TOP_TERM_PER_LANG = """
+WITH w AS (
+  SELECT lang,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+), c AS (
+  SELECT lang, term, CAST(count(*) AS BIGINT) AS n
+  FROM w GROUP BY lang, term
+)
+SELECT lang, term, n FROM (
+  SELECT lang, term, n,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n DESC, term) AS rn
+  FROM c
+) WHERE rn = 1
+"""
+
+
 def q_word_rep_ratio(sf_dir: str):
     """Duplicate-word repetition ratio per document (Gopher-style
     quality signal): 1 - distinct/total words."""
@@ -2717,6 +2808,53 @@ SELECT doc_id AS media_id,
        CAST(30 AS BIGINT) AS height,
        CAST(30 AS BIGINT) AS width
 FROM px GROUP BY doc_id
+"""
+
+
+def q_multimodal_audio(sf_dir: str):
+    """REAL audio decode end to end (no stub on this path): one
+    deterministic synthetic WAV per document (closed-form samples,
+    ``multimodal.synthetic_audio``), encoded to genuine RIFF PCM16
+    bytes, decoded back by the pure-numpy chunk-walking parser in an
+    actor-pool stage. The SQL oracle recomputes mean/RMS/zero-crossing
+    arithmetically — a decoder that misreads the header, chunk sizes,
+    or sample width fails the hash."""
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    out = multimodal.wav_decode_pipeline(docs)
+
+    def final(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "n_bytes": batch.column("n_bytes"),
+            "n_samples": batch.column("n_samples"),
+            "sample_rate": batch.column("sample_rate"),
+            "amp_mean": pc.round(batch.column("amp_mean"), ndigits=6),
+            "amp_rms": pc.round(batch.column("amp_rms"), ndigits=6),
+            "n_zero_cross": batch.column("n_zero_cross"),
+        })
+
+    return out.map_batches(final, batch_format="pyarrow")
+
+
+SQL_MULTIMODAL_AUDIO = """
+WITH s AS (
+  SELECT d.doc_id, t.i,
+         ((13 * t.i + 17 * d.doc_id) % 4001) - 2000 AS v
+  FROM documents d, range(1000) t(i)
+), z AS (
+  SELECT doc_id, v,
+         lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+  FROM s
+)
+SELECT doc_id AS media_id,
+       CAST(2044 AS BIGINT) AS n_bytes,  -- 44-byte header + 1000 x 2-byte samples
+       CAST(1000 AS BIGINT) AS n_samples,
+       CAST(16000 AS BIGINT) AS sample_rate,
+       round(avg(v), 6) AS amp_mean,
+       round(sqrt(avg(CAST(v * v AS DOUBLE))), 6) AS amp_rms,
+       CAST(sum(CASE WHEN pv * v < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_zero_cross
+FROM z GROUP BY doc_id
 """
 
 
@@ -3233,6 +3371,45 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def q_percent_rank_events(sf_dir: str):
+    """rank / percent_rank / cume_dist per user over value — the
+    tie-sensitive half of the SQL window-rank family (rank = 1 +
+    #strictly-smaller, cume_dist = #≤ / n, percent_rank =
+    (rank-1)/(n-1)). Two vectorized searchsorted passes per group;
+    one hash exchange, same shape as q_rank_events_per_user."""
+    ev = _events(sf_dir, cols=("event_id", "user_id", "value"))
+
+    def ranks(group: pa.Table) -> pa.Table:
+        val = group.column("value").to_numpy(zero_copy_only=False)
+        n = len(val)
+        sv = np.sort(val)
+        rank = (np.searchsorted(sv, val, side="left") + 1).astype(np.int64)
+        cume = np.searchsorted(sv, val, side="right") / n
+        pr = ((rank - 1) / (n - 1) if n > 1
+              else np.zeros(n, dtype=np.float64))
+        return pa.table({
+            "event_id": group.column("event_id"),
+            "user_id": group.column("user_id"),
+            "value_rank": pa.array(rank),
+            "pct_rank": pa.array(pr, type=pa.float64()),
+            "cume_dist": pa.array(cume, type=pa.float64()),
+        })
+
+    out = ev.groupby("user_id").map_groups(ranks, batch_format="pyarrow")
+    return _select(out, ["event_id", "user_id", "value_rank", "pct_rank",
+                         "cume_dist"])
+
+
+SQL_PERCENT_RANK = """
+SELECT event_id, user_id,
+       rank() OVER w AS value_rank,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume_dist
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY value)
+"""
+
+
 def q_global_percentiles_price(sf_dir: str):
     """Exact global percentiles of l_extendedprice — the reference's
     sorted-index lookups (DETsort rank → value, jyh/result.py:10-31,55-58)
@@ -3737,6 +3914,58 @@ GROUP BY ROLLUP(event_type, date_trunc('day', ts))
 """
 
 
+def q_cube_event_totals(sf_dir: str):
+    """GROUP BY CUBE(event_type, day): the finest grouping set is built
+    by ONE exchange; the other three sets ((event_type), (day), ())
+    re-aggregate the tiny finest level — counts and integer micro-unit
+    sums are mergeable so the cascade is exact and the raw rows are
+    scanned exactly once (grouping-sets-from-finest plan; generalizes
+    q_rollup_event_totals)."""
+    ev = _events(sf_dir, cols=("ts", "event_type", "value"))
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "day": pc.floor_temporal(batch.column("ts"), unit="day"),
+            "__v": pa.array(np.rint(v * 1e6).astype(np.int64)),
+        })
+
+    base = relational.grouped_agg(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        ["event_type", "day"], {"__v": ("__v", "sum")}, count_alias="n")
+    base_tbl = pa.concat_tables(
+        b for b in base.iter_batches(batch_format="pyarrow"))
+    # cascade driver-side: |types × days| rows, a few hundred at any scale
+    df = base_tbl.to_pandas()
+    lvl_et = (df.groupby("event_type", as_index=False)
+              .agg(__v=("__v", "sum"), n=("n", "sum")))
+    lvl_et["day"] = pd.NaT
+    lvl_day = (df.groupby("day", as_index=False)
+               .agg(__v=("__v", "sum"), n=("n", "sum")))
+    lvl_day["event_type"] = None
+    lvl0 = pd.DataFrame({"event_type": [None], "day": [pd.NaT],
+                         "__v": [df["__v"].sum()], "n": [df["n"].sum()]})
+    allv = pd.concat([df, lvl_et, lvl_day, lvl0], ignore_index=True)
+    out = pa.table({
+        "event_type": pa.array(allv["event_type"], type=pa.string()),
+        "day": pa.Array.from_pandas(allv["day"]).cast(pa.timestamp("us")),
+        "n": pa.array(allv["n"].astype(np.int64)),
+        "value_sum": pa.array(allv["__v"].to_numpy().astype(np.float64)
+                              / 1e6),
+    })
+    return _rd().from_arrow(out)
+
+
+SQL_CUBE = """
+SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n,
+       CAST(sum(CAST(ROUND_EVEN(value * 1000000.0, 0) AS BIGINT))
+            AS DOUBLE) / 1000000.0 AS value_sum
+FROM events
+GROUP BY CUBE(event_type, date_trunc('day', ts))
+"""
+
+
 def q_unpivot_lineitem(sf_dir: str):
     """Unpivot/melt (wide → long): 4 measure columns become (measure,
     amount) rows. Map-only — each batch emits 4×rows with a tiled label
@@ -3881,6 +4110,8 @@ QUERIES = {
     "vocab_top_terms": q_vocab_top_terms,
     "bigram_top_terms": q_bigram_top_terms,
     "word_rep_ratio": q_word_rep_ratio,
+    "dup_ngram_frac": q_dup_ngram_frac,
+    "top_term_per_lang": q_top_term_per_lang,
     "doc_quality_flags": q_doc_quality_flags,
     "token_len_quantiles": q_token_len_quantiles,
     "one_hot_event_counts": q_one_hot_event_counts,
@@ -3901,6 +4132,7 @@ QUERIES = {
     "lang_id_quality": q_lang_id_quality,
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_audio": q_multimodal_audio,
     "knn_ivf": q_knn_ivf,
     "knn_ivf_index": q_knn_ivf_index,
     "embedding_near_dup": q_embedding_near_dup,
@@ -3917,6 +4149,8 @@ QUERIES = {
     "skew_join_events": q_skew_join_events,
     "bloom_filtered_revenue": q_bloom_filtered_revenue,
     "rollup_event_totals": q_rollup_event_totals,
+    "cube_event_totals": q_cube_event_totals,
+    "percent_rank_events": q_percent_rank_events,
     "unpivot_lineitem": q_unpivot_lineitem,
     "decayed_rolling": q_decayed_rolling,
     "validate_lineitem": q_validate_lineitem,
@@ -3980,6 +4214,7 @@ ORACLE_SQL = {
     "multimodal_meta": SQL_MULTIMODAL_META,
     "multimodal_frames": SQL_MULTIMODAL_FRAMES,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
+    "multimodal_audio": SQL_MULTIMODAL_AUDIO,
     "knn_cosine": SQL_KNN,
     "embedding_norms": SQL_EMB_NORMS,
     "det_curve": SQL_DET_CURVE,
@@ -3990,6 +4225,8 @@ ORACLE_SQL = {
     "vocab_top_terms": SQL_VOCAB_TOP,
     "bigram_top_terms": SQL_BIGRAM_TOP,
     "word_rep_ratio": SQL_REP_RATIO,
+    "dup_ngram_frac": SQL_DUP_NGRAM,
+    "top_term_per_lang": SQL_TOP_TERM_PER_LANG,
     "doc_quality_flags": SQL_QUALITY_FLAGS,
     "token_len_quantiles": SQL_TOKEN_LEN_QUANTILES,
     "one_hot_event_counts": SQL_ONE_HOT,
@@ -4008,6 +4245,8 @@ ORACLE_SQL = {
     "skew_join_events": SQL_SKEW_JOIN,
     "bloom_filtered_revenue": SQL_BLOOM_FILTERED_REVENUE,
     "rollup_event_totals": SQL_ROLLUP,
+    "cube_event_totals": SQL_CUBE,
+    "percent_rank_events": SQL_PERCENT_RANK,
     "unpivot_lineitem": SQL_UNPIVOT,
     "decayed_rolling": SQL_DECAYED,
     "validate_lineitem": SQL_VALIDATE,

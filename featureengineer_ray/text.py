@@ -572,6 +572,183 @@ def contamination_ratio(ds, bench_texts, *, id_col: str = "doc_id",
     return ds.map_batches(_contam, batch_format="pyarrow")
 
 
+def _gram_hashes(batch: pa.Table, text_col: str, n: int,
+                 pattern: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-batch word n-gram hashes: (gram uint64 hash per position,
+    doc-row index per position, n_grams per doc-row).
+
+    No gram STRING is ever materialized: each word is hashed once
+    (dictionary-encoded, vocab-sized Python work) and a gram hash is the
+    order-sensitive ``mix64`` fold of its n word hashes — one vectorized
+    pass over shifted views. Grams never cross document boundaries
+    (each row is one document, and the shift mask drops inter-doc
+    windows)."""
+    from .hashing import hash_str_array, mix64
+
+    lowered = pc.utf8_lower(batch.column(text_col))
+    flat, doc_of, _ = _split_words(lowered, pattern)
+    nrows = batch.num_rows
+    wc = np.bincount(doc_of, minlength=nrows) if len(flat) else np.zeros(
+        nrows, dtype=np.int64)
+    n_grams = np.maximum(0, wc - (n - 1)).astype(np.int64)
+    if len(flat) < n:
+        return (np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.int64),
+                n_grams)
+    wh = hash_str_array(flat)
+    m = len(wh) - (n - 1)
+    gh = mix64(*(wh[i:i + m] for i in range(n)))
+    mask = doc_of[:m] == doc_of[n - 1:]
+    return gh[mask], doc_of[:m][mask], n_grams
+
+
+def dup_ngram_stats(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                    n: int = 3, pattern: str = "[^a-z0-9]+",
+                    max_broadcast_grams: int = 2_000_000):
+    """Cross-document duplicate n-gram fraction per document — the
+    substring-level dedup signal of Lee et al., "Deduplicating Training
+    Data Makes Language Models Better" (2022), as a quality column:
+    for each document, the fraction of its word n-gram positions whose
+    n-gram also occurs in at least one OTHER document.
+
+    Plan (reference analog: featureEngineer's corpus-wide duplicate
+    detection is per-shard hash sets merged under a Manager lock; here
+    the dup set is built by one vocab-sized exchange):
+
+    1. map: per batch, per distinct gram → (gram hash, min/max doc-id
+       hash) partial — O(unique grams × batches) rows, never O(words).
+    2. one grouped min/max shuffle; a gram is a cross-doc duplicate iff
+       global min(doc) != max(doc) (two distinct docs under any total
+       order; a multi-occurrence gram inside ONE doc is not a dup).
+    3. plan switch by MEASURED dup-gram count (the tfidf_top_term
+       pattern): small dup sets broadcast once via ``ray.put`` and the
+       corpus streams through one vectorized searchsorted pass; larger
+       sets take the fully distributed path — per-(doc, gram) rows
+       hash-join the dup table on gram, grouped per-doc sums, one
+       left join back onto per-doc totals. Nothing gram-count-sized
+       reaches the driver on that path.
+
+    Hashing is 64-bit (word-hash fold); a collision can merge two grams
+    (P ≈ G²/2⁶⁴ — negligible below ~10¹² distinct grams, and only
+    perturbs a fraction, never correctness of the pipeline)."""
+    import ray
+
+    from . import relational
+    from .partition import hash_shuffle_width
+
+    def partial(batch: pa.Table) -> pa.Table:
+        gh, gdoc, _ = _gram_hashes(batch, text_col, n, pattern)
+        if len(gh) == 0:
+            return pa.table({"gram": pa.array([], type=pa.int64()),
+                             "dmin": pa.array([], type=pa.int64()),
+                             "dmax": pa.array([], type=pa.int64())})
+        from .hashing import hash_str_array
+        dh = hash_str_array(
+            batch.column(id_col).to_numpy(zero_copy_only=False)
+        ).view(np.int64)
+        dpos = dh[gdoc]
+        order = np.argsort(gh, kind="stable")
+        gs = gh[order]
+        dd = dpos[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], gs[1:] != gs[:-1])))
+        return pa.table({
+            "gram": pa.array(gs[starts].view(np.int64)),
+            "dmin": pa.array(np.minimum.reduceat(dd, starts)),
+            "dmax": pa.array(np.maximum.reduceat(dd, starts)),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    agg = relational.grouped_agg(partials, ["gram"],
+                                 {"dmin": ("dmin", "min"),
+                                  "dmax": ("dmax", "max")})
+
+    def only_dup(t: pa.Table) -> pa.Table:
+        return t.filter(pc.not_equal(t.column("dmin"),
+                                     t.column("dmax"))).select(["gram"])
+
+    dup_ds = agg.map_batches(only_dup, batch_format="pyarrow").materialize()
+    n_dup = dup_ds.count()
+
+    if n_dup <= max_broadcast_grams:
+        dup_sorted = np.sort(
+            dup_ds.to_pandas()["gram"].to_numpy().view(np.uint64))
+        ref = ray.put(dup_sorted)
+
+        def stats(batch: pa.Table) -> pa.Table:
+            dup_arr = ray.get(ref)
+            gh, gdoc, n_grams = _gram_hashes(batch, text_col, n, pattern)
+            if len(gh) and len(dup_arr):
+                pos = np.minimum(np.searchsorted(dup_arr, gh),
+                                 len(dup_arr) - 1)
+                hit = dup_arr[pos] == gh
+            else:
+                hit = np.zeros(len(gh), dtype=bool)
+            dg = np.bincount(gdoc, weights=hit.astype(np.float64),
+                             minlength=batch.num_rows).astype(np.int64)
+            frac = np.where(n_grams > 0,
+                            dg / np.maximum(1, n_grams), 0.0)
+            return pa.table({
+                id_col: batch.column(id_col),
+                "n_grams": pa.array(n_grams),
+                "dup_grams": pa.array(dg),
+                "dup_frac": pa.array(frac, type=pa.float64()),
+            })
+
+        return ds.map_batches(stats, batch_format="pyarrow")
+
+    # distributed plan: (doc, gram, npos) ⋈ dup grams, per-doc sums,
+    # left join onto per-doc totals — no gram-sized driver pull
+    def _doc_gram_rows(batch: pa.Table) -> pa.Table:
+        gh, gdoc, _ = _gram_hashes(batch, text_col, n, pattern)
+        if len(gh) == 0:
+            return pa.table({
+                id_col: batch.column(id_col).slice(0, 0),
+                "gram": pa.array([], type=pa.int64()),
+                "npos": pa.array([], type=pa.int64())})
+        order = np.lexsort((gh, gdoc))
+        gs = gh[order]
+        dd = gdoc[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], (gs[1:] != gs[:-1]) | (dd[1:] != dd[:-1]))))
+        npos = np.diff(np.concatenate((starts, [len(gs)])))
+        return pa.table({
+            id_col: batch.column(id_col).take(pa.array(dd[starts])),
+            "gram": pa.array(gs[starts].view(np.int64)),
+            "npos": pa.array(npos.astype(np.int64)),
+        })
+
+    def _doc_totals(batch: pa.Table) -> pa.Table:
+        _, _, n_grams = _gram_hashes(batch, text_col, n, pattern)
+        return pa.table({id_col: batch.column(id_col),
+                         "n_grams": pa.array(n_grams)})
+
+    dg_rows = ds.map_batches(_doc_gram_rows, batch_format="pyarrow")
+    n_docs = ds.count()
+    P = hash_shuffle_width(max(n_docs, 1) * 64, 1_000_000)
+    joined = dg_rows.join(dup_ds, join_type="inner", num_partitions=P,
+                          on=("gram",))
+    per_doc = relational.grouped_agg(joined, [id_col],
+                                     {"dup_grams": ("npos", "sum")})
+    totals = ds.map_batches(_doc_totals, batch_format="pyarrow")
+    out = totals.join(per_doc, join_type="left_outer",
+                      num_partitions=hash_shuffle_width(n_docs, 1_000_000),
+                      on=(id_col,))
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        ng = batch.column("n_grams").to_numpy(zero_copy_only=False)
+        dg = batch.column("dup_grams").to_numpy(zero_copy_only=False)
+        dg = np.nan_to_num(dg.astype(np.float64), nan=0.0).astype(np.int64)
+        frac = np.where(ng > 0, dg / np.maximum(1, ng), 0.0)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_grams": pa.array(ng.astype(np.int64)),
+            "dup_grams": pa.array(dg),
+            "dup_frac": pa.array(frac, type=pa.float64()),
+        })
+
+    return out.map_batches(_finish, batch_format="pyarrow")
+
+
 def clean_text_batch(batch: pa.Table, *, text_col: str = "text",
                      deny_terms: tuple[str, ...] = ("value", "hash"),
                      mask: str = "<MASK>") -> pa.Table:

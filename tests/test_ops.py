@@ -735,6 +735,67 @@ def test_tfidf_distributed_join_equals_broadcast(rd):
     pd.testing.assert_frame_equal(b, d[b.columns])
 
 
+def _naive_dup_ngram(texts, n=3):
+    import re
+
+    docs = [[w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+            for t in texts]
+    grams = [[tuple(d[i:i + n]) for i in range(len(d) - n + 1)]
+             for d in docs]
+    from collections import defaultdict
+    by_gram = defaultdict(set)
+    for i, gs in enumerate(grams):
+        for g in gs:
+            by_gram[g].add(i)
+    dup = {g for g, ds_ in by_gram.items() if len(ds_) >= 2}
+    out = []
+    for gs in grams:
+        ng = len(gs)
+        dg = sum(1 for g in gs if g in dup)
+        out.append((ng, dg, dg / ng if ng else 0.0))
+    return out
+
+
+def test_dup_ngram_stats_matches_naive(rd):
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "a quick brown fox ran away from the lazy dog",   # shares grams
+        "completely different words entirely here now",
+        "the quick brown fox jumps again today",          # shares prefix
+        "xy",                                             # < 3 words
+        "",                                               # empty
+    ]
+    t = pa.table({"doc_id": pa.array([f"d{i}" for i in range(len(texts))]),
+                  "text": pa.array(texts)})
+    got = {r["doc_id"]: r for r in text.dup_ngram_stats(
+        rd.from_arrow(t).repartition(3)).take_all()}
+    want = _naive_dup_ngram(texts)
+    assert len(got) == len(texts)
+    for i, (ng, dg, frac) in enumerate(want):
+        r = got[f"d{i}"]
+        assert r["n_grams"] == ng, (i, r)
+        assert r["dup_grams"] == dg, (i, r)
+        assert r["dup_frac"] == pytest.approx(frac, abs=1e-12)
+
+
+def test_dup_ngram_distributed_equals_broadcast(rd):
+    """With the broadcast cap forced to 0, dup_ngram_stats takes the
+    hash-joined distributed plan (no gram-sized driver pull) and must
+    equal the broadcast plan exactly."""
+    rng = np.random.default_rng(7)
+    words = [f"w{i:02d}" for i in range(40)]
+    texts = [" ".join(rng.choice(words, size=rng.integers(0, 20)))
+             for _ in range(150)]
+    t = pa.table({"doc_id": pa.array(range(150), type=pa.int64()),
+                  "text": pa.array(texts)})
+    b = text.dup_ngram_stats(rd.from_arrow(t).repartition(5)).to_pandas()
+    d = text.dup_ngram_stats(rd.from_arrow(t).repartition(5),
+                             max_broadcast_grams=0).to_pandas()
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    d = d.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(b, d[b.columns])
+
+
 def test_doc_frequencies_counts_docs_not_occurrences(rd):
     texts = ["a a a b", "a c", "b b"]
     t = pa.table({"doc_id": pa.array(range(3), type=pa.int64()),
@@ -1070,6 +1131,59 @@ def test_bmp_roundtrip_and_oracle_mean():
         exp = (((3 * (i // 30) + 7 * (i % 30) + 11 * mid) % 256)
                .astype(np.float64).mean())
         assert img.astype(np.float64).mean() == exp
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    """Pure-numpy WAV codec: encode → decode is identity (samples and
+    rate) for arbitrary int16 signals incl. empty and 1-sample clips;
+    the chunk-walking parser survives an extra LIST chunk (with odd
+    size, exercising word alignment) inserted between fmt and data."""
+    import struct as _struct
+
+    rng = np.random.default_rng(11)
+    for n, sr in [(1000, 16000), (1, 8000), (0, 44100), (777, 22050)]:
+        s = rng.integers(-32768, 32768, size=n).astype(np.int16)
+        back, got_sr = multimodal.decode_wav(multimodal.encode_wav(s, sr))
+        np.testing.assert_array_equal(back, s)
+        assert got_sr == sr
+    # insert a foreign odd-sized chunk between fmt and data
+    s = multimodal.synthetic_audio(5, n=50)
+    raw = multimodal.encode_wav(s, 16000)
+    extra = _struct.pack("<4sI", b"LIST", 3) + b"abc" + b"\0"  # pad byte
+    hacked = raw[:36] + extra + raw[36:]
+    hacked = hacked[:4] + _struct.pack(
+        "<I", len(hacked) - 8) + hacked[8:]
+    back, got_sr = multimodal.decode_wav(hacked)
+    np.testing.assert_array_equal(back, s)
+    assert got_sr == 16000
+    # closed-form stats the SQL oracle recomputes
+    t = np.arange(1000, dtype=np.int64)
+    for mid in (0, 3, 9999):
+        v = ((13 * t + 17 * mid) % 4001) - 2000
+        got = multimodal.synthetic_audio(mid).astype(np.int64)
+        np.testing.assert_array_equal(got, v)
+
+
+def test_audio_extractor_real_decode(rd):
+    """AudioFeatureExtractor decodes genuine WAV bytes through the
+    actor-pool pipeline; features match the closed-form signal."""
+    import ray.data as _rd
+
+    docs = _rd.from_arrow(pa.table({"doc_id": pa.array(
+        np.arange(15, dtype=np.int64))}))
+    out = multimodal.wav_decode_pipeline(docs, concurrency=(1, 2)
+                                         ).to_pandas()
+    assert len(out) == 15
+    assert (out["n_samples"] == 1000).all()
+    assert (out["sample_rate"] == 16000).all()
+    t = np.arange(1000, dtype=np.int64)
+    for _, row in out.head(5).iterrows():
+        v = ((13 * t + 17 * int(row["media_id"])) % 4001) - 2000
+        assert row["amp_mean"] == pytest.approx(v.mean(), abs=1e-9)
+        assert row["amp_rms"] == pytest.approx(
+            np.sqrt((v * v).mean()), abs=1e-9)
+        assert row["n_zero_cross"] == int(
+            np.count_nonzero(v[:-1] * v[1:] < 0))
 
 
 def test_media_extractor_real_decode(rd):
