@@ -98,8 +98,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     # shuffle multi-GB map blocks at 24M+ rows and the merge stage
     # anti-scales (measured: 8-cpu 24M sort 723s with 16 blocks).
     n_blocks = max(2 * num_cpus, BENCH_ROWS // 250_000)
+    # columns= (not select_columns): Ray 2.49 has no projection pushdown,
+    # so the planning scan would otherwise decode the full token payload
     plan = plan_partitions(
-        rd.read_parquet(paths["events"], override_num_blocks=n_blocks),
+        rd.read_parquet(paths["events"], columns=["doc_id", "ts"],
+                        override_num_blocks=n_blocks),
         "doc_id", "ts", split_hot_keys=True)
     reps = int(os.environ.get("FE_BENCH_REPS", 3))
     times = []

@@ -1250,7 +1250,27 @@ def feature_stack_late(
         raise ValueError("feature_stack_late requires a tiebreak column")
     narrow_cols = [c for c in _pa_schema(events).names
                    if c not in payload_cols]
-    narrow = events.select_columns(narrow_cols)
+    if payload_paths is not None:
+        # Ray Data (2.49) has NO projection-pushdown rule: ReadParquet
+        # followed by Project still DECODES every payload byte and then
+        # drops it — measured at 96M rows, the "narrow" pre-pass and
+        # as-of scans were each decoding the full 26 GB token corpus,
+        # a width-independent floor that capped 8→32 scaling at ~0.5.
+        # When the caller hands us the parquet files, re-read the
+        # narrow columns with a real pruned scan (row groups of the
+        # payload column are never touched).
+        import pyarrow.parquet as _pq2
+
+        import ray.data as _rd
+
+        total_rows = sum(_pq2.ParquetFile(p).metadata.num_rows
+                         for p in payload_paths)
+        n_cpu = int(ray.cluster_resources().get("CPU", 8))
+        n_blocks = max(2 * n_cpu, total_rows // 250_000)
+        narrow = _rd.read_parquet(payload_paths, columns=narrow_cols,
+                                  override_num_blocks=n_blocks)
+    else:
+        narrow = events.select_columns(narrow_cols)
     plan = _ensure_plan(narrow, spec.key, spec.ts, plan, **plan_kwargs)
     _mark("plan")
 
@@ -1293,8 +1313,13 @@ def feature_stack_late(
         return pa.table({"words": pa.array([part.words.tobytes()],
                                            type=pa.large_binary())})
 
+    # batch_size 4M, not 1M: every partial allocates a full bitmap
+    # (~2 B × matched rows — 48 MB at 24M rows), so partial COUNT is the
+    # phase's memory-bandwidth bill; 4× fewer partials measured the
+    # 32-wide phase from anti-scaling (6.5→21.9 s) back under the 8-wide
+    # time. Narrow rows keep the 4M batch ≪ worker heap.
     for b in mat.select_columns([spec.key, spec.tiebreak]).map_batches(
-            bloom_partial, batch_size=1 << 20,
+            bloom_partial, batch_size=1 << 22,
             batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
         for i in range(b.num_rows):
             buf = b.column("words")[i].as_py()
