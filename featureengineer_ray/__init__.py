@@ -20,6 +20,7 @@ __version__ = "0.2.0"
 #   relational  — broadcast_join, semi_join, grouped_agg, grouped_top_k,
 #                 top_k, global_rank, global_cumsum (distributed prefix scan)
 #   dedup       — exact_dedup, minhash_*, verify_jaccard_distributed,
+#                 ngram_jaccard_pairs, connected_components,
 #                 simhash64, simhash_near_dup_pairs, embedding_near_dup_pairs
 #   knn         — brute_force_topk, ivf_topk, ivf_build, ivf_search
 #   vecops      — project, whiten, vector_moments, length_norm,
@@ -28,5 +29,6 @@ __version__ = "0.2.0"
 #   iterfit     — kmeans_fit, kmeans_assign (EM lifecycle + checkpoints)
 #   text        — Tokenizer, LangIdQuality, doc_stats_batch,
 #                 fingerprint_batch, clean_text_batch, bigram_frequencies
-#   multimodal  — media_pipeline, MediaResizer, FrameSampler
+#   multimodal  — media_pipeline, MediaResizer, FrameSampler,
+#                 bmp/wav/y4m codecs + real-decode pipelines
 #   lineage     — write_feature_stack (resumable partitioned sink)

@@ -8,7 +8,10 @@ end-to-end and is oracle-checked on deterministic synthetic images
 (VERDICT r3 next-#6). Audio decode is likewise REAL for RIFF/WAVE PCM16
 (:func:`decode_wav` / :func:`encode_wav` — chunk-walking parser, pure
 numpy/struct) with per-clip features (RMS, zero crossings) checked
-against an arithmetic SQL oracle. Compressed formats (JPEG/PNG/MP3/...)
+against an arithmetic SQL oracle. Video decode is REAL for YUV4MPEG2
+mono (:func:`decode_y4m` / :func:`encode_y4m` — tagged-header stream
+parser) with frame-sampled per-frame means likewise oracle-checked.
+Compressed formats (JPEG/PNG/MP3/H.264/...)
 still require codec libraries absent from this environment and raise
 NotImplementedError with a clear message; the deterministic fake-decode
 stub remains available (``use_stub_decode=True``) for payloads that are
@@ -391,6 +394,156 @@ def wav_decode_pipeline(ds, *, id_col: str = "doc_id", n: int = 1000,
     return ds.map_batches(attach, batch_format="pyarrow").map_batches(
         AudioFeatureExtractor, batch_format="pyarrow",
         batch_size=batch_size, concurrency=concurrency)
+
+
+def encode_y4m(frames: np.ndarray, fps: tuple[int, int] = (25, 1)) -> bytes:
+    """(n_frames, h, w) uint8 grayscale → YUV4MPEG2 bytes with the
+    ``Cmono`` colorspace (one luma plane per frame — public format
+    spec, the uncompressed interchange format of the mjpegtools
+    suite). Pure numpy; no video library."""
+    frames = np.asarray(frames, dtype=np.uint8)
+    n, h, w = frames.shape
+    hdr = (f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 Cmono\n"
+           ).encode()
+    marker = b"FRAME\n"
+    return hdr + b"".join(marker + frames[i].tobytes() for i in range(n))
+
+
+def decode_y4m(payload: bytes) -> tuple[np.ndarray, tuple[int, int]]:
+    """YUV4MPEG2 mono bytes → ((n_frames, h, w) uint8, (fps_n, fps_d)).
+
+    Parses the tagged stream header (W/H/F/C parameters in any order,
+    unknown tags such as X metadata skipped) and walks FRAME markers,
+    tolerating per-frame parameter strings between ``FRAME`` and the
+    newline as the spec allows."""
+    eol = payload.find(b"\n")
+    if eol < 0 or not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    w = h = None
+    fps = (25, 1)
+    cs = "420jpeg"  # spec default when C is absent
+    for tok in payload[:eol].split(b" ")[1:]:
+        if not tok:
+            continue
+        tag, val = chr(tok[0]), tok[1:].decode()
+        if tag == "W":
+            w = int(val)
+        elif tag == "H":
+            h = int(val)
+        elif tag == "F":
+            num, den = val.split(":")
+            fps = (int(num), int(den))
+        elif tag == "C":
+            cs = val
+    if w is None or h is None:
+        raise ValueError("Y4M header missing W or H")
+    if cs != "mono":
+        raise NotImplementedError(
+            f"only Cmono Y4M supported (colorspace={cs}: chroma planes "
+            "need no decoder, but nothing here emits them)")
+    fsz = h * w
+    frames = []
+    pos = eol + 1
+    while pos < len(payload):
+        if payload[pos:pos + 5] != b"FRAME":
+            raise ValueError(f"bad FRAME marker at byte {pos}")
+        nl = payload.find(b"\n", pos)
+        if nl < 0 or nl + 1 + fsz > len(payload):
+            raise ValueError("truncated Y4M frame")
+        frames.append(np.frombuffer(payload, dtype=np.uint8, count=fsz,
+                                    offset=nl + 1).reshape(h, w))
+        pos = nl + 1 + fsz
+    out = (np.stack(frames) if frames
+           else np.zeros((0, h, w), dtype=np.uint8))
+    return out, fps
+
+
+def synthetic_video(media_id: int, n_frames: int = 12, h: int = 16,
+                    w: int = 16) -> np.ndarray:
+    """Deterministic test clip with a CLOSED-FORM pixel distribution:
+    px[f, y, x] = (5f + 3y + 7x + 11·media_id) mod 256 — the video
+    analog of :func:`synthetic_image`; a SQL oracle recomputes each
+    frame's exact mean (h·w = 256 is a power of two, so the float64
+    mean is exact)."""
+    f = np.arange(n_frames, dtype=np.int64)[:, None, None]
+    y = np.arange(h, dtype=np.int64)[None, :, None]
+    x = np.arange(w, dtype=np.int64)[None, None, :]
+    return ((5 * f + 3 * y + 7 * x + 11 * int(media_id)) % 256
+            ).astype(np.uint8)
+
+
+def attach_y4m_payload(batch: pa.Table, *, id_col: str = "doc_id",
+                       n_frames: int = 12, h: int = 16,
+                       w: int = 16) -> pa.Table:
+    """REAL video payloads: one deterministic synthetic clip per row,
+    encoded to genuine YUV4MPEG2 bytes."""
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    payloads = [encode_y4m(synthetic_video(int(i), n_frames, h, w))
+                for i in ids]
+    pay = pa.array(payloads, type=pa.binary())
+    return pa.table({
+        "media_id": batch.column(id_col).cast(pa.int64()),
+        "payload": pay,
+        "media_type": pa.array(["video"] * len(ids)),
+        "n_bytes": pa.compute.binary_length(pay).cast(pa.int64()),
+    })
+
+
+class VideoFrameSampler:
+    """Actor-pool video stage: REAL Y4M decode (pure numpy, above) →
+    one OUTPUT ROW PER SAMPLED FRAME (explode), every ``stride``-th
+    frame — frame_idx, total frame count, frame dims, exact frame mean.
+    The real-decode counterpart of the :class:`FrameSampler` stub."""
+
+    def __init__(self, stride: int = 4):
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_numpy(zero_copy_only=False)
+        payloads = batch.column("payload").to_pylist()
+        out_id, out_fi, out_n, out_h, out_w, out_mean = ([], [], [], [],
+                                                         [], [])
+        for mid, p in zip(ids, payloads):
+            clip, _fps = decode_y4m(p)
+            n, h, w = clip.shape
+            sampled = clip[::self.stride]
+            means = sampled.reshape(len(sampled), -1).astype(
+                np.float64).mean(axis=1)
+            for j, m in enumerate(means):
+                out_id.append(int(mid))
+                out_fi.append(j * self.stride)
+                out_n.append(n)
+                out_h.append(h)
+                out_w.append(w)
+                out_mean.append(float(m))
+        return pa.table({
+            "media_id": pa.array(out_id, type=pa.int64()),
+            "frame_idx": pa.array(out_fi, type=pa.int64()),
+            "n_frames": pa.array(out_n, type=pa.int64()),
+            "height": pa.array(out_h, type=pa.int64()),
+            "width": pa.array(out_w, type=pa.int64()),
+            "frame_mean": pa.array(out_mean, type=pa.float64()),
+        })
+
+
+def y4m_decode_pipeline(ds, *, id_col: str = "doc_id",
+                        n_frames: int = 12, h: int = 16, w: int = 16,
+                        stride: int = 4, batch_size: int = 128,
+                        concurrency=(1, 4)):
+    """documents → real Y4M payloads → actor-pool REAL decode +
+    frame-sampled explode (no stub anywhere on this path — the video
+    counterpart of :func:`bmp_decode_pipeline` /
+    :func:`wav_decode_pipeline`). batch_size stays small: a clip is
+    n_frames·h·w bytes and the explode multiplies rows."""
+
+    def attach(batch: pa.Table) -> pa.Table:
+        return attach_y4m_payload(batch, id_col=id_col,
+                                  n_frames=n_frames, h=h, w=w)
+
+    return ds.map_batches(attach, batch_format="pyarrow").map_batches(
+        VideoFrameSampler, batch_format="pyarrow",
+        batch_size=batch_size, concurrency=concurrency,
+        fn_constructor_kwargs={"stride": stride})
 
 
 def media_pipeline(ds, *, text_col: str = "text", id_col: str = "doc_id",

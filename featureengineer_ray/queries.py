@@ -2858,6 +2858,157 @@ FROM z GROUP BY doc_id
 """
 
 
+def q_multimodal_video(sf_dir: str):
+    """REAL video decode end to end (no stub on this path): one
+    deterministic synthetic 12-frame 16×16 clip per document
+    (closed-form pixels, ``multimodal.synthetic_video``), encoded to
+    genuine YUV4MPEG2 mono bytes, decoded back by the pure-numpy
+    tagged-header parser in an actor-pool stage that explodes every
+    4th frame to a row. The SQL oracle recomputes each sampled frame's
+    exact mean arithmetically (h·w = 256 → the float64 mean is exact) —
+    a parser that misreads W/H, the FRAME markers, or frame strides
+    fails the hash."""
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    out = multimodal.y4m_decode_pipeline(docs, stride=4)
+
+    def final(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "frame_idx": batch.column("frame_idx"),
+            "n_frames": batch.column("n_frames"),
+            "height": batch.column("height"),
+            "width": batch.column("width"),
+            "frame_mean": pc.round(batch.column("frame_mean"), ndigits=6),
+        })
+
+    return out.map_batches(final, batch_format="pyarrow")
+
+
+SQL_MULTIMODAL_VIDEO = """
+SELECT d.doc_id AS media_id,
+       f.f AS frame_idx,
+       CAST(12 AS BIGINT) AS n_frames,
+       CAST(16 AS BIGINT) AS height,
+       CAST(16 AS BIGINT) AS width,
+       round(avg(CAST((5 * f.f + 3 * y.y + 7 * x.x + 11 * d.doc_id)
+                      % 256 AS DOUBLE)), 6) AS frame_mean
+FROM documents d,
+     (VALUES (0), (4), (8)) AS f(f),
+     range(16) y(y), range(16) x(x)
+GROUP BY d.doc_id, f.f
+"""
+
+
+def q_ngram_jaccard(sf_dir: str):
+    """Exact word 3-gram Jaccard near-dup pairs: rare-gram candidates
+    (global gram df in [2, 5] — bounded pairs per gram, no LSH cap)
+    + the distributed exact verify over FULL gram-hash sets. Fully
+    SQL-expressible, so this dedup variant is hash-checked end to end
+    (candidate rule AND the Jaccard arithmetic)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = dd.ngram_jaccard_pairs(docs, id_col="doc_id",
+                                    text_col="text", n=3, max_df=5,
+                                    threshold=0.6)
+    out = out.copy()
+    out["jaccard"] = out["jaccard"].round(6)
+    return out
+
+
+SQL_NGRAM_JACCARD = """
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+  FROM documents
+), g AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+  FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)
+), rare AS (
+  SELECT gram FROM g GROUP BY gram HAVING COUNT(*) BETWEEN 2 AND 5
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM g a JOIN rare USING (gram) JOIN g b USING (gram)
+  WHERE a.doc_id < b.doc_id
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS nset FROM g GROUP BY doc_id
+), inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS i
+  FROM cand c
+  JOIN g a ON a.doc_id = c.id_a
+  JOIN g b ON b.doc_id = c.id_b AND b.gram = a.gram
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b,
+       round(CAST(i.i AS DOUBLE) / (sa.nset + sb.nset - i.i), 6)
+         AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE CAST(i.i AS DOUBLE) / (sa.nset + sb.nset - i.i) >= 0.6
+"""
+
+
+def q_dedup_clusters_cc(sf_dir: str):
+    """Distributed near-dup cluster resolution, nothing pair-sized on
+    the driver: word-3-gram Jaccard pairs (rare-gram candidates +
+    distributed exact verify, returned AS A DATASET) → iterated
+    min-label propagation (``dedup.connected_components``) → one
+    (doc_id, component=min id in component) row per clustered doc.
+    The SQL oracle closes the same pair graph with a recursive CTE —
+    a propagation bug (wrong min, missed round, dropped edge) fails
+    the hash."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = dd.ngram_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", n=3, max_df=5,
+        threshold=0.6, as_dataset=True)
+    lab = dd.connected_components(pairs)
+
+    def final(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b.column("node"),
+                         "component": b.column("label")})
+
+    return lab.map_batches(final, batch_format="pyarrow")
+
+
+SQL_DEDUP_CLUSTERS_CC = """
+WITH RECURSIVE w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+  FROM documents
+), g AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+  FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)
+), rare AS (
+  SELECT gram FROM g GROUP BY gram HAVING COUNT(*) BETWEEN 2 AND 5
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM g a JOIN rare USING (gram) JOIN g b USING (gram)
+  WHERE a.doc_id < b.doc_id
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS nset FROM g GROUP BY doc_id
+), inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS i
+  FROM cand c
+  JOIN g a ON a.doc_id = c.id_a
+  JOIN g b ON b.doc_id = c.id_b AND b.gram = a.gram
+  GROUP BY c.id_a, c.id_b
+), pairs AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+  WHERE CAST(i.i AS DOUBLE) / (sa.nset + sb.nset - i.i) >= 0.6
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+  WHERE e.b <> r.a
+)
+SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+FROM reach GROUP BY a
+"""
+
+
 def q_knn_ivf(sf_dir: str):
     import pyarrow.parquet as pq
 
@@ -3076,6 +3227,201 @@ SELECT CASE WHEN bucket < 800 THEN 'train'
        source, count(*) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM b GROUP BY 1, 2
+"""
+
+
+def q_weighted_sample(sf_dir: str):
+    """Deterministic weighted sampling WITHOUT replacement, k=5 per
+    source (priority sampling, Duffield–Lund–Thorup): priority =
+    weight / u with u a content-independent id-hash uniform — top-k by
+    priority is a weighted sample, reproducible across re-runs and
+    cluster sizes. u = (knuth_hash + 0.5) / 2³² and one IEEE division
+    keep every arithmetic step bit-identical between numpy and the SQL
+    oracle (no transcendentals), so selection is hash-checked exactly.
+    One grouped-top-k exchange; weights never leave their rows."""
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def pri(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        h = _knuth_bucket(ids, 1 << 32, salt=13).astype(np.float64)
+        u = (h + 0.5) / float(1 << 32)
+        w = batch.column("n_chars").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        return batch.append_column("__pri",
+                                   pa.array(w / u, type=pa.float64()))
+
+    top = relational.grouped_top_k(
+        docs.map_batches(pri, batch_format="pyarrow"), ["source"], 5,
+        by=["__pri", "doc_id"], descending=[True, False])
+    return _select(top, ["source", "doc_id", "n_chars"])
+
+
+SQL_WEIGHTED_SAMPLE = f"""
+WITH p AS (
+  SELECT source, doc_id, n_chars,
+         CAST(n_chars AS DOUBLE)
+           / ((({_sql_bucket('doc_id', 1 << 32, 13)}) + 0.5)
+              / 4294967296.0) AS pri
+  FROM documents
+), r AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY pri DESC, doc_id) AS rn
+  FROM p
+)
+SELECT source, doc_id, n_chars FROM r WHERE rn <= 5
+"""
+
+
+def q_grouped_skew_kurt(sf_dir: str):
+    """Grouped higher central moments (skewness + excess kurtosis) from
+    ONE map-side-combined power-sum exchange. Quantities are integral,
+    so the four power sums are int64-EXACT and order-independent
+    (x ≤ 50 → Σx⁴ < 2⁶³ below ~10¹² rows); the finalize performs the
+    same IEEE double expression the oracle spells out, and the outputs
+    are scale-free O(1) numbers, so round-6 hashing is stable at any
+    parallelism."""
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        x = np.rint(batch.column("l_quantity")
+                    .to_numpy(zero_copy_only=False)).astype(np.int64)
+        return pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "x": pa.array(x), "x2": pa.array(x * x),
+            "x3": pa.array(x * x * x), "x4": pa.array(x * x * x * x),
+        })
+
+    agg = relational.grouped_agg(
+        li.map_batches(prep, batch_format="pyarrow"), ["l_returnflag"],
+        {"__s1": ("x", "sum"), "__s2": ("x2", "sum"),
+         "__s3": ("x3", "sum"), "__s4": ("x4", "sum")},
+        count_alias="n_rows")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        f = np.float64
+        n = batch.column("n_rows").to_numpy(zero_copy_only=False).astype(f)
+        e1 = batch.column("__s1").to_numpy(zero_copy_only=False).astype(f) / n
+        e2 = batch.column("__s2").to_numpy(zero_copy_only=False).astype(f) / n
+        e3 = batch.column("__s3").to_numpy(zero_copy_only=False).astype(f) / n
+        e4 = batch.column("__s4").to_numpy(zero_copy_only=False).astype(f) / n
+        m = e1
+        m2 = e2 - m * m
+        m3 = e3 - 3.0 * m * e2 + 2.0 * m * m * m
+        m4 = e4 - 4.0 * m * e3 + 6.0 * m * m * e2 - 3.0 * m * m * m * m
+        skew = m3 / m2 ** 1.5
+        kurt = m4 / (m2 * m2) - 3.0
+        return pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "n_rows": batch.column("n_rows").cast(pa.int64()),
+            "skewness": pa.array(np.round(skew, 6)),
+            "excess_kurtosis": pa.array(np.round(kurt, 6)),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_GROUPED_SKEW_KURT = """
+WITH p AS (
+  SELECT l_returnflag,
+         CAST(ROUND_EVEN(l_quantity, 0) AS BIGINT) AS x
+  FROM lineitem
+), s AS (
+  SELECT l_returnflag, count(*) AS n,
+         sum(x) AS s1, sum(x*x) AS s2,
+         sum(x*x*x) AS s3, sum(x*x*x*x) AS s4
+  FROM p GROUP BY 1
+), f AS (
+  SELECT l_returnflag, n,
+         CAST(s1 AS DOUBLE) / n AS m,
+         CAST(s2 AS DOUBLE) / n AS e2,
+         CAST(s3 AS DOUBLE) / n AS e3,
+         CAST(s4 AS DOUBLE) / n AS e4
+  FROM s
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+       round((e3 - 3.0*m*e2 + 2.0*m*m*m)
+             / power(e2 - m*m, 1.5), 6) AS skewness,
+       round((e4 - 4.0*m*e3 + 6.0*m*m*e2 - 3.0*m*m*m*m)
+             / ((e2 - m*m) * (e2 - m*m)) - 3.0, 6) AS excess_kurtosis
+FROM f
+"""
+
+
+def q_grouped_corr(sf_dir: str):
+    """Grouped Pearson correlation (value vs time-of-arrival) from one
+    power-sum exchange. Operands are fixed-point int64 (epoch HOURS
+    re-based to 2024, value in cents — both mirrored by the oracle), so
+    the five sums are exact/order-independent (y ≤ 32 753 cents →
+    Σy² < 2⁶³ below ~10⁹ rows; x re-based keeps Σx² tiny); corr is
+    scale-invariant so the truncation units don't bias it, and the
+    O(1) output makes round-6 hashing stable."""
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        x = ts // 3_600_000_000 - 473000  # epoch hours, 2024 re-base
+        y = np.rint(batch.column("value").to_numpy(zero_copy_only=False)
+                    * 100.0).astype(np.int64)
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "x": pa.array(x), "y": pa.array(y),
+            "xx": pa.array(x * x), "yy": pa.array(y * y),
+            "xy": pa.array(x * y),
+        })
+
+    agg = relational.grouped_agg(
+        ev.map_batches(prep, batch_format="pyarrow"), ["event_type"],
+        {"__sx": ("x", "sum"), "__sy": ("y", "sum"),
+         "__sxx": ("xx", "sum"), "__syy": ("yy", "sum"),
+         "__sxy": ("xy", "sum")},
+        count_alias="n_rows")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        f = np.float64
+        n = batch.column("n_rows").to_numpy(zero_copy_only=False).astype(f)
+        sx = batch.column("__sx").to_numpy(zero_copy_only=False).astype(f)
+        sy = batch.column("__sy").to_numpy(zero_copy_only=False).astype(f)
+        sxx = batch.column("__sxx").to_numpy(zero_copy_only=False).astype(f)
+        syy = batch.column("__syy").to_numpy(zero_copy_only=False).astype(f)
+        sxy = batch.column("__sxy").to_numpy(zero_copy_only=False).astype(f)
+        cov = sxy / n - (sx / n) * (sy / n)
+        vx = sxx / n - (sx / n) * (sx / n)
+        vy = syy / n - (sy / n) * (sy / n)
+        corr = cov / np.sqrt(vx * vy)
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "n_rows": batch.column("n_rows").cast(pa.int64()),
+            "corr_value_hour": pa.array(np.round(corr, 6)),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_GROUPED_CORR = """
+WITH p AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) - 473000 AS x,
+         CAST(ROUND_EVEN(value * 100.0, 0) AS BIGINT) AS y
+  FROM events
+), s AS (
+  SELECT event_type, count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx,
+         sum(y*y) AS syy, sum(x*y) AS sxy
+  FROM p GROUP BY 1
+), f AS (
+  SELECT event_type, n,
+         CAST(sx AS DOUBLE) / n AS mx, CAST(sy AS DOUBLE) / n AS my,
+         CAST(sxx AS DOUBLE) / n AS exx, CAST(syy AS DOUBLE) / n AS eyy,
+         CAST(sxy AS DOUBLE) / n AS exy
+  FROM s
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_rows,
+       round((exy - mx * my)
+             / sqrt((exx - mx * mx) * (eyy - my * my)), 6)
+         AS corr_value_hour
+FROM f
 """
 
 
@@ -4133,6 +4479,12 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_audio": q_multimodal_audio,
+    "multimodal_video": q_multimodal_video,
+    "ngram_jaccard_pairs": q_ngram_jaccard,
+    "dedup_clusters_cc": q_dedup_clusters_cc,
+    "weighted_sample": q_weighted_sample,
+    "grouped_skew_kurt": q_grouped_skew_kurt,
+    "grouped_corr": q_grouped_corr,
     "knn_ivf": q_knn_ivf,
     "knn_ivf_index": q_knn_ivf_index,
     "embedding_near_dup": q_embedding_near_dup,
@@ -4215,6 +4567,12 @@ ORACLE_SQL = {
     "multimodal_frames": SQL_MULTIMODAL_FRAMES,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "multimodal_audio": SQL_MULTIMODAL_AUDIO,
+    "multimodal_video": SQL_MULTIMODAL_VIDEO,
+    "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
+    "dedup_clusters_cc": SQL_DEDUP_CLUSTERS_CC,
+    "weighted_sample": SQL_WEIGHTED_SAMPLE,
+    "grouped_skew_kurt": SQL_GROUPED_SKEW_KURT,
+    "grouped_corr": SQL_GROUPED_CORR,
     "knn_cosine": SQL_KNN,
     "embedding_norms": SQL_EMB_NORMS,
     "det_curve": SQL_DET_CURVE,

@@ -1205,3 +1205,227 @@ def test_media_extractor_real_decode(rd):
         assert row["px_mean"] == exp
     with pytest.raises(NotImplementedError):
         multimodal._decode_image(b"\x89PNG....")
+
+
+def test_y4m_roundtrip_and_parser_tolerance():
+    """Pure-numpy Y4M codec: encode → decode is identity for arbitrary
+    frame stacks; the tagged-header parser handles reordered/unknown
+    header tokens and per-frame parameter strings; non-mono colorspaces
+    raise NotImplementedError."""
+    rng = np.random.default_rng(13)
+    for n, h, w in [(5, 16, 16), (1, 7, 9), (0, 4, 4)]:
+        clip = rng.integers(0, 256, size=(n, h, w)).astype(np.uint8)
+        back, fps = multimodal.decode_y4m(multimodal.encode_y4m(clip))
+        np.testing.assert_array_equal(back, clip)
+        assert fps == (25, 1)
+    # reordered header tokens + unknown X tag + per-frame params
+    clip = multimodal.synthetic_video(3, n_frames=2, h=2, w=3)
+    raw = (b"YUV4MPEG2 Cmono H2 XNONSTANDARD W3 F30:1\n"
+           + b"FRAME Iparams\n" + clip[0].tobytes()
+           + b"FRAME\n" + clip[1].tobytes())
+    back, fps = multimodal.decode_y4m(raw)
+    np.testing.assert_array_equal(back, clip)
+    assert fps == (30, 1)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_y4m(b"YUV4MPEG2 W2 H2 C420jpeg\n")
+    with pytest.raises(ValueError):
+        multimodal.decode_y4m(b"RIFF....")
+
+
+def test_video_sampler_real_decode(rd):
+    """VideoFrameSampler decodes genuine Y4M bytes through the
+    actor-pool explode pipeline; sampled frame means match the
+    closed-form pixels."""
+    import ray.data as _rd
+
+    docs = _rd.from_arrow(pa.table({"doc_id": pa.array(
+        np.arange(10, dtype=np.int64))}))
+    out = multimodal.y4m_decode_pipeline(docs, stride=4,
+                                         concurrency=(1, 2)).to_pandas()
+    # 12 frames, stride 4 → frames 0, 4, 8 per clip
+    assert len(out) == 30
+    assert sorted(out["frame_idx"].unique()) == [0, 4, 8]
+    assert (out["n_frames"] == 12).all()
+    assert (out["height"] == 16).all() and (out["width"] == 16).all()
+    y = np.arange(16)[:, None]
+    x = np.arange(16)[None, :]
+    for _, row in out.head(6).iterrows():
+        exp = ((5 * row["frame_idx"] + 3 * y + 7 * x
+                + 11 * row["media_id"]) % 256).astype(np.float64).mean()
+        assert row["frame_mean"] == exp  # power-of-two mean: exact
+
+
+def _naive_ngram_jaccard(texts, n=3, max_df=5, threshold=0.6):
+    import re
+    from collections import defaultdict
+
+    sets = []
+    for t in texts:
+        ws = [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+        sets.append({tuple(ws[i:i + n]) for i in range(len(ws) - n + 1)})
+    df = defaultdict(set)
+    for i, s in enumerate(sets):
+        for g in s:
+            df[g].add(i)
+    cand = set()
+    for g, docs_ in df.items():
+        if 2 <= len(docs_) <= max_df:
+            docs_ = sorted(docs_)
+            for ai in range(len(docs_)):
+                for bi in range(ai + 1, len(docs_)):
+                    cand.add((docs_[ai], docs_[bi]))
+    out = []
+    for a, b in sorted(cand):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        j = 1.0 if union == 0 else inter / union
+        if j >= threshold:
+            out.append((a, b, j))
+    return out
+
+
+def test_ngram_jaccard_pairs_matches_naive(rd):
+    texts = [
+        "the quick brown fox jumps over the lazy dog today",
+        "the quick brown fox jumps over the lazy dog tonight",  # near-dup
+        "completely different words entirely here now folks",
+        "completely different words entirely here now friends",  # near-dup
+        "the quick brown fox jumps over the lazy dog today",     # exact dup
+        "nothing in common with anything else at all",
+        "short one",
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts)})
+    got = dd.ngram_jaccard_pairs(
+        rd.from_arrow(t).repartition(3), id_col="doc_id",
+        text_col="text", n=3, max_df=5, threshold=0.6)
+    want = _naive_ngram_jaccard(texts)
+    got_t = [(int(r.id_a), int(r.id_b), r.jaccard)
+             for r in got.itertuples()]
+    assert len(got_t) == len(want)
+    for (ga, gb, gj), (wa, wb, wj) in zip(sorted(got_t), want):
+        assert (ga, gb) == (wa, wb)
+        assert gj == pytest.approx(wj, abs=1e-12)
+
+
+def test_rare_gram_candidates_excludes_common_grams(rd):
+    """A gram shared by MORE than max_df docs pairs nothing (the
+    discriminative-shingle rule), while rare shared grams do."""
+    common = "alpha beta gamma delta"
+    texts = [f"{common} unique{i} extra{i} tail{i}" for i in range(8)]
+    texts += ["rare pair shingle one x y", "rare pair shingle two x y"]
+    t = pa.table({"doc_id": pa.array(range(10), type=pa.int64()),
+                  "text": pa.array(texts)})
+    cand = dd.rare_gram_candidate_pairs(
+        rd.from_arrow(t).repartition(2), id_col="doc_id",
+        text_col="text", n=3, max_df=5)
+    pairs = {(int(r.id_a), int(r.id_b)) for r in cand.itertuples()}
+    assert (8, 9) in pairs
+    # the 8 common-gram docs share only grams with df=8 > max_df
+    assert not any(a < 8 and b < 8 for a, b in pairs)
+
+
+def _naive_components(pairs):
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    seen, comp = {}, {}
+    for start in sorted(adj):
+        if start in seen:
+            continue
+        stack, members = [start], []
+        seen[start] = True
+        while stack:
+            v = stack.pop()
+            members.append(v)
+            for w in adj[v]:
+                if w not in seen:
+                    seen[w] = True
+                    stack.append(w)
+        m = min(members)
+        for v in members:
+            comp[v] = m
+    return comp
+
+
+def test_connected_components_matches_bfs(rd):
+    """Random sparse graph (multiple components, dup edges, both
+    orders) — distributed min-label propagation must equal BFS."""
+    rng = np.random.default_rng(17)
+    nodes = rng.choice(5000, size=120, replace=False).astype(np.int64)
+    pairs = []
+    for _ in range(90):
+        a, b = rng.choice(nodes, size=2, replace=False)
+        pairs.append((int(a), int(b)))
+    pairs += [(b, a) for a, b in pairs[:10]]  # reversed dups
+    t = pa.table({"id_a": pa.array([p[0] for p in pairs], type=pa.int64()),
+                  "id_b": pa.array([p[1] for p in pairs], type=pa.int64())})
+    got = dd.connected_components(
+        rd.from_arrow(t).repartition(4)).to_pandas()
+    want = _naive_components(pairs)
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        assert want[int(r.node)] == int(r.label), r
+
+
+def test_connected_components_long_chain(rd):
+    """A 12-node path graph has diameter 11 — forces many propagation
+    rounds; every node must still converge to component 0."""
+    a = np.arange(11, dtype=np.int64)
+    t = pa.table({"id_a": pa.array(a), "id_b": pa.array(a + 1)})
+    got = dd.connected_components(
+        rd.from_arrow(t).repartition(3)).to_pandas()
+    assert len(got) == 12
+    assert (got["label"] == 0).all()
+
+
+def test_connected_components_empty(rd):
+    t = pa.table({"id_a": pa.array([], type=pa.int64()),
+                  "id_b": pa.array([], type=pa.int64())})
+    got = dd.connected_components(rd.from_arrow(t)).to_pandas()
+    assert len(got) == 0
+
+
+def test_weighted_sample_matches_naive(rd):
+    """Priority-sampling query kernel: top-5 per source by
+    weight/u(doc_id-hash) must equal a pandas recompute of the same
+    closed-form priorities, independent of partitioning."""
+    from featureengineer_ray import queries as Q
+
+    rng = np.random.default_rng(23)
+    n = 400
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "source": pa.array([f"s{i % 4}" for i in range(n)]),
+        "n_chars": pa.array(rng.integers(1, 5000, size=n),
+                            type=pa.int64()),
+    })
+
+    def pri(batch):
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        h = Q._knuth_bucket(ids, 1 << 32, salt=13).astype(np.float64)
+        u = (h + 0.5) / float(1 << 32)
+        w = batch.column("n_chars").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        return batch.append_column(
+            "__pri", pa.array(w / u, type=pa.float64()))
+
+    from featureengineer_ray import relational as R
+    got = R.grouped_top_k(
+        rd.from_arrow(t).repartition(5).map_batches(
+            pri, batch_format="pyarrow"),
+        ["source"], 5, by=["__pri", "doc_id"],
+        descending=[True, False]).to_pandas()
+
+    df = t.to_pandas()
+    h = Q._knuth_bucket(df["doc_id"].to_numpy(), 1 << 32,
+                        salt=13).astype(np.float64)
+    df["pri"] = df["n_chars"].astype(np.float64) / ((h + 0.5)
+                                                    / float(1 << 32))
+    want = (df.sort_values(["pri", "doc_id"], ascending=[False, True])
+            .groupby("source").head(5))
+    assert len(got) == len(want) == 20
+    gs = set(map(tuple, got[["source", "doc_id"]].itertuples(index=False)))
+    ws = set(map(tuple, want[["source", "doc_id"]].itertuples(index=False)))
+    assert gs == ws
