@@ -29,6 +29,7 @@ __version__ = "0.2.0"
 #   iterfit     — kmeans_fit, kmeans_assign (EM lifecycle + checkpoints)
 #   text        — Tokenizer, LangIdQuality, doc_stats_batch,
 #                 fingerprint_batch, clean_text_batch, bigram_frequencies
+#   encoders    — target_encode_loo, target_encode_smoothed, robust_scale
 #   multimodal  — media_pipeline, MediaResizer, FrameSampler,
 #                 bmp/wav/y4m codecs + real-decode pipelines
 #   lineage     — write_feature_stack (resumable partitioned sink)

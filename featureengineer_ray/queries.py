@@ -3425,6 +3425,121 @@ FROM f
 """
 
 
+def _orders_cents(sf_dir: str):
+    """orders with an exact integer-cent price column (float sums would
+    drift against the oracle; int64 partials are order-independent)."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(batch.column("o_totalprice"),
+                                         100.0)), pa.int64())
+        return pa.table({"o_orderkey": batch.column("o_orderkey"),
+                         "o_custkey": batch.column("o_custkey"),
+                         "cents": c})
+
+    return ds.map_batches(cents, batch_format="pyarrow")
+
+
+def q_target_encode_loo(sf_dir: str):
+    """Leave-one-out target encoding of order price by customer —
+    each order gets the mean price of its customer's OTHER orders
+    (``encoders.target_encode_loo``: one O(categories) aggregate +
+    broadcast attach; the row's own target never leaks into its own
+    encoding). Integer-cent sums make the division bit-exact vs SQL."""
+    from . import encoders
+
+    out = encoders.target_encode_loo(
+        _orders_cents(sf_dir), cat_col="o_custkey", target_col="cents",
+        out_col="te_loo_cents")
+
+    def final(b: pa.Table) -> pa.Table:
+        return b.select(["o_orderkey", "o_custkey", "te_loo_cents"])
+
+    return out.map_batches(final, batch_format="pyarrow")
+
+
+def q_target_encode_smooth(sf_dir: str):
+    """Smoothed (Bayesian-mean) target encoding with pseudo-count 25:
+    rare customers shrink toward the global mean price."""
+    from . import encoders
+
+    out = encoders.target_encode_smoothed(
+        _orders_cents(sf_dir), cat_col="o_custkey", target_col="cents",
+        m=25.0, out_col="te_smooth_cents")
+
+    def final(b: pa.Table) -> pa.Table:
+        return b.select(["o_orderkey", "o_custkey", "te_smooth_cents"])
+
+    return out.map_batches(final, batch_format="pyarrow")
+
+
+def q_robust_scale_price(sf_dir: str):
+    """Per-customer robust scaling (x − median)/IQR of order prices
+    (``encoders.robust_scale``: one hash exchange, linear-interpolation
+    quantiles == SQL quantile_cont, NULL for zero-IQR groups)."""
+    from . import encoders
+
+    out = encoders.robust_scale(
+        _orders_cents(sf_dir), key="o_custkey", value_col="cents",
+        out_col="price_robust", ndigits=6)
+
+    def final(b: pa.Table) -> pa.Table:
+        return b.select(["o_orderkey", "o_custkey", "price_robust"])
+
+    return out.map_batches(final, batch_format="pyarrow")
+
+
+SQL_TARGET_ENCODE_LOO = """
+WITH t AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT o_orderkey, o_custkey,
+       CAST(sum(cents) OVER (PARTITION BY o_custkey) - cents AS DOUBLE)
+         / NULLIF(count(*) OVER (PARTITION BY o_custkey) - 1, 0)
+         AS te_loo_cents
+FROM t
+"""
+
+SQL_TARGET_ENCODE_SMOOTH = """
+WITH t AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+  FROM orders
+), g AS (
+  SELECT CAST(sum(cents) AS DOUBLE) / count(*) AS gm FROM t
+), s AS (
+  SELECT o_custkey, CAST(sum(cents) AS DOUBLE) AS s,
+         CAST(count(*) AS BIGINT) AS c
+  FROM t GROUP BY 1
+)
+SELECT t.o_orderkey, t.o_custkey,
+       (s.s + 25.0 * g.gm) / (s.c + 25.0) AS te_smooth_cents
+FROM t JOIN s USING (o_custkey) CROSS JOIN g
+"""
+
+SQL_ROBUST_SCALE = """
+WITH t AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+  FROM orders
+), q AS (
+  SELECT o_custkey,
+         quantile_cont(cents, 0.25) AS q25,
+         quantile_cont(cents, 0.50) AS q50,
+         quantile_cont(cents, 0.75) AS q75
+  FROM t GROUP BY 1
+)
+SELECT t.o_orderkey, t.o_custkey,
+       round(CASE WHEN q.q75 - q.q25 = 0 THEN NULL
+             ELSE (t.cents - q.q50) / (q.q75 - q.q25) END, 6)
+         AS price_robust
+FROM t JOIN q USING (o_custkey)
+"""
+
+
 _MIXTURE_PERMILLE = {f"src{i}": 1000 - 100 * i for i in range(10)}
 
 
@@ -4485,6 +4600,9 @@ QUERIES = {
     "weighted_sample": q_weighted_sample,
     "grouped_skew_kurt": q_grouped_skew_kurt,
     "grouped_corr": q_grouped_corr,
+    "target_encode_loo": q_target_encode_loo,
+    "target_encode_smooth": q_target_encode_smooth,
+    "robust_scale_price": q_robust_scale_price,
     "knn_ivf": q_knn_ivf,
     "knn_ivf_index": q_knn_ivf_index,
     "embedding_near_dup": q_embedding_near_dup,
@@ -4573,6 +4691,9 @@ ORACLE_SQL = {
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "grouped_skew_kurt": SQL_GROUPED_SKEW_KURT,
     "grouped_corr": SQL_GROUPED_CORR,
+    "target_encode_loo": SQL_TARGET_ENCODE_LOO,
+    "target_encode_smooth": SQL_TARGET_ENCODE_SMOOTH,
+    "robust_scale_price": SQL_ROBUST_SCALE,
     "knn_cosine": SQL_KNN,
     "embedding_norms": SQL_EMB_NORMS,
     "det_curve": SQL_DET_CURVE,

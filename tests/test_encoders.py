@@ -1,0 +1,90 @@
+"""Encoder operators vs naive pandas/numpy oracles."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from featureengineer_ray import encoders
+
+
+@pytest.fixture
+def rd(ray_session):
+    import ray.data
+
+    return ray.data
+
+
+def _frame(n=400, seed=3):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "cat": rng.integers(0, 25, n).astype(np.int64),
+        "y": np.round(rng.normal(10, 3, n), 4),
+        "rid": np.arange(n, dtype=np.int64),
+    })
+
+
+def _naive_loo(df):
+    g = df.groupby("cat")["y"]
+    s = g.transform("sum")
+    c = g.transform("count")
+    te = (s - df["y"]) / (c - 1)
+    return te.where(c > 1)
+
+
+@pytest.mark.parametrize("max_broadcast", [2_000_000, 0])
+def test_target_encode_loo_matches_naive(rd, max_broadcast):
+    df = _frame()
+    # add a singleton category to exercise the NULL branch
+    df.loc[len(df)] = [999, 5.0, len(df)]
+    ds = rd.from_pandas(df).repartition(4)
+    out = encoders.target_encode_loo(
+        ds, cat_col="cat", target_col="y",
+        max_broadcast=max_broadcast).to_pandas()
+    out = out.sort_values("rid").reset_index(drop=True)
+    exp = _naive_loo(df).reset_index(drop=True)
+    got = out["y_te_loo"]
+    assert got.isna().equals(exp.isna())
+    np.testing.assert_allclose(got.dropna(), exp.dropna(), rtol=1e-12)
+    # the singleton row is NULL
+    assert out.loc[out["cat"] == 999, "y_te_loo"].isna().all()
+
+
+def test_target_encode_smoothed_matches_naive(rd):
+    df = _frame(seed=7)
+    ds = rd.from_pandas(df).repartition(3)
+    m = 5.0
+    out = encoders.target_encode_smoothed(
+        ds, cat_col="cat", target_col="y", m=m).to_pandas()
+    out = out.sort_values("rid").reset_index(drop=True)
+    gmean = df["y"].mean()
+    stats = df.groupby("cat")["y"].agg(["sum", "count"])
+    exp = df["cat"].map(
+        (stats["sum"] + m * gmean) / (stats["count"] + m))
+    np.testing.assert_allclose(out["y_te"], exp, rtol=1e-12)
+
+
+def test_robust_scale_matches_naive(rd):
+    df = _frame(seed=11)
+    # a constant group exercises the zero-IQR NULL branch
+    const = pd.DataFrame({"cat": [500] * 6, "y": [2.5] * 6,
+                          "rid": np.arange(len(df), len(df) + 6)})
+    df = pd.concat([df, const], ignore_index=True)
+    ds = rd.from_pandas(df).repartition(4)
+    out = encoders.robust_scale(
+        ds, key="cat", value_col="y").to_pandas()
+    out = out.sort_values("rid").reset_index(drop=True)
+
+    def naive(sub):
+        q25, q50, q75 = np.percentile(sub["y"], [25, 50, 75])
+        iqr = q75 - q25
+        if iqr == 0:
+            return pd.Series(np.nan, index=sub.index)
+        return (sub["y"] - q50) / iqr
+
+    exp = df.groupby("cat", group_keys=False).apply(
+        naive, include_groups=False).sort_index()
+    got = out["y_robust"]
+    assert got.isna().equals(exp.isna())
+    np.testing.assert_allclose(got.dropna(), exp.dropna(), rtol=1e-12)
+    assert out.loc[out["cat"] == 500, "y_robust"].isna().all()
