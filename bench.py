@@ -79,7 +79,23 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             n += b.num_rows
         return n
 
-    # warm the OS page cache (untimed)
+    # warm the OS page cache (untimed): fault the ACTUAL file bytes —
+    # count() is satisfied from parquet metadata alone, so the payload
+    # column stayed cold and the first timed rep measured one fixed-rate
+    # NVMe read (a width-independent ~150 s floor at 96M rows) instead of
+    # the engine. On a real cluster the input arrives from distributed
+    # storage whose aggregate bandwidth scales with the node count; the
+    # warm keeps the single-box measurement about engine scaling.
+    def _warm(path: str):
+        files = ([os.path.join(path, f) for f in sorted(os.listdir(path))]
+                 if os.path.isdir(path) else [path])
+        for f in files:
+            with open(f, "rb") as fh:
+                while fh.read(1 << 24):
+                    pass
+
+    _warm(paths["events"])
+    _warm(paths["spine"])
     rd.read_parquet(paths["events"]).count()
 
     results: dict[str, float] = {}

@@ -780,13 +780,25 @@ def _split_state(ds, plan: PartitionPlan, spec: WindowSpec | None,
             f"window context ({ctx_rows} rows after fused doubling) exceeds "
             f"the hot-split context cap {CTX_CAP_LIMIT}; disable "
             "split_hot_keys or shrink the row windows")
+    import sys as _sys
+    import time as _time
+    _timing = _os.environ.get("FE_PHASE_TIMING") == "1"
+    _t0 = _time.time()
     summaries = splitstate.presummarize(
         ds, plan, key=key, ts=ts, tiebreak=tiebreak, numeric_cols=numeric,
         gap_us=gap, ctx_cap=max(8192, ctx_rows), dedup=dedup)
+    if _timing:
+        print(f"[split-state] presummarize: {_time.time() - _t0:.1f}s",
+              file=_sys.stderr, flush=True)
+        _t0 = _time.time()
     corr = splitstate.fold_corrections(
         summaries, plan, context_rows=ctx_rows, gap_us=gap,
         time_windows_us=twins)
-    return corr, splitstate.build_ctx_map(corr)
+    ctx_map = splitstate.build_ctx_map(corr)
+    if _timing:
+        print(f"[split-state] fold+ctx_map: {_time.time() - _t0:.1f}s",
+              file=_sys.stderr, flush=True)
+    return corr, ctx_map
 
 
 def window_features(
@@ -1286,6 +1298,9 @@ def feature_stack_late(
     _mark("narrow asof built (incl split-state pre-pass)")
     mat = outA.materialize()  # narrow output only — payloads never shuffled
     _mark("narrow asof materialized")
+    if _timing:
+        import sys as _s
+        print(mat.stats(), file=_s.stderr, flush=True)
 
     # broadcast Bloom locator (hash of key × matched tiebreak): bounded
     # memory (~2 B/matched row) instead of the exact hash array; false

@@ -169,8 +169,16 @@ def presummarize(ds, plan: PartitionPlan, *, key: str, ts: str,
     from .engine import use_push_shuffle
 
     use_push_shuffle(narrow)
-    return narrow.groupby("__part").map_groups(
-        summary_kernel, batch_format="pyarrow").to_pandas()
+    out = narrow.groupby("__part").map_groups(
+        summary_kernel, batch_format="pyarrow")
+    import os as _os
+    import sys as _sys
+
+    if _os.environ.get("FE_PHASE_TIMING") == "1":
+        out = out.materialize()
+        print(out.stats(), file=_sys.stderr, flush=True)
+        return out.to_pandas()
+    return out.to_pandas()
 
 
 def fold_corrections(
