@@ -190,6 +190,137 @@ def target_encode_smoothed(ds, *, cat_col: str, target_col: str,
     return ds.map_batches(attach, batch_format="pyarrow")
 
 
+def _attach_category_stats(ds, stats, cat_col: str, stat_cols: list[str],
+                           finish, max_broadcast: int):
+    """Attach an O(categories) stats table onto every row and run
+    ``finish`` over the widened batches — broadcast lookup under
+    ``max_broadcast`` categories, else a distributed hash join (the same
+    measured plan switch as the target encoders)."""
+    n_cat = stats.count()
+    if n_cat > max_broadcast:
+        joined = ds.join(stats, join_type="inner",
+                         num_partitions=_join_partitions(),
+                         on=(cat_col,), right_suffix="_r")
+        return joined.map_batches(finish, batch_format="pyarrow")
+
+    sp = stats.to_pandas()
+    import ray
+
+    ref = ray.put(tuple(sp[c].to_numpy() for c in (cat_col, *stat_cols)))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        vals = ray.get(ref)
+        cats = vals[0]
+        order = np.argsort(cats, kind="stable")
+        pos = np.searchsorted(
+            cats[order],
+            batch.column(cat_col).to_numpy(zero_copy_only=False))
+        b = batch
+        for name, col in zip(stat_cols, vals[1:]):
+            b = b.append_column(name, pa.array(col[order][pos]))
+        return finish(b)
+
+    return ds.map_batches(attach, batch_format="pyarrow")
+
+
+def count_encode(ds, *, cat_col: str, count_col: str | None = None,
+                 freq_col: str | None = None,
+                 max_broadcast: int = DEFAULT_MAX_BROADCAST):
+    """Frequency encoding: per-category row count and relative frequency
+    (count / total rows). One O(categories) map-side-combined exchange;
+    rows never shuffle on the broadcast path."""
+    from .relational import grouped_agg
+
+    count_col = count_col or f"{cat_col}_count"
+    freq_col = freq_col or f"{cat_col}_freq"
+    from ray.data.aggregate import Sum
+
+    stats = grouped_agg(ds, [cat_col], {},
+                        count_alias="__ce_cnt").materialize()
+    total = int(stats.aggregate(Sum("__ce_cnt", alias_name="__t"))["__t"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        c = b.column("__ce_cnt").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        b = b.drop_columns(["__ce_cnt"])
+        b = b.append_column(count_col, pa.array(c, type=pa.int64()))
+        return b.append_column(
+            freq_col, pa.array(c / float(total), type=pa.float64()))
+
+    return _attach_category_stats(ds, stats, cat_col, ["__ce_cnt"],
+                                  finish, max_broadcast)
+
+
+def minmax_scale(ds, *, key: str, value_col: str,
+                 out_col: str | None = None,
+                 max_broadcast: int = DEFAULT_MAX_BROADCAST):
+    """Per-group min-max scaling ``(x − min) / (max − min)``; NULL when
+    the group is constant. Unlike quantile scaling this needs only a
+    per-group (min, max) aggregate — one O(groups) exchange plus a
+    stateless attach; the data rows never shuffle on the broadcast
+    path."""
+    from .relational import grouped_agg
+
+    out_col = out_col or f"{value_col}_minmax"
+    stats = grouped_agg(
+        ds, [key], {"__mm_min": (value_col, "min"),
+                    "__mm_max": (value_col, "max")}).materialize()
+
+    def finish(b: pa.Table) -> pa.Table:
+        x = b.column(value_col).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        mn = b.column("__mm_min").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        mx = b.column("__mm_max").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        span = mx - mn
+        with np.errstate(invalid="ignore", divide="ignore"):
+            y = (x - mn) / span
+        b = b.drop_columns(["__mm_min", "__mm_max"])
+        return b.append_column(
+            out_col, pa.array(np.where(span > 0, y, np.nan),
+                              type=pa.float64(), mask=(span <= 0)))
+
+    return _attach_category_stats(ds, stats, key,
+                                  ["__mm_min", "__mm_max"],
+                                  finish, max_broadcast)
+
+
+def winsorize(ds, *, key: str, value_col: str,
+              p_lo: float = 0.05, p_hi: float = 0.95,
+              out_col: str | None = None, ndigits: int | None = None):
+    """Per-group winsorization: clip values to the group's
+    [p_lo, p_hi] linear-interpolation quantiles (== SQL quantile_cont).
+    Continuous quantiles need the group's values together, so this is
+    one data-sized hash exchange with the clip segment-vectorized per
+    group inside each partition (same shape as :func:`robust_scale`)."""
+    out_col = out_col or f"{value_col}_wins"
+
+    def clip(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(key, kind="stable").reset_index(drop=True)
+        keys = g[key].to_numpy()
+        x = g[value_col].to_numpy(dtype=np.float64)
+        m = len(g)
+        if m == 0:
+            g[out_col] = pd.Series([], dtype="float64")
+            return g
+        new = np.empty(m, dtype=bool)
+        new[0] = True
+        new[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.concatenate((starts[1:], [m]))
+        out = np.empty(m, dtype=np.float64)
+        for s, e in zip(starts, ends):
+            ql, qh = np.percentile(x[s:e], [100.0 * p_lo, 100.0 * p_hi])
+            out[s:e] = np.minimum(np.maximum(x[s:e], ql), qh)
+        if ndigits is not None:
+            out = np.round(out, ndigits)
+        g[out_col] = out
+        return g
+
+    return ds.groupby(key).map_groups(clip, batch_format="pandas")
+
+
 def robust_scale(ds, *, key: str, value_col: str,
                  out_col: str | None = None, ndigits: int | None = None):
     """Per-group robust scaling ``(x − median) / (q75 − q25)`` with

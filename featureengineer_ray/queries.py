@@ -3540,6 +3540,123 @@ FROM t JOIN q USING (o_custkey)
 """
 
 
+def q_count_encode_custkey(sf_dir: str):
+    """Frequency encoding of customer id over orders
+    (``encoders.count_encode``: one O(categories) count exchange +
+    broadcast attach; integer counts divide exactly)."""
+    from . import encoders
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    out = encoders.count_encode(ds, cat_col="o_custkey",
+                                count_col="ce_cnt", freq_col="ce_freq")
+
+    def final(b: pa.Table) -> pa.Table:
+        return b.select(["o_orderkey", "o_custkey", "ce_cnt", "ce_freq"])
+
+    return out.map_batches(final, batch_format="pyarrow")
+
+
+def q_minmax_scale_price(sf_dir: str):
+    """Per-customer min-max scaling of order price — only a per-group
+    (min, max) aggregate moves; the rows never shuffle
+    (``encoders.minmax_scale``)."""
+    from . import encoders
+
+    out = encoders.minmax_scale(
+        _orders_cents(sf_dir), key="o_custkey", value_col="cents",
+        out_col="price_minmax")
+
+    def final(b: pa.Table) -> pa.Table:
+        return b.select(["o_orderkey", "o_custkey", "price_minmax"])
+
+    return out.map_batches(final, batch_format="pyarrow")
+
+
+def q_winsorize_price(sf_dir: str):
+    """Per-customer winsorization of order price at the [p05, p95]
+    quantile_cont bounds (``encoders.winsorize``)."""
+    from . import encoders
+
+    out = encoders.winsorize(
+        _orders_cents(sf_dir), key="o_custkey", value_col="cents",
+        p_lo=0.05, p_hi=0.95, out_col="price_wins", ndigits=6)
+
+    def final(b: pa.Table) -> pa.Table:
+        return b.select(["o_orderkey", "o_custkey", "price_wins"])
+
+    return out.map_batches(final, batch_format="pyarrow")
+
+
+def q_ts_calendar(sf_dir: str):
+    """Calendar feature extraction from the event timestamp — pure
+    vectorized Arrow temporal kernels, no exchange at all."""
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+
+    def feats(b: pa.Table) -> pa.Table:
+        ts = b.column("ts")
+        isodow = pc.day_of_week(ts, count_from_zero=False, week_start=1)
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "hour": pc.cast(pc.hour(ts), pa.int64()),
+            "isodow": pc.cast(isodow, pa.int64()),
+            "day": pc.cast(pc.day(ts), pa.int64()),
+            "month": pc.cast(pc.month(ts), pa.int64()),
+            "doy": pc.cast(pc.day_of_year(ts), pa.int64()),
+            "is_weekend": pc.cast(pc.greater_equal(isodow, 6), pa.int64()),
+        })
+
+    return ds.map_batches(feats, batch_format="pyarrow")
+
+
+SQL_COUNT_ENCODE = """
+WITH s AS (SELECT o_custkey, count(*) AS c FROM orders GROUP BY 1),
+     t AS (SELECT count(*) AS n FROM orders)
+SELECT o.o_orderkey, o.o_custkey, s.c AS ce_cnt,
+       CAST(s.c AS DOUBLE) / t.n AS ce_freq
+FROM orders o JOIN s USING (o_custkey) CROSS JOIN t
+"""
+
+SQL_MINMAX_SCALE = """
+WITH t AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+  FROM orders
+), s AS (
+  SELECT o_custkey, min(cents) AS mn, max(cents) AS mx
+  FROM t GROUP BY 1
+)
+SELECT t.o_orderkey, t.o_custkey,
+       CASE WHEN s.mx = s.mn THEN NULL
+            ELSE CAST(t.cents - s.mn AS DOUBLE) / (s.mx - s.mn) END
+         AS price_minmax
+FROM t JOIN s USING (o_custkey)
+"""
+
+SQL_WINSORIZE = """
+WITH t AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+  FROM orders
+), q AS (
+  SELECT o_custkey,
+         quantile_cont(cents, 0.05) AS ql,
+         quantile_cont(cents, 0.95) AS qh
+  FROM t GROUP BY 1
+)
+SELECT t.o_orderkey, t.o_custkey,
+       round(least(greatest(CAST(t.cents AS DOUBLE), q.ql), q.qh), 6)
+         AS price_wins
+FROM t JOIN q USING (o_custkey)
+"""
+
+SQL_TS_CALENDAR = """
+SELECT event_id, hour(ts) AS hour, isodow(ts) AS isodow,
+       day(ts) AS day, month(ts) AS month, dayofyear(ts) AS doy,
+       CAST(isodow(ts) >= 6 AS BIGINT) AS is_weekend
+FROM events
+"""
+
+
 _MIXTURE_PERMILLE = {f"src{i}": 1000 - 100 * i for i in range(10)}
 
 
@@ -4603,6 +4720,10 @@ QUERIES = {
     "target_encode_loo": q_target_encode_loo,
     "target_encode_smooth": q_target_encode_smooth,
     "robust_scale_price": q_robust_scale_price,
+    "count_encode_custkey": q_count_encode_custkey,
+    "minmax_scale_price": q_minmax_scale_price,
+    "winsorize_price": q_winsorize_price,
+    "ts_calendar": q_ts_calendar,
     "knn_ivf": q_knn_ivf,
     "knn_ivf_index": q_knn_ivf_index,
     "embedding_near_dup": q_embedding_near_dup,
@@ -4694,6 +4815,10 @@ ORACLE_SQL = {
     "target_encode_loo": SQL_TARGET_ENCODE_LOO,
     "target_encode_smooth": SQL_TARGET_ENCODE_SMOOTH,
     "robust_scale_price": SQL_ROBUST_SCALE,
+    "count_encode_custkey": SQL_COUNT_ENCODE,
+    "minmax_scale_price": SQL_MINMAX_SCALE,
+    "winsorize_price": SQL_WINSORIZE,
+    "ts_calendar": SQL_TS_CALENDAR,
     "knn_cosine": SQL_KNN,
     "embedding_norms": SQL_EMB_NORMS,
     "det_curve": SQL_DET_CURVE,

@@ -64,6 +64,51 @@ def test_target_encode_smoothed_matches_naive(rd):
     np.testing.assert_allclose(out["y_te"], exp, rtol=1e-12)
 
 
+@pytest.mark.parametrize("max_broadcast", [2_000_000, 0])
+def test_count_encode_matches_naive(rd, max_broadcast):
+    df = _frame(seed=13)
+    ds = rd.from_pandas(df).repartition(4)
+    out = encoders.count_encode(
+        ds, cat_col="cat", max_broadcast=max_broadcast).to_pandas()
+    out = out.sort_values("rid").reset_index(drop=True)
+    cnt = df.groupby("cat")["cat"].transform("count")
+    np.testing.assert_array_equal(out["cat_count"], cnt)
+    np.testing.assert_allclose(out["cat_freq"], cnt / len(df), rtol=0)
+
+
+def test_minmax_scale_matches_naive(rd):
+    df = _frame(seed=17)
+    const = pd.DataFrame({"cat": [700] * 4, "y": [1.5] * 4,
+                          "rid": np.arange(len(df), len(df) + 4)})
+    df = pd.concat([df, const], ignore_index=True)
+    ds = rd.from_pandas(df).repartition(4)
+    out = encoders.minmax_scale(ds, key="cat", value_col="y").to_pandas()
+    out = out.sort_values("rid").reset_index(drop=True)
+    g = df.groupby("cat")["y"]
+    mn, mx = g.transform("min"), g.transform("max")
+    exp = ((df["y"] - mn) / (mx - mn)).where(mx > mn)
+    got = out["y_minmax"]
+    assert got.isna().equals(exp.isna())
+    np.testing.assert_allclose(got.dropna(), exp.dropna(), rtol=1e-12)
+    assert out.loc[out["cat"] == 700, "y_minmax"].isna().all()
+
+
+def test_winsorize_matches_naive(rd):
+    df = _frame(seed=19)
+    ds = rd.from_pandas(df).repartition(4)
+    out = encoders.winsorize(
+        ds, key="cat", value_col="y", p_lo=0.1, p_hi=0.9).to_pandas()
+    out = out.sort_values("rid").reset_index(drop=True)
+
+    def naive(sub):
+        ql, qh = np.percentile(sub["y"], [10, 90])
+        return sub["y"].clip(ql, qh)
+
+    exp = df.groupby("cat", group_keys=False).apply(
+        naive, include_groups=False).sort_index()
+    np.testing.assert_allclose(out["y_wins"], exp, rtol=1e-12)
+
+
 def test_robust_scale_matches_naive(rd):
     df = _frame(seed=11)
     # a constant group exercises the zero-IQR NULL branch
