@@ -286,6 +286,91 @@ def minmax_scale(ds, *, key: str, value_col: str,
                                   finish, max_broadcast)
 
 
+def woe_encode(ds, *, cat_col: str, target_col: str,
+               out_col: str | None = None, smooth: float = 0.5,
+               max_broadcast: int = DEFAULT_MAX_BROADCAST,
+               ndigits: int | None = None):
+    """Weight-of-evidence encoding for a BINARY (0/1) target:
+    ``ln((pos_c + s) / (neg_c + s)) − ln((pos_tot + s) / (neg_tot + s))``
+    per category, with additive smoothing ``s`` so empty cells stay
+    finite. Same scale shape as the target encoders: one O(categories)
+    sum/count exchange, then broadcast attach or hash join."""
+    from ray.data.aggregate import Sum
+
+    out_col = out_col or f"{target_col}_woe"
+    stats = _category_stats(ds, cat_col, target_col)
+    tot = stats.aggregate(Sum("__te_sum", alias_name="__p"),
+                          Sum("__te_cnt", alias_name="__n"))
+    pos_tot = float(tot["__p"])
+    neg_tot = float(tot["__n"]) - pos_tot
+    base = np.log((pos_tot + smooth) / (neg_tot + smooth))
+
+    def finish(b: pa.Table) -> pa.Table:
+        pos = b.column("__te_sum").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        cnt = b.column("__te_cnt").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        woe = np.log((pos + smooth) / (cnt - pos + smooth)) - base
+        if ndigits is not None:
+            woe = np.round(woe, ndigits)
+        b = b.drop_columns(["__te_sum", "__te_cnt"])
+        return b.append_column(out_col, pa.array(woe, type=pa.float64()))
+
+    return _attach_category_stats(ds, stats, cat_col,
+                                  ["__te_sum", "__te_cnt"],
+                                  finish, max_broadcast)
+
+
+def ordinal_encode(ds, *, cat_col: str, out_col: str | None = None,
+                   max_broadcast: int = DEFAULT_MAX_BROADCAST):
+    """Ordinal (dense-rank) encoding: each category value maps to its
+    1-based position in the SORTED distinct-category list
+    (== SQL ``dense_rank() OVER (ORDER BY cat)``).
+
+    One O(categories) distinct exchange; under ``max_broadcast`` the
+    sorted vocabulary broadcasts and rows never shuffle, else the
+    distinct table is ranked by the distributed range sort
+    (:func:`relational.global_rank` — category-sized, not row-sized)
+    and attached with the hash join. The join path needs a NUMERIC
+    category column (the range sort samples float boundaries); a string
+    vocabulary above ``max_broadcast`` should be hash-bucketed first."""
+    from .relational import grouped_agg
+
+    out_col = out_col or f"{cat_col}_ord"
+    stats = grouped_agg(ds, [cat_col], {},
+                        count_alias="__oe_cnt").materialize()
+    n_cat = stats.count()
+
+    if n_cat <= max_broadcast:
+        sp = stats.to_pandas()
+        import ray
+
+        vocab_ref = ray.put(np.sort(sp[cat_col].to_numpy()))
+
+        def attach(batch: pa.Table) -> pa.Table:
+            vocab = ray.get(vocab_ref)
+            keys = batch.column(cat_col).to_numpy(zero_copy_only=False)
+            return batch.append_column(
+                out_col, pa.array(np.searchsorted(vocab, keys) + 1,
+                                  type=pa.int64()))
+
+        return ds.map_batches(attach, batch_format="pyarrow")
+
+    from .relational import global_rank
+
+    ranked = global_rank(stats.drop_columns(["__oe_cnt"]),
+                         by=[cat_col], descending=[False],
+                         rank_col=out_col)
+    joined = ds.join(ranked, join_type="inner",
+                     num_partitions=_join_partitions(),
+                     on=(cat_col,), right_suffix="_r")
+    return joined.map_batches(
+        lambda b: b.set_column(
+            b.column_names.index(out_col), out_col,
+            pc.cast(b.column(out_col), pa.int64())),
+        batch_format="pyarrow")
+
+
 def winsorize(ds, *, key: str, value_col: str,
               p_lo: float = 0.05, p_hi: float = 0.95,
               out_col: str | None = None, ndigits: int | None = None):

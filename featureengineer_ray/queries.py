@@ -3587,6 +3587,72 @@ def q_winsorize_price(sf_dir: str):
     return out.map_batches(final, batch_format="pyarrow")
 
 
+def q_woe_encode_status(sf_dir: str):
+    """Weight-of-evidence encoding of customer id against the binary
+    "order finished" target (``encoders.woe_encode``; smoothing 0.5,
+    rounded to 6 digits so libm log noise cannot flip the hash)."""
+    from . import encoders
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_custkey", "o_orderstatus"])
+
+    def target(b: pa.Table) -> pa.Table:
+        y = pc.cast(pc.equal(b.column("o_orderstatus"), "F"), pa.int64())
+        return pa.table({"o_orderkey": b.column("o_orderkey"),
+                         "o_custkey": b.column("o_custkey"),
+                         "y": y})
+
+    out = encoders.woe_encode(
+        ds.map_batches(target, batch_format="pyarrow"),
+        cat_col="o_custkey", target_col="y", out_col="woe", ndigits=6)
+
+    def final(b: pa.Table) -> pa.Table:
+        return b.select(["o_orderkey", "o_custkey", "woe"])
+
+    return out.map_batches(final, batch_format="pyarrow")
+
+
+def q_ordinal_encode_custkey(sf_dir: str):
+    """Ordinal (dense-rank) encoding of customer id over orders
+    (``encoders.ordinal_encode``)."""
+    from . import encoders
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    out = encoders.ordinal_encode(ds, cat_col="o_custkey",
+                                  out_col="cust_ord")
+
+    def final(b: pa.Table) -> pa.Table:
+        return b.select(["o_orderkey", "o_custkey", "cust_ord"])
+
+    return out.map_batches(final, batch_format="pyarrow")
+
+
+SQL_WOE_ENCODE = """
+WITH t AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(o_orderstatus = 'F' AS BIGINT) AS y
+  FROM orders
+), g AS (
+  SELECT CAST(sum(y) AS DOUBLE) AS p,
+         CAST(count(*) - sum(y) AS DOUBLE) AS n FROM t
+), s AS (
+  SELECT o_custkey, CAST(sum(y) AS DOUBLE) AS pos,
+         CAST(count(*) - sum(y) AS DOUBLE) AS neg
+  FROM t GROUP BY 1
+)
+SELECT t.o_orderkey, t.o_custkey,
+       round(ln((s.pos + 0.5) / (s.neg + 0.5))
+             - ln((g.p + 0.5) / (g.n + 0.5)), 6) AS woe
+FROM t JOIN s USING (o_custkey) CROSS JOIN g
+"""
+
+SQL_ORDINAL_ENCODE = """
+SELECT o_orderkey, o_custkey,
+       dense_rank() OVER (ORDER BY o_custkey) AS cust_ord
+FROM orders
+"""
+
+
 def q_ts_calendar(sf_dir: str):
     """Calendar feature extraction from the event timestamp — pure
     vectorized Arrow temporal kernels, no exchange at all."""
@@ -4724,6 +4790,8 @@ QUERIES = {
     "minmax_scale_price": q_minmax_scale_price,
     "winsorize_price": q_winsorize_price,
     "ts_calendar": q_ts_calendar,
+    "woe_encode_status": q_woe_encode_status,
+    "ordinal_encode_custkey": q_ordinal_encode_custkey,
     "knn_ivf": q_knn_ivf,
     "knn_ivf_index": q_knn_ivf_index,
     "embedding_near_dup": q_embedding_near_dup,
@@ -4819,6 +4887,8 @@ ORACLE_SQL = {
     "minmax_scale_price": SQL_MINMAX_SCALE,
     "winsorize_price": SQL_WINSORIZE,
     "ts_calendar": SQL_TS_CALENDAR,
+    "woe_encode_status": SQL_WOE_ENCODE,
+    "ordinal_encode_custkey": SQL_ORDINAL_ENCODE,
     "knn_cosine": SQL_KNN,
     "embedding_norms": SQL_EMB_NORMS,
     "det_curve": SQL_DET_CURVE,

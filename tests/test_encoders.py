@@ -109,6 +109,41 @@ def test_winsorize_matches_naive(rd):
     np.testing.assert_allclose(out["y_wins"], exp, rtol=1e-12)
 
 
+@pytest.mark.parametrize("max_broadcast", [2_000_000, 0])
+def test_woe_encode_matches_naive(rd, max_broadcast):
+    rng = np.random.default_rng(23)
+    df = pd.DataFrame({"cat": rng.integers(0, 20, 500),
+                       "y": rng.integers(0, 2, 500),
+                       "rid": np.arange(500)})
+    # a category with zero positives exercises the smoothing
+    df.loc[df["cat"] == 3, "y"] = 0
+    ds = rd.from_pandas(df).repartition(4)
+    out = encoders.woe_encode(
+        ds, cat_col="cat", target_col="y",
+        max_broadcast=max_broadcast).to_pandas()
+    out = out.sort_values("rid").reset_index(drop=True)
+    pos_t, neg_t = df["y"].sum(), (1 - df["y"]).sum()
+    g = df.groupby("cat")["y"].agg(["sum", "count"])
+    exp = df["cat"].map(
+        np.log((g["sum"] + 0.5) / (g["count"] - g["sum"] + 0.5))
+        - np.log((pos_t + 0.5) / (neg_t + 0.5)))
+    np.testing.assert_allclose(out["y_woe"], exp, rtol=1e-12)
+    assert np.isfinite(out["y_woe"]).all()
+
+
+@pytest.mark.parametrize("max_broadcast", [2_000_000, 0])
+def test_ordinal_encode_matches_dense_rank(rd, max_broadcast):
+    rng = np.random.default_rng(29)
+    df = pd.DataFrame({"cat": rng.integers(100, 160, 400),
+                       "rid": np.arange(400)})
+    ds = rd.from_pandas(df).repartition(4)
+    out = encoders.ordinal_encode(
+        ds, cat_col="cat", max_broadcast=max_broadcast).to_pandas()
+    out = out.sort_values("rid").reset_index(drop=True)
+    exp = df["cat"].rank(method="dense").astype(np.int64)
+    np.testing.assert_array_equal(out["cat_ord"], exp)
+
+
 def test_robust_scale_matches_naive(rd):
     df = _frame(seed=11)
     # a constant group exercises the zero-IQR NULL branch
