@@ -183,3 +183,42 @@ def test_dense_probe_skips_prepass(ray_session, tmp_path):
     assert got["doc_id"].equals(exp["doc_id"])
     assert got["event_seq"].equals(exp["event_seq"])
     assert (got["ts"].to_numpy() == exp["ts"].to_numpy()).all()
+
+
+def test_route_attach_equals_exchange_attach(ray_session, tmp_path,
+                                             monkeypatch):
+    """The provenance-routed attach (default with payload_paths: payload
+    bytes never exchange) must produce exactly the exchange attach's
+    stack, including null payloads for unmatched spine rows."""
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    events = generate_events(SPEC)
+    spine = generate_spine(SPEC)
+    paths = []
+    n = events.num_rows
+    cuts = np.linspace(0, n, 4).astype(int)
+    for i in range(3):
+        p = str(tmp_path / f"ev-{i}.parquet")
+        pq.write_table(events.slice(cuts[i], cuts[i + 1] - cuts[i]), p,
+                       row_group_size=200)
+        paths.append(p)
+
+    kw = dict(target_rows_per_part=300, sample_rate=1.0,
+              split_hot_keys=True, late_materialize=True,
+              payload_paths=paths)
+    monkeypatch.setenv("FE_ATTACH_MODE", "route")
+    routed = run_token_stack(rd.read_parquet(paths), rd.from_arrow(spine),
+                             **kw).to_pandas()
+    routed = routed.sort_values("spine_id").reset_index(drop=True)
+    monkeypatch.setenv("FE_ATTACH_MODE", "exchange")
+    exch = run_token_stack(rd.read_parquet(paths), rd.from_arrow(spine),
+                           **kw).to_pandas()
+    exch = exch.sort_values("spine_id").reset_index(drop=True)
+
+    assert len(routed) == len(exch) == spine.num_rows
+    assert set(routed.columns) == set(exch.columns)
+    assert "__src_rg" not in routed.columns
+    _cmp(routed[sorted(exch.columns)], exch[sorted(exch.columns)],
+         sorted(exch.columns))
