@@ -4054,6 +4054,47 @@ WINDOW w AS (PARTITION BY user_id ORDER BY value)
 """
 
 
+def q_ntile_events(sf_dir: str):
+    """ntile(4) per user over event time — SQL's equal-height bucket
+    assignment (first n%k buckets one row larger). One hash exchange,
+    one argsort + arithmetic per group; completes the window-rank
+    family (rank / percent_rank / cume_dist / ntile)."""
+    ev = _events(sf_dir, cols=("event_id", "user_id", "ts"))
+    k = 4
+
+    def tiles(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        n = len(ts)
+        order = np.lexsort((eid, ts))
+        big = n % k
+        size_big = n // k + 1
+        idx = np.empty(n, dtype=np.int64)
+        idx[order] = np.arange(n)
+        cut = big * size_big
+        tile = np.where(
+            idx < cut,
+            idx // max(size_big, 1),
+            big + np.where(n // k > 0, (idx - cut) // max(n // k, 1), 0),
+        ) + 1
+        return pa.table({
+            "event_id": group.column("event_id"),
+            "user_id": group.column("user_id"),
+            "tile": pa.array(tile.astype(np.int64)),
+        })
+
+    out = ev.groupby("user_id").map_groups(tiles, batch_format="pyarrow")
+    return _select(out, ["event_id", "user_id", "tile"])
+
+
+SQL_NTILE = """
+SELECT event_id, user_id,
+       ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS tile
+FROM events
+"""
+
+
 def q_global_percentiles_price(sf_dir: str):
     """Exact global percentiles of l_extendedprice — the reference's
     sorted-index lookups (DETsort rank → value, jyh/result.py:10-31,55-58)
@@ -4810,6 +4851,7 @@ QUERIES = {
     "rollup_event_totals": q_rollup_event_totals,
     "cube_event_totals": q_cube_event_totals,
     "percent_rank_events": q_percent_rank_events,
+    "ntile_events": q_ntile_events,
     "unpivot_lineitem": q_unpivot_lineitem,
     "decayed_rolling": q_decayed_rolling,
     "validate_lineitem": q_validate_lineitem,
@@ -4921,6 +4963,7 @@ ORACLE_SQL = {
     "rollup_event_totals": SQL_ROLLUP,
     "cube_event_totals": SQL_CUBE,
     "percent_rank_events": SQL_PERCENT_RANK,
+    "ntile_events": SQL_NTILE,
     "unpivot_lineitem": SQL_UNPIVOT,
     "decayed_rolling": SQL_DECAYED,
     "validate_lineitem": SQL_VALIDATE,
