@@ -4095,6 +4095,38 @@ FROM events
 """
 
 
+def q_window_rolling_median(sf_dir: str):
+    """Rolling 5-row median and lower quartile per user — the robust
+    (order-statistic) rolling family the moment kernels cannot express.
+    One hash exchange; the per-group rolling quantile is pandas'
+    C-implemented kernel with linear interpolation (== windowed SQL
+    quantile_cont)."""
+    ev = _events(sf_dir, cols=("event_id", "user_id", "ts", "value"))
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        r = g["value"].rolling(5, min_periods=1)
+        g["roll_med_5"] = np.round(
+            r.quantile(0.5, interpolation="linear"), 6)
+        g["roll_q25_5"] = np.round(
+            r.quantile(0.25, interpolation="linear"), 6)
+        return g
+
+    out = ev.groupby("user_id").map_groups(med, batch_format="pandas")
+    return _select(out, ["event_id", "user_id", "roll_med_5",
+                         "roll_q25_5"])
+
+
+SQL_ROLLING_MEDIAN = """
+SELECT event_id, user_id,
+       ROUND_EVEN(quantile_cont(value, 0.5) OVER w, 6) AS roll_med_5,
+       ROUND_EVEN(quantile_cont(value, 0.25) OVER w, 6) AS roll_q25_5
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_global_percentiles_price(sf_dir: str):
     """Exact global percentiles of l_extendedprice — the reference's
     sorted-index lookups (DETsort rank → value, jyh/result.py:10-31,55-58)
@@ -4852,6 +4884,7 @@ QUERIES = {
     "cube_event_totals": q_cube_event_totals,
     "percent_rank_events": q_percent_rank_events,
     "ntile_events": q_ntile_events,
+    "window_rolling_median": q_window_rolling_median,
     "unpivot_lineitem": q_unpivot_lineitem,
     "decayed_rolling": q_decayed_rolling,
     "validate_lineitem": q_validate_lineitem,
@@ -4964,6 +4997,7 @@ ORACLE_SQL = {
     "cube_event_totals": SQL_CUBE,
     "percent_rank_events": SQL_PERCENT_RANK,
     "ntile_events": SQL_NTILE,
+    "window_rolling_median": SQL_ROLLING_MEDIAN,
     "unpivot_lineitem": SQL_UNPIVOT,
     "decayed_rolling": SQL_DECAYED,
     "validate_lineitem": SQL_VALIDATE,
