@@ -1189,6 +1189,61 @@ FROM documents
 """
 
 
+def q_doc_token_entropy(sf_dir: str):
+    """Shannon entropy (log2) of each document's unigram distribution —
+    the classic repetitiveness/quality feature (low entropy = template
+    or boilerplate text). Fully vectorized, no exchange: split → one
+    64-bit hash per word → one lexsort per batch segments (doc, word)
+    runs → run-length counts → per-doc −Σ p·log2 p via reduceat.
+    Distinct words colliding WITHIN one document at 64 bits is
+    negligible, and the oracle agreement at both scales is the check."""
+    from .hashing import hash_str_array
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def entropy(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(batch.column("text"), pattern=" ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        lens = np.asarray(pc.list_value_length(words), dtype=np.int64)
+        flat = words.flatten().to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        h = hash_str_array(flat)
+        order = np.lexsort((h, doc_idx))
+        di, hs = doc_idx[order], h[order]
+        m = len(di)
+        ent = np.zeros(len(lens), dtype=np.float64)
+        if m:
+            new = np.empty(m, dtype=bool)
+            new[0] = True
+            new[1:] = (di[1:] != di[:-1]) | (hs[1:] != hs[:-1])
+            starts = np.flatnonzero(new)
+            cnt = np.diff(np.append(starts, m)).astype(np.float64)
+            word_doc = di[starts]
+            tot = lens[word_doc].astype(np.float64)
+            p = cnt / tot
+            terms = -p * np.log2(p)
+            # sum the per-(doc, word) terms back per doc
+            ent = np.bincount(word_doc, weights=terms,
+                              minlength=len(lens))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_words": pa.array(lens, type=pa.int64()),
+            "tok_entropy": pa.array(np.round(ent, 6), type=pa.float64()),
+        })
+
+    return docs.map_batches(entropy, batch_format="pyarrow")
+
+
+SQL_DOC_ENTROPY = """
+SELECT doc_id, count(w) AS n_words,
+       ROUND_EVEN(entropy(w), 6) AS tok_entropy
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      FROM documents)
+GROUP BY doc_id
+"""
+
+
 def q_dedup_docs(sf_dir: str):
     docs = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
     out = dd.exact_dedup(docs, keys=["text"], order=["doc_id"])
@@ -4809,6 +4864,7 @@ QUERIES = {
     "string_ops_part": q_string_ops_part,
     "json_props": q_json_props,
     "doc_stats": q_doc_stats,
+    "doc_token_entropy": q_doc_token_entropy,
     "dedup_docs": q_dedup_docs,
     "docs_by_lang": q_docs_by_lang,
     "text_clean": q_text_clean,
@@ -4941,6 +4997,7 @@ ORACLE_SQL = {
     "string_ops_part": SQL_STRING_OPS,
     "json_props": SQL_JSON_PROPS,
     "doc_stats": SQL_DOC_STATS,
+    "doc_token_entropy": SQL_DOC_ENTROPY,
     "dedup_docs": SQL_DEDUP_DOCS,
     "docs_by_lang": SQL_DOCS_BY_LANG,
     "text_clean": SQL_TEXT_CLEAN,
