@@ -222,3 +222,52 @@ def test_route_attach_equals_exchange_attach(ray_session, tmp_path,
     assert "__src_rg" not in routed.columns
     _cmp(routed[sorted(exch.columns)], exch[sorted(exch.columns)],
          sorted(exch.columns))
+
+
+def test_route_attach_selective_spine(ray_session, tmp_path, monkeypatch):
+    """On a spine matching a single entity, the provenance-routed attach
+    must still equal the exchange attach — most result rows route to the
+    few row groups holding that entity; absent-entity rows take the
+    null-payload passthrough group."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    events = generate_events(SPEC)
+    spine = generate_spine(SPEC).to_pandas()
+    one = spine[spine["doc_id"] == spine["doc_id"].iloc[0]].head(5)
+    # plus rows for an entity that does not exist at all
+    ghost = one.copy()
+    ghost["doc_id"] = "doc-none"
+    ghost["spine_id"] = ghost["spine_id"] + 10_000
+    sel = pa.Table.from_pandas(
+        __import__("pandas").concat([one, ghost], ignore_index=True),
+        preserve_index=False)
+
+    paths = []
+    n = events.num_rows
+    cuts = np.linspace(0, n, 4).astype(int)
+    for i in range(3):
+        p = str(tmp_path / f"ev-{i}.parquet")
+        pq.write_table(events.slice(cuts[i], cuts[i + 1] - cuts[i]), p,
+                       row_group_size=150)
+        paths.append(p)
+
+    kw = dict(target_rows_per_part=300, sample_rate=1.0,
+              split_hot_keys=False, late_materialize=True,
+              payload_paths=paths)
+    monkeypatch.setenv("FE_ATTACH_MODE", "route")
+    routed = run_token_stack(rd.read_parquet(paths), rd.from_arrow(sel),
+                             **kw).to_pandas()
+    routed = routed.sort_values("spine_id").reset_index(drop=True)
+    monkeypatch.setenv("FE_ATTACH_MODE", "exchange")
+    exch = run_token_stack(rd.read_parquet(paths), rd.from_arrow(sel),
+                           **kw).to_pandas()
+    exch = exch.sort_values("spine_id").reset_index(drop=True)
+
+    assert len(routed) == len(exch) == sel.num_rows
+    # ghost-entity rows got NULL payloads on both paths
+    assert routed.loc[routed["doc_id"] == "doc-none", "tokens"].isna().all()
+    _cmp(routed[sorted(exch.columns)], exch[sorted(exch.columns)],
+         sorted(exch.columns))
