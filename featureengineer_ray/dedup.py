@@ -291,6 +291,16 @@ def verify_jaccard_distributed(
     import ray
 
     if len(pairs_df) == 0:
+        if as_dataset:
+            # keep the contract: downstream (connected_components) gets a
+            # Dataset with the id_a/id_b/jaccard schema even when LSH
+            # surfaced no candidates (ADVICE r4)
+            id_t = docs_ds.schema().field(id_col).type
+            return ray.data.from_arrow(pa.table({
+                "id_a": pa.array([], type=id_t),
+                "id_b": pa.array([], type=id_t),
+                "jaccard": pa.array([], type=pa.float64()),
+            }))
         return pd.DataFrame(columns=["id_a", "id_b", "jaccard"])
     P = n_parts or max(8, min(256, len(pairs_df) // 64 + 1))
     pa_ids = pairs_df["id_a"].to_numpy()
@@ -767,7 +777,7 @@ def embedding_near_dup_pairs(
 
 def connected_components(pairs_ds, *, a_col: str = "id_a",
                          b_col: str = "id_b", max_iters: int = 64,
-                         n_parts: int | None = None):
+                         n_parts: int | None = None, strict: bool = True):
     """Distributed connected components over a near-duplicate PAIR
     DATASET → one ``(id, component)`` row per node, where component is
     the MINIMUM node id in the node's component.
@@ -874,12 +884,18 @@ def connected_components(pairs_ds, *, a_col: str = "id_a",
         if not (out.sum("changed") or 0):
             break
     else:
+        # a diameter-> max_iters graph would otherwise silently yield
+        # wrong component ids that downstream hash checks can't explain
+        # (ADVICE r4): fail loudly unless the caller opted out
+        msg = (f"connected_components: not converged after {max_iters} "
+               "rounds (graph diameter exceeds max_iters); labels are "
+               "an upper bound on component ids")
+        if strict:
+            raise RuntimeError(msg + " — raise max_iters or pass "
+                               "strict=False to accept partial labels")
         import logging
 
-        logging.getLogger(__name__).warning(
-            "connected_components: not converged after %d rounds "
-            "(graph diameter exceeds max_iters); labels are an upper "
-            "bound on component ids", max_iters)
+        logging.getLogger(__name__).warning(msg)
     return labels
 
 

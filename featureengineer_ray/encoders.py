@@ -81,16 +81,19 @@ def target_encode_loo(ds, *, cat_col: str, target_col: str,
         sp = stats.to_pandas()
         import ray
 
+        # sort ONCE on the driver (ADVICE r4): at max_broadcast=2M
+        # categories a per-batch argsort would repeat a 2M-element sort
+        # across the whole scan; the closure only searchsorts
+        _cats = sp[cat_col].to_numpy()
+        _order = np.argsort(_cats, kind="stable")
         cats_ref = ray.put((
-            sp[cat_col].to_numpy(),
-            sp["__te_sum"].to_numpy(dtype=np.float64),
-            sp["__te_cnt"].to_numpy(dtype=np.int64),
+            _cats[_order],
+            sp["__te_sum"].to_numpy(dtype=np.float64)[_order],
+            sp["__te_cnt"].to_numpy(dtype=np.int64)[_order],
         ))
 
         def attach(batch: pa.Table) -> pa.Table:
-            cats, sums, cnts = ray.get(cats_ref)
-            order = np.argsort(cats, kind="stable")
-            cats_s, sums_s, cnts_s = cats[order], sums[order], cnts[order]
+            cats_s, sums_s, cnts_s = ray.get(cats_ref)
             keys = batch.column(cat_col).to_numpy(zero_copy_only=False)
             pos = np.searchsorted(cats_s, keys)
             y = batch.column(target_col).to_numpy(
@@ -170,16 +173,17 @@ def target_encode_smoothed(ds, *, cat_col: str, target_col: str,
     sp = stats.to_pandas()
     import ray
 
+    # driver-side sort once; the per-batch closure only searchsorts
+    _cats = sp[cat_col].to_numpy()
+    _order = np.argsort(_cats, kind="stable")
     cats_ref = ray.put((
-        sp[cat_col].to_numpy(),
-        sp["__te_sum"].to_numpy(dtype=np.float64),
-        sp["__te_cnt"].to_numpy(dtype=np.int64),
+        _cats[_order],
+        sp["__te_sum"].to_numpy(dtype=np.float64)[_order],
+        sp["__te_cnt"].to_numpy(dtype=np.int64)[_order],
     ))
 
     def attach(batch: pa.Table) -> pa.Table:
-        cats, sums, cnts = ray.get(cats_ref)
-        order = np.argsort(cats, kind="stable")
-        cats_s, sums_s, cnts_s = cats[order], sums[order], cnts[order]
+        cats_s, sums_s, cnts_s = ray.get(cats_ref)
         keys = batch.column(cat_col).to_numpy(zero_copy_only=False)
         pos = np.searchsorted(cats_s, keys)
         te = (sums_s[pos] + m * gmean) / (cnts_s[pos] + m)
@@ -206,18 +210,20 @@ def _attach_category_stats(ds, stats, cat_col: str, stat_cols: list[str],
     sp = stats.to_pandas()
     import ray
 
-    ref = ray.put(tuple(sp[c].to_numpy() for c in (cat_col, *stat_cols)))
+    # driver-side sort once; the per-batch closure only searchsorts
+    _cats = sp[cat_col].to_numpy()
+    _order = np.argsort(_cats, kind="stable")
+    ref = ray.put((_cats[_order],
+                   *(sp[c].to_numpy()[_order] for c in stat_cols)))
 
     def attach(batch: pa.Table) -> pa.Table:
         vals = ray.get(ref)
-        cats = vals[0]
-        order = np.argsort(cats, kind="stable")
         pos = np.searchsorted(
-            cats[order],
+            vals[0],
             batch.column(cat_col).to_numpy(zero_copy_only=False))
         b = batch
         for name, col in zip(stat_cols, vals[1:]):
-            b = b.append_column(name, pa.array(col[order][pos]))
+            b = b.append_column(name, pa.array(col[pos]))
         return finish(b)
 
     return ds.map_batches(attach, batch_format="pyarrow")

@@ -1349,7 +1349,15 @@ def feature_stack_late(
     comes from the exact join, so false positives are harmless).
 
     ``payload_paths`` (the events parquet files, when the caller has
-    them): route the payload side through the ROW-GROUP-PRUNED reader —
+    them) CONTRACT: the files must be the UNTRANSFORMED source of
+    ``events`` — both the narrow pre-pass and the payload attach re-read
+    them directly, so any filter/augmentation the caller applied to the
+    passed ``events`` Dataset would be silently ignored. A row-count
+    mismatch between ``events`` and the files raises ValueError; apply
+    row filters by writing filtered parquet first, or pass
+    ``payload_paths=None`` to run the (slower) exchange on the Dataset
+    as given. Routing mechanics: the payload side goes through the
+    ROW-GROUP-PRUNED reader —
     a narrow (key, tiebreak) pre-pass hit-tests every parquet row group
     against the locator and the payload columns are decoded ONLY for row
     groups containing matches (the reference's missing-file re-drive
@@ -1392,6 +1400,22 @@ def feature_stack_late(
     #   the dominant term — switch with FE_ATTACH_MODE=route there.
     route = (payload_paths is not None
              and _os.environ.get("FE_ATTACH_MODE", "exchange") == "route")
+    if payload_paths is not None:
+        # enforce the payload_paths contract (see docstring): the passed
+        # events must be the untransformed read of these files, because
+        # both the narrow pre-pass and the attach re-read them. For a
+        # pure read both counts are metadata-only (cheap).
+        import pyarrow.parquet as _pqv
+
+        file_rows = sum(_pqv.ParquetFile(p).metadata.num_rows
+                        for p in payload_paths)
+        ev_rows = events.count()
+        if ev_rows != file_rows:
+            raise ValueError(
+                f"feature_stack_late: events has {ev_rows} rows but "
+                f"payload_paths holds {file_rows} — the files must be "
+                "the untransformed source of `events` (write filtered "
+                "parquet first, or pass payload_paths=None)")
     rg_items: list[dict] | None = None
     if route:
         # provenance-routed attach: the narrow re-read is per row group
