@@ -1578,12 +1578,88 @@ FROM e GROUP BY label, dim
 """
 
 
+def _lda_query_matrix(d: int = 64, out_dim: int = 8, n_class: int = 5,
+                      seed: int = 47) -> np.ndarray:
+    """Deterministic LDA rotation for the lda_project query: seeded
+    synthetic (Sw, Sb) scatters solved by the SAME whiten+eigh recipe
+    as the streaming trainer (vecops.lda_solve) — so the query checks
+    the distributed broadcast-matmul APPLY against bit-identical .17e
+    constants in SQL (the gmm_stats/plda_scores pattern), while the fit
+    lifecycle stays covered by lda_fit_project + the numpy oracle in
+    tests/test_vecops.py."""
+    from . import vecops
+
+    rng = np.random.default_rng(seed)
+    A = np.round(rng.normal(0.0, 0.2, size=(d, d)), 4)
+    sw = A @ A.T / d + np.eye(d) * 0.5
+    mus = np.round(rng.normal(0.0, 0.5, size=(n_class, d)), 4)
+    mu = mus.mean(axis=0)
+    sb = np.zeros((d, d))
+    for m in mus:
+        sb += np.outer(m - mu, m - mu)
+    return vecops.lda_solve(sw, sb, out_dim)
+
+
 def q_lda_project(sf_dir: str):
-    """LDA lifecycle (the reference's LDA/WCCN rotation,
+    """Broadcast-matrix rotation (M11 — the reference's stored LDA/WCCN
+    rotation applied to every record, ``rotate_stat1``,
+    IVector.py:1336-1343,1508-1517): project every embedding onto a
+    fixed trained (64×8) Fisher matrix, one BLAS matmul per batch with
+    the matrix riding the object store once. Hash-checked: the same
+    matrix columns are embedded in the DuckDB oracle at .17e."""
+    from . import vecops
+
+    mat = _lda_query_matrix()
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = vecops.project(emb, mat, vec_col="embedding", out_col="lda_vec")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        v = vecops.vec_matrix(batch.column("lda_vec"), batch.num_rows)
+        m, k = v.shape if v.size else (batch.num_rows, mat.shape[1])
+        idx = np.repeat(np.arange(m, dtype=np.int64), k)
+        return pa.table({
+            "vec_id": batch.column("vec_id").take(pa.array(idx)),
+            "ld_dim": pa.array(np.tile(np.arange(k, dtype=np.int64), m)),
+            "ld_val": pa.array(np.round(v.reshape(-1), 6)),
+        })
+
+    return out.map_batches(explode, batch_format="pyarrow")
+
+
+def _lda_project_sql() -> str:
+    """Oracle for q_lda_project: the fixed rotation's 8 column vectors
+    serialized at .17e; ld_val = round_even(v · col_j, 6) via one cross
+    join — identical doubles to the broadcast matmul."""
+    mat = _lda_query_matrix()
+
+    def lit(x: float) -> str:
+        return f"{x:.17e}"
+
+    def arr(v) -> str:
+        return "[" + ", ".join(lit(float(x)) for x in v) + "]::DOUBLE[]"
+
+    rows = ",\n    ".join(f"({j}, {arr(mat[:, j])})"
+                          for j in range(mat.shape[1]))
+    return f"""
+WITH m AS (
+  SELECT * FROM (VALUES
+    {rows}
+  ) AS t(j, col)
+)
+SELECT vec_id, CAST(m.j AS BIGINT) AS ld_dim,
+       ROUND_EVEN(list_dot_product(CAST(embedding AS DOUBLE[]), m.col), 6)
+         AS ld_val
+FROM embeddings CROSS JOIN m
+"""
+
+
+def q_lda_fit_project(sf_dir: str):
+    """LDA TRAIN lifecycle (the reference's LDA/WCCN rotation trainer,
     IVector.py:1336-1343): fit the Fisher projection from streaming
     per-class scatter partials, then broadcast-project every embedding
     to 8 dims. Rows-only (eig is not SQL-expressible); lda_fit itself is
-    numpy-oracle-checked in tests/test_vecops.py."""
+    numpy-oracle-checked in tests/test_vecops.py. The APPLY half is
+    hash-checked by q_lda_project."""
     from . import vecops
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
@@ -2248,12 +2324,109 @@ def q_gmm_fit_split(sf_dir: str):
     })
 
 
+def _spectral_query_params(d: int = 64, stages: int = 2, seed: int = 43):
+    """Deterministic (mean, W=chol(cov)⁻ᵀ) stage chain for the
+    spectral_norm query: seeded synthetic covariances factored exactly
+    as estimate_spectral_norm records them, so the query hash-checks
+    the distributed APPLY (two chained project+length-norm stages)
+    against bit-identical .17e constants in SQL; the estimation
+    lifecycle stays covered by spectral_norm_fit + pytest."""
+    rng = np.random.default_rng(seed)
+    params = []
+    for _ in range(stages):
+        mu = np.round(rng.normal(0.0, 0.1, size=d), 4)
+        A = np.round(rng.normal(0.0, 0.2, size=(d, d)), 4)
+        cov = A @ A.T / d + np.eye(d) * 0.5
+        L = np.linalg.cholesky(cov)
+        params.append((mu, np.linalg.inv(L).T))
+    return params
+
+
 def q_spectral_norm(sf_dir: str):
-    """Iterated whitening + length-norm (EFR spectral normalization —
-    the reference's ``estimate_spectral_norm_stat1`` /
-    ``spectral_norm_stat1`` pair, ``IVector.py:1361-1365``): two
-    estimation passes, then the recorded (mean, W) stages applied as one
-    fused stream. Rows-only (corpus-covariance Cholesky is non-SQL)."""
+    """Iterated whitening + length-norm APPLY (EFR spectral
+    normalization — the reference's ``spectral_norm_stat1``,
+    ``IVector.py:1361-1365``): the recorded (mean, W) stages applied as
+    one fused stream — per stage y=(x−μ)·W then y/‖y‖, constants
+    broadcast once. Hash-checked against the same .17e constants
+    expanded stage-by-stage in SQL."""
+    from . import vecops
+
+    params = _spectral_query_params()
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = vecops.spectral_norm(emb, params, vec_col="embedding")
+
+    def final(batch: pa.Table) -> pa.Table:
+        v = vecops.vec_matrix(batch.column("embedding_sn"),
+                              batch.num_rows)
+        if not v.size:
+            v = np.zeros((batch.num_rows, 64))
+        return pa.table({
+            "vec_id": batch.column("vec_id"),
+            "sn_c0": pa.array(np.round(v[:, 0], 6)),
+            "sn_c17": pa.array(np.round(v[:, 17], 6)),
+        })
+
+    return out.map_batches(final, batch_format="pyarrow")
+
+
+def _spectral_norm_sql() -> str:
+    """Oracle for q_spectral_norm: each stage's W columns and bias
+    b = −μ·W at .17e; stage output re-assembled per row with
+    list(y ORDER BY j), length-normalized, chained — same algebra as
+    vecops._apply_spectral_chain."""
+    params = _spectral_query_params()
+
+    def lit(x: float) -> str:
+        return f"{x:.17e}"
+
+    def arr(v) -> str:
+        return "[" + ", ".join(lit(float(x)) for x in v) + "]::DOUBLE[]"
+
+    stage_cte = []
+    prev = "e"
+    for s, (mu, W) in enumerate(params):
+        b = -(mu @ W)
+        rows = ",\n    ".join(f"({j}, {arr(W[:, j])}, {lit(float(b[j]))})"
+                              for j in range(W.shape[1]))
+        stage_cte.append(f"""
+w{s} AS (
+  SELECT * FROM (VALUES
+    {rows}
+  ) AS t(j, col, b)
+),
+y{s} AS (
+  SELECT p.vec_id, w{s}.j,
+         list_dot_product(p.v, w{s}.col) + w{s}.b AS yj
+  FROM {prev} p CROSS JOIN w{s}
+),
+g{s} AS (
+  SELECT vec_id, list(yj ORDER BY j) AS yv,
+         sqrt(sum(yj * yj)) AS nrm
+  FROM y{s} GROUP BY vec_id
+),
+u{s} AS (
+  SELECT vec_id,
+         list_transform(yv, x -> x / (CASE WHEN nrm = 0 THEN 1.0
+                                      ELSE nrm END)) AS v
+  FROM g{s}
+)""")
+        prev = f"u{s}"
+    last = len(params) - 1
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),{",".join(stage_cte)}
+SELECT vec_id, ROUND_EVEN(v[1], 6) AS sn_c0, ROUND_EVEN(v[18], 6) AS sn_c17
+FROM u{last}
+"""
+
+
+def q_spectral_norm_fit(sf_dir: str):
+    """Spectral-norm ESTIMATION lifecycle (the reference's
+    ``estimate_spectral_norm_stat1``, ``IVector.py:1361-1365``): two
+    streaming moment passes fit the (mean, chol⁻ᵀ) stages, then apply.
+    Rows-only (corpus-covariance Cholesky is non-SQL; the apply half is
+    hash-checked by q_spectral_norm, the estimation by pytest)."""
     from . import vecops
 
     def factory():
@@ -2862,6 +3035,51 @@ SELECT doc_id AS media_id,
        round(avg(v), 6) AS px_mean,
        CAST(30 AS BIGINT) AS height,
        CAST(30 AS BIGINT) AS width
+FROM px GROUP BY doc_id
+"""
+
+
+def q_multimodal_png(sf_dir: str):
+    """REAL compressed-image decode end to end: one deterministic
+    synthetic RGB PNG per document (closed-form pixels,
+    ``multimodal.synthetic_image_rgb``), encoded to genuine
+    zlib-deflated non-interlaced 8-bit PNG bytes (per-row filters cycle
+    None/Sub/Up/Average/Paeth), decoded back by the pure-stdlib parser
+    in an actor-pool stage. The SQL oracle recomputes the exact pixel
+    mean AND a position-weighted checksum arithmetically — a decoder
+    that misreads chunks, inflates wrong, mis-unfilters any of the five
+    filter types, or reassembles rows/channels out of order fails the
+    hash. (The reference's analog of hand-parsing a binary format:
+    jyh/Utils.py:22-168.)"""
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    out = multimodal.png_decode_pipeline(docs)
+
+    def final(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "px_mean": pc.round(batch.column("px_mean"), ndigits=6),
+            "px_wsum": batch.column("px_wsum"),
+            "height": batch.column("height"),
+            "width": batch.column("width"),
+            "n_channels": batch.column("n_channels"),
+        })
+
+    return out.map_batches(final, batch_format="pyarrow")
+
+
+SQL_MULTIMODAL_PNG = """
+WITH px AS (
+  SELECT d.doc_id, t.i,
+         ((3 * (t.i // 51) + 7 * ((t.i % 51) // 3) + 11 * d.doc_id
+           + 5 * (t.i % 3)) % 256) AS v
+  FROM documents d, range(1224) t(i)  -- 24 rows x 17 cols x 3 channels
+)
+SELECT doc_id AS media_id,
+       round(avg(v), 6) AS px_mean,
+       CAST(sum(v * (i + 1)) AS BIGINT) AS px_wsum,
+       CAST(24 AS BIGINT) AS height,
+       CAST(17 AS BIGINT) AS width,
+       CAST(3 AS BIGINT) AS n_channels
 FROM px GROUP BY doc_id
 """
 
@@ -4228,6 +4446,33 @@ FROM events JOIN customer ON user_id = c_custkey
 """
 
 
+def q_join_native_tail(sf_dir: str):
+    """Ray's NATIVE distributed hash join, hash-attested in isolation:
+    skew_join with an unreachable hot threshold classifies every key as
+    cold, so the whole join takes the width-8 native hash-shuffle
+    fallback (relational.skew_join's no-hot-keys branch) — the path a
+    100 TB large×large join with a well-behaved key distribution runs
+    on. lineitem×part on the near-uniform l_partkey; full joined rows
+    are emitted (not an aggregate) so partition-boundary row loss or
+    duplication fails the hash."""
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_partkey", "l_quantity"])
+    pt = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+    j = relational.skew_join(li, pt, on="l_partkey",
+                             right_on="p_partkey", num_partitions=8,
+                             hot_row_threshold=1 << 60)
+    j = _round_cols(j, {"l_quantity": 6})
+    return _select(j, ["l_orderkey", "l_partkey", "l_quantity",
+                       "p_brand"])
+
+
+SQL_JOIN_NATIVE_TAIL = """
+SELECT l_orderkey, l_partkey, ROUND_EVEN(l_quantity, 6) AS l_quantity,
+       p_brand
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
 def q_bloom_filtered_revenue(sf_dir: str):
     """Bloom-prefiltered selective join: urgent orders' keys become a
     distributed Bloom bitmap (never a materialized key set); lineitem is
@@ -4830,57 +5075,81 @@ SELECT event_id, ts, user_id, event_type, value FROM events
 # registry
 # --------------------------------------------------------------------------
 
+# NOTE on ordering: the driver's correctness gate checks the FIRST 50
+# entries, so the leading window is a deliberate cross-section of every
+# operator family (asof/window/session core, joins incl. native+skew,
+# rank/sample, sources, text, packing, multimodal, ANN, metrics, vector
+# ops, near-dup/CC, encoders, sketches, and the GMM/PLDA EM tier); every
+# entry in the window has a DuckDB oracle. The remaining SQL-checked
+# queries follow (still verified by scripts/check_queries.py at
+# sf0.001+sf0.01), then the rows-only (non-SQL-expressible) queries.
 QUERIES = {
+    # --- driver window: one green face per family ------------------
     "asof_purchase_click": q_asof_purchase_click,
-    "asof_tolerance_1h": q_asof_tolerance_1h,
     "range_join_1h": q_range_join_1h,
     "window_lag_lead": q_window_lag_lead,
-    "delta_features": q_delta_features,
-    "window_rolling5": q_window_rolling5,
-    "window_rolling_time_1h": q_window_rolling_time_1h,
     "window_rolling_time_stats": q_window_rolling_time_stats,
     "window_fill": q_window_fill,
     "sessionize_30m": q_sessionize_30m,
     "session_stats": q_session_stats,
     "dedup_first_event": q_dedup_first_event,
     "zscore_per_user": q_zscore_per_user,
-    "expanding_zscore": q_expanding_zscore,
     "q1_pricing": q_q1_pricing,
     "grouped_covar": q_grouped_covar,
     "revenue_by_nation": q_revenue_by_nation,
     "top2_orders_per_cust": q_top2_orders_per_cust,
-    "union_dedup_orders": q_union_dedup_orders,
     "cumsum_per_user": q_cumsum_per_user,
     "sample_per_user": q_sample_per_user,
     "csv_roundtrip": q_csv_roundtrip,
-    "json_roundtrip": q_json_roundtrip,
     "join_lineitem_orders": q_join_lineitem_orders,
-    "tumbling_hourly": q_tumbling_hourly,
+    "join_native_tail": q_join_native_tail,
+    "skew_join_events": q_skew_join_events,
     "top10_orders": q_top10_orders,
     "global_rank_orders": q_global_rank_orders,
     "semi_join_customers": q_semi_join_customers,
     "anti_join_customers": q_anti_join_customers,
     "distinct_users_per_type": q_distinct_users_per_type,
     "string_ops_part": q_string_ops_part,
-    "json_props": q_json_props,
+    "ts_calendar": q_ts_calendar,
     "doc_stats": q_doc_stats,
-    "doc_token_entropy": q_doc_token_entropy,
     "dedup_docs": q_dedup_docs,
     "docs_by_lang": q_docs_by_lang,
-    "text_clean": q_text_clean,
     "pack_documents": q_pack_documents,
     "multimodal_meta": q_multimodal_meta,
-    "multimodal_frames": q_multimodal_frames,
+    "multimodal_png": q_multimodal_png,
     "knn_cosine": q_knn_cosine,
-    "embedding_norms": q_embedding_norms,
     "det_curve": q_det_curve,
-    "eer_summary": q_eer_summary,
     "whiten_dims": q_whiten_dims,
     "spectral_norm": q_spectral_norm,
     "lda_project": q_lda_project,
     "class_means": q_class_means,
     "feature_stack_asof": q_feature_stack_asof,
     "vocab_top_terms": q_vocab_top_terms,
+    "tfidf_top_term": q_tfidf_top_term,
+    "contamination": q_contamination,
+    "ngram_jaccard_pairs": q_ngram_jaccard,
+    "dedup_clusters_cc": q_dedup_clusters_cc,
+    "grouped_corr": q_grouped_corr,
+    "target_encode_loo": q_target_encode_loo,
+    "heavy_hitters_terms": q_heavy_hitters_terms,
+    "gmm_stats": q_gmm_stats,
+    "gmm_entity_stats": q_gmm_entity_stats,
+    "plda_scores": q_plda_scores,
+    # --- SQL-checked tail (gate-verified at sf0.001 + sf0.01) ------
+    "asof_tolerance_1h": q_asof_tolerance_1h,
+    "delta_features": q_delta_features,
+    "window_rolling5": q_window_rolling5,
+    "window_rolling_time_1h": q_window_rolling_time_1h,
+    "expanding_zscore": q_expanding_zscore,
+    "union_dedup_orders": q_union_dedup_orders,
+    "json_roundtrip": q_json_roundtrip,
+    "tumbling_hourly": q_tumbling_hourly,
+    "json_props": q_json_props,
+    "doc_token_entropy": q_doc_token_entropy,
+    "text_clean": q_text_clean,
+    "multimodal_frames": q_multimodal_frames,
+    "embedding_norms": q_embedding_norms,
+    "eer_summary": q_eer_summary,
     "bigram_top_terms": q_bigram_top_terms,
     "word_rep_ratio": q_word_rep_ratio,
     "dup_ngram_frac": q_dup_ngram_frac,
@@ -4890,9 +5159,9 @@ QUERIES = {
     "one_hot_event_counts": q_one_hot_event_counts,
     "hop_window_counts": q_hop_window_counts,
     "price_quantile_bins": q_price_quantile_bins,
-    "tfidf_top_term": q_tfidf_top_term,
-    "contamination": q_contamination,
     # rows-only (no SQL oracle)
+    "spectral_norm_fit": q_spectral_norm_fit,
+    "lda_fit_project": q_lda_fit_project,
     "kmeans_embeddings": q_kmeans_embeddings,
     "whiten_embeddings": q_whiten_embeddings,
     "multimodal_thumbs": q_multimodal_thumbs,
@@ -4907,18 +5176,13 @@ QUERIES = {
     "multimodal_decode": q_multimodal_decode,
     "multimodal_audio": q_multimodal_audio,
     "multimodal_video": q_multimodal_video,
-    "ngram_jaccard_pairs": q_ngram_jaccard,
-    "dedup_clusters_cc": q_dedup_clusters_cc,
     "weighted_sample": q_weighted_sample,
     "grouped_skew_kurt": q_grouped_skew_kurt,
-    "grouped_corr": q_grouped_corr,
-    "target_encode_loo": q_target_encode_loo,
     "target_encode_smooth": q_target_encode_smooth,
     "robust_scale_price": q_robust_scale_price,
     "count_encode_custkey": q_count_encode_custkey,
     "minmax_scale_price": q_minmax_scale_price,
     "winsorize_price": q_winsorize_price,
-    "ts_calendar": q_ts_calendar,
     "woe_encode_status": q_woe_encode_status,
     "ordinal_encode_custkey": q_ordinal_encode_custkey,
     "knn_ivf": q_knn_ivf,
@@ -4928,13 +5192,11 @@ QUERIES = {
     "corpus_mixture": q_corpus_mixture,
     "asof_forward": q_asof_forward,
     "approx_distinct_users": q_approx_distinct_users,
-    "heavy_hitters_terms": q_heavy_hitters_terms,
     "approx_percentiles_price": q_approx_percentiles_price,
     "partitioned_roundtrip": q_partitioned_roundtrip,
     "rank_events_per_user": q_rank_events_per_user,
     "asof_nearest": q_asof_nearest,
     "global_percentiles_price": q_global_percentiles_price,
-    "skew_join_events": q_skew_join_events,
     "bloom_filtered_revenue": q_bloom_filtered_revenue,
     "rollup_event_totals": q_rollup_event_totals,
     "cube_event_totals": q_cube_event_totals,
@@ -4950,15 +5212,12 @@ QUERIES = {
     "funnel_click_purchase": q_funnel_click_purchase,
     "unnest_embeddings": q_unnest_embeddings,
     "shuffle_rechunk": q_shuffle_rechunk,
-    "gmm_stats": q_gmm_stats,
     "gmm_assign": q_gmm_assign,
-    "gmm_entity_stats": q_gmm_entity_stats,
     "gmm_fit": q_gmm_fit,
     "gmm_fit_split": q_gmm_fit_split,
     "ivector_project": q_ivector_project,
     "ivector_det": q_ivector_det,
     "mahalanobis_scores": q_mahalanobis_scores,
-    "plda_scores": q_plda_scores,
     "plda_fit_assign": q_plda_fit_assign,
     "flagship_token_stack": flagship_token_stack,
 }
@@ -5069,4 +5328,8 @@ ORACLE_SQL = {
     "gmm_entity_stats": _gmm_entity_stats_sql(),
     "mahalanobis_scores": _mahalanobis_sql(),
     "plda_scores": _plda_sql(),
+    "spectral_norm": _spectral_norm_sql(),
+    "lda_project": _lda_project_sql(),
+    "multimodal_png": SQL_MULTIMODAL_PNG,
+    "join_native_tail": SQL_JOIN_NATIVE_TAIL,
 }

@@ -395,7 +395,19 @@ def lda_fit(ds, *, vec_col: str, label_col: str, out_dim: int,
         nc, mc = cls_n[lab], cls_s[lab] / cls_n[lab]
         sw -= nc * np.outer(mc, mc)
         sb += nc * np.outer(mc - mu, mc - mu)
-    sw += shrink * np.trace(sw) / d * np.eye(d)
+    return lda_solve(sw, sb, out_dim, shrink=shrink)
+
+
+def lda_solve(sw: np.ndarray, sb: np.ndarray, out_dim: int,
+              shrink: float = 1e-6) -> np.ndarray:
+    """Whitened generalized-eig solve of the Fisher criterion from
+    assembled (within, between) scatters → deterministic (d × out_dim)
+    rotation (shared by :func:`lda_fit` and the fixed-model query
+    oracle): shrinkage on Sw's diagonal, Cholesky whitening, eigh of
+    the whitened Sb, eigenvector sign fixed by the max-|component|
+    convention."""
+    d = sw.shape[0]
+    sw = sw + shrink * np.trace(sw) / d * np.eye(d)
     L = np.linalg.cholesky(sw)
     li = np.linalg.inv(L)
     m = li @ sb @ li.T
