@@ -295,7 +295,8 @@ def verify_jaccard_distributed(
             # keep the contract: downstream (connected_components) gets a
             # Dataset with the id_a/id_b/jaccard schema even when LSH
             # surfaced no candidates (ADVICE r4)
-            id_t = docs_ds.schema().field(id_col).type
+            s = docs_ds.schema()  # ray Schema: parallel names/types
+            id_t = dict(zip(s.names, s.types))[id_col]
             return ray.data.from_arrow(pa.table({
                 "id_a": pa.array([], type=id_t),
                 "id_b": pa.array([], type=id_t),
@@ -942,20 +943,80 @@ def resolve_duplicate_clusters(pairs_df: pd.DataFrame,
 
 
 def near_dup_dedup(docs_ds, *, id_col: str, text_col: str,
-                   threshold: float = 0.7, k: int = 5):
+                   threshold: float = 0.7, k: int = 5,
+                   resolve: str = "auto",
+                   driver_pair_cap: int = 1_000_000,
+                   num_partitions: int | None = None):
     """End-to-end near-duplicate DEDUP: MinHash+LSH candidates ->
-    distributed exact shingle-Jaccard verify -> union-find cluster
-    resolution -> broadcast drop-set filter. Keeps the min-id member of
-    each duplicate cluster plus every unclustered document; the corpus
-    streams through filters, only signatures/pairs ever gather."""
+    distributed exact shingle-Jaccard verify -> cluster resolution ->
+    drop-set filter. Keeps the min-id member of each duplicate cluster
+    plus every unclustered document; the corpus streams through
+    filters, only signatures/pairs ever gather.
+
+    Cluster resolution is PLAN-SWITCHED (VERDICT r4 #3): pairs ≪ corpus
+    is the common case (LSH output, threshold-verified) and the driver
+    union-find is cheapest there; but a 100 TB crawl with a high dup
+    rate can make the verified pair graph itself billions of edges, so
+    above ``driver_pair_cap`` verified pairs the resolution routes
+    through the distributed :func:`connected_components` (iterated
+    min-label propagation, edge-sized exchanges) and the drop set never
+    lands on the driver — the survivors come from Ray's native
+    ``left_anti`` hash join instead of a broadcast filter. Both paths
+    keep the MINIMUM id per cluster, so survivor sets are identical
+    (asserted by pytest on a forced-switch fixture).
+
+    ``resolve``: 'auto' (switch on the verified-pair count),
+    'driver' (force union-find), 'distributed' (force CC). The
+    distributed path needs integer ids (hash string ids first — CC
+    propagates int64 min-labels)."""
     import ray
 
+    if resolve not in ("auto", "driver", "distributed"):
+        raise ValueError(f"near_dup_dedup: unknown resolve={resolve!r}")
     cand = minhash_candidate_pairs(docs_ds, id_col=id_col,
                                    text_col=text_col)
     verified = verify_jaccard_distributed(
         docs_ds, cand, id_col=id_col, text_col=text_col, k=k,
-        threshold=threshold)
-    drops = resolve_duplicate_clusters(verified)
+        threshold=threshold, as_dataset=True).materialize()
+    n_pairs = verified.count()
+    if resolve == "auto":
+        s = docs_ds.schema()  # ray Schema: parallel names/types
+        id_type = dict(zip(s.names, s.types))[id_col]
+        resolve = ("distributed"
+                   if n_pairs > driver_pair_cap
+                   and pa.types.is_integer(id_type) else "driver")
+
+    if resolve == "distributed":
+        if n_pairs == 0:
+            return docs_ds
+        labels = connected_components(verified,
+                                      n_parts=num_partitions)
+
+        def to_drops(b: pa.Table) -> pa.Table:
+            node = b.column("node").to_numpy(zero_copy_only=False)
+            lab = b.column("label").to_numpy(zero_copy_only=False)
+            return pa.table({id_col: pa.array(node[node != lab])})
+
+        from .encoders import _join_partitions
+        from .relational import drop_empty_blocks
+
+        # materialize + drop_empty_blocks: the drop set is drops-sized
+        # (≪ corpus) and per-cluster keepers yield 0-row outputs, whose
+        # blocks crash Ray's hash-shuffle join when scheduled first
+        # (see relational.drop_empty_blocks); the width is capped at
+        # the CPU count (a wider Ray hash join deadlocks — see
+        # encoders._join_partitions)
+        drops_ds = drop_empty_blocks(labels.map_batches(
+            to_drops, batch_format="pyarrow").materialize())
+        if drops_ds.count() == 0:
+            return docs_ds
+
+        return docs_ds.join(
+            drops_ds, join_type="left_anti",
+            num_partitions=num_partitions or _join_partitions(),
+            on=(id_col,), right_on=(id_col,))
+
+    drops = resolve_duplicate_clusters(verified.to_pandas())
     drop_sorted = ray.put(np.sort(drops["id"].to_numpy()))
 
     def keep_filter(batch: pa.Table) -> pa.Table:

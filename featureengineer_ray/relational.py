@@ -664,6 +664,44 @@ def _estimate_hot_keys(left, on: str, *, sample_rate: float,
     return uniq[est_rows > hot_row_threshold]
 
 
+def drop_empty_blocks(mat_ds):
+    """Rebuild a MATERIALIZED Dataset without its 0-row blocks.
+
+    Works around a Ray 2.49 hash-shuffle defect: a 0-row input block
+    short-circuits the shuffle task before partitioning
+    (`hash_shuffle.py:223`), so when the FIRST block scheduled for a
+    join side is empty, the schema-carrying empty shards are never
+    fanned out (the driver still flips `_has_schemas_broadcasted`) and
+    any aggregator partition that receives no real rows for that side
+    builds a column-less table — pyarrow's join then fails with
+    "No match ... for key field reference ... on right side". Small
+    filter-derived join sides (a dedup drop set, a stats table) hit
+    this nondeterministically; block-ordering luck decides.
+
+    Metadata-only driver work: block num_rows come from the ref-bundle
+    metadata, payloads never leave the object store. The input must be
+    materialized (callers of the native join materialize small sides
+    anyway, to pin the schema); returns it unchanged when no block is
+    empty. An ALL-empty dataset is returned as-is — callers must
+    short-circuit that case themselves (see skew_join's guard)."""
+    import ray.data as _rd
+
+    refs, empties = [], 0
+    for bundle in mat_ds.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows == 0:
+                empties += 1
+            else:
+                refs.append(ref)
+    if empties == 0 or not refs:
+        return mat_ds
+    out = _rd.from_arrow_refs(refs)
+    # the materialized source owns the block objects; tie its lifetime
+    # to the rebuilt dataset so the refs stay pinned
+    out._fe_backing = mat_ds
+    return out
+
+
 def skew_join(left, right, *, on: str, right_on: str,
               num_partitions: int = 16,
               hot_row_threshold: int | None = None,

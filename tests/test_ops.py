@@ -694,6 +694,67 @@ def test_near_dup_dedup_keeps_min_id_per_cluster(rd):
     assert kept == [10, 20, 30]
 
 
+def test_near_dup_dedup_plan_switch_same_survivors(rd):
+    """Forced-switch fixture (VERDICT r4 #3): the driver union-find
+    path and the distributed connected-components + left_anti path
+    must produce the SAME survivor set; auto mode with a zero pair
+    cap takes the distributed route on integer ids."""
+    base1 = ("the quick brown fox jumps over the lazy dog and then "
+             "runs far away into the deep dark forest tonight") * 3
+    base2 = ("streaming arrow batches through the ray object store "
+             "with backpressure keeps the pipeline memory bounded") * 3
+    texts = [base1, base1 + " extra", base1 + " other tail",
+             base2, base2 + " coda",
+             "completely unrelated content about parquet row groups "
+             "and column pruning for hundred terabyte scans"]
+    t = pa.table({"doc_id": pa.array([10, 11, 12, 20, 21, 30],
+                                     type=pa.int64()),
+                  "text": pa.array(texts)})
+    ds = rd.from_arrow(t)
+    kw = dict(id_col="doc_id", text_col="text", threshold=0.5)
+    drv = sorted(r["doc_id"] for r in dd.near_dup_dedup(
+        ds, resolve="driver", **kw).take_all())
+    dist = sorted(r["doc_id"] for r in dd.near_dup_dedup(
+        ds, resolve="distributed", **kw).take_all())
+    auto = sorted(r["doc_id"] for r in dd.near_dup_dedup(
+        ds, driver_pair_cap=0, **kw).take_all())
+    assert drv == dist == auto == [10, 20, 30]
+    # distributed path preserves non-key columns and full rows
+    cols = dd.near_dup_dedup(ds, resolve="distributed",
+                             **kw).schema().names
+    assert set(cols) == {"doc_id", "text"}
+    with pytest.raises(ValueError):
+        dd.near_dup_dedup(ds, resolve="bogus", **kw)
+
+
+def test_drop_empty_blocks_unpoisons_native_join(rd):
+    """Regression for the Ray 2.49 hash-shuffle defect: a 0-row block
+    scheduled FIRST on the right side of a native join skips the
+    schema broadcast and crashes pyarrow's join in partitions that got
+    no real rows. drop_empty_blocks must strip the empties (metadata
+    only) and leave row content intact."""
+    import ray
+    from featureengineer_ray.relational import drop_empty_blocks
+
+    b0 = pa.table({"k": pa.array([], type=pa.int64())})
+    b1 = pa.table({"k": pa.array([12], type=pa.int64())})
+    b2 = pa.table({"k": pa.array([11, 21], type=pa.int64())})
+    right = drop_empty_blocks(rd.from_arrow([b0, b1, b2]).materialize())
+    sizes = [m.num_rows for bu in right.iter_internal_ref_bundles()
+             for _, m in bu.blocks]
+    assert sorted(sizes) == [1, 2]
+    left = rd.from_arrow(pa.table(
+        {"k": pa.array([10, 11, 12, 20, 21, 30], type=pa.int64())}))
+    out = left.join(right, join_type="left_anti", num_partitions=4,
+                    on=("k",), right_on=("k",))
+    assert sorted(r["k"] for r in out.take_all()) == [10, 20, 30]
+    # no empties → returned unchanged; all-empty → returned as-is
+    clean = rd.from_arrow([b1, b2]).materialize()
+    assert drop_empty_blocks(clean) is clean
+    allempty = rd.from_arrow([b0]).materialize()
+    assert drop_empty_blocks(allempty) is allempty
+
+
 def test_tfidf_top_term_matches_naive(rd):
     texts = ["apple banana apple cherry", "banana banana date",
              "cherry date egg egg egg", "apple egg"]
