@@ -12,6 +12,12 @@ Runs the headline pipelines and prints ONE JSON line:
 - `--scaling`: runs the headline in TWO fresh processes at num_cpus=8 and 32
   on the same input and reports both throughputs + scaling efficiency
   (T8/T32/4 in rows/sec terms). Evidence for the N→4N criterion.
+  `--scaling --cold` evicts the input from the page cache before every
+  rep (first-pass-over-new-data model); the job then pays its own
+  distributed prefetch inside the timed region (ioutil.prefetch_files).
+- suite mode times a pinned canary query (doc_stats) FIRST and emits
+  `queries_canary_ratio`: window drift moves every ratio together, a
+  real regression moves one.
 
 This script OWNS its Ray session (init/shutdown); library code never does.
 """
@@ -94,12 +100,30 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                 while fh.read(1 << 24):
                     pass
 
-    _warm(paths["events"])
-    _warm(paths["spine"])
-    rd.read_parquet(paths["events"]).count()
+    cold = os.environ.get("FE_BENCH_COLD") == "1"
+    if not cold:
+        _warm(paths["events"])
+        _warm(paths["spine"])
+        rd.read_parquet(paths["events"]).count()
 
     results: dict[str, float] = {}
     extras: dict[str, float] = {}
+
+    if os.environ.get("FE_BENCH_HEADLINE") != "1":
+        # same-window canary (VERDICT r4 #5): one pinned query timed
+        # FIRST, so every suite number can be normalized by it. The
+        # VM's cross-window drift is ~1.5-1.8× on identical code and
+        # moves every query together; a real regression moves ONE
+        # query's canary ratio. Judged against BASELINE.md's canary
+        # column, not absolute seconds.
+        from featureengineer_ray import queries as _Qc
+
+        t0 = time.time()
+        for _ in _Qc.q_doc_stats(sf_dir).iter_batches(
+                batch_size=65536, batch_format="pyarrow"):
+            pass
+        extras["canary"] = {"name": "doc_stats",
+                            "sec": round(time.time() - t0, 3)}
 
     import shutil
 
@@ -124,13 +148,28 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     times = []
     n_out = 0
     out_dir = f"/tmp/fe_bench_out_{num_cpus}"
+    from featureengineer_ray.ioutil import evict_files, prefetch_files
+
     for _ in range(reps):
         ev = rd.read_parquet(paths["events"], override_num_blocks=n_blocks)
         sp = rd.read_parquet(paths["spine"],
                              override_num_blocks=max(2 * num_cpus,
                                                      n_blocks // 4))
         shutil.rmtree(out_dir, ignore_errors=True)
+        if cold:
+            # cold protocol: every rep pays the first pass over NEW
+            # bytes — evict (untimed), then the job's own distributed
+            # prefetch (TIMED) faults them at aggregate bandwidth.
+            # Without the prefetch, cold parquet scans page in at queue
+            # depth 1 (~200 MB/s, a width-independent floor — see
+            # ioutil); with it the cluster reads its shard once,
+            # sequentially, in parallel, and every later phase (narrow
+            # pre-pass, payload attach) hits the page cache.
+            evict_files(paths["events"])
+            evict_files(paths["spine"])
         t0 = time.time()
+        if cold:
+            prefetch_files([paths["events"], paths["spine"]])
         # late materialization (tokens never enter the all-to-all) wins
         # once the payload bytes dominate the exchange: measured 24M rows
         # @8cpu eager 597s vs late 245s. Small corpora keep the eager
@@ -209,13 +248,20 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "sf": sf_dir,
         "num_cpus": num_cpus,
     }
+    if "canary" in extras:
+        c = extras["canary"]["sec"]
+        out["queries_canary_ratio"] = {
+            k: round(v / c, 2) for k, v in results.items()}
     out.update(extras)
     return out
 
 
 def run_subprocess(ncpu: int, bench_reps: int | None = None,
-                   retries: int = 1, log_tag: str | None = None) -> dict:
+                   retries: int = 1, log_tag: str | None = None,
+                   cold: bool = False) -> dict:
     env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), FE_BENCH_HEADLINE="1")
+    if cold:
+        env["FE_BENCH_COLD"] = "1"
     if bench_reps is not None:
         env["FE_BENCH_REPS"] = str(bench_reps)
     for attempt in range(retries + 1):
@@ -242,7 +288,7 @@ def run_subprocess(ncpu: int, bench_reps: int | None = None,
         f"bench subprocess (cpus={ncpu}) failed after {retries + 1} attempts")
 
 
-def run_scaling() -> dict:
+def run_scaling(cold: bool = False) -> dict:
     """Reproducible scaling protocol (VERDICT r2 #2 — one sample is not a
     claim): R fresh-process reps per side, INTERLEAVED lo/hi/lo/hi so
     substrate drift (page cache, thermal, neighbor load) hits both sides
@@ -275,7 +321,8 @@ def run_scaling() -> dict:
             first = False
             loads.append(round(os.getloadavg()[0], 2))
             r = run_subprocess(side, bench_reps=inner,
-                               log_tag=f"rep{rep_i}_cpu{side}")
+                               log_tag=f"rep{rep_i}_cpu{side}",
+                               cold=cold)
             tputs[side].append(r["headline_rows_per_sec"])
             secs[side].append(r["queries"]["flagship_token_stack"])
             rows = r["headline_rows"]
@@ -304,6 +351,7 @@ def run_scaling() -> dict:
         "scaling_efficiency_per_pair": eff_pairs,
         "loadavg_before_reps": loads,
         "machine_idle": all(ld < 2.0 for ld in loads),
+        "protocol": "cold" if cold else "warm",
     }
 
 
@@ -311,7 +359,10 @@ def main():
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
+        # --cold: evict inputs before every rep; each rep's timed
+        # region then includes the job's own distributed prefetch
+        # (first-pass-over-new-data model; see ioutil)
+        print(json.dumps(run_scaling(cold="--cold" in sys.argv)))
         return
     print(json.dumps(run_bench(sf_dir, num_cpus)))
 
