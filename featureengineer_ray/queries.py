@@ -4473,6 +4473,82 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 """
 
 
+def q_htk_roundtrip(sf_dir: str):
+    """S9 true binary feature-file source/sink (the reference's one real
+    hand-written binary format — HTK, jyh/Utils.py:22-168): embeddings
+    become one HTK file per utterance bucket (utt = vec_id % 16, frames
+    ordered by vec_id) via a distributed map_groups sink, are read back
+    with htk.read_htk (ray.data.read_binary_files → one vectorized
+    frombuffer decode per file), and exploded to (utt, frame, dim, val).
+    The payload is float32 at both ends, so the round trip is LOSSLESS
+    and the DuckDB oracle — which never touches the binary files —
+    matches bit-exactly. Workers write to a shared filesystem path; on a
+    real cluster that is the distributed store the corpus lives on."""
+    import os as _os
+    import shutil as _shutil
+
+    from . import htk
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out_dir = f"/tmp/fe_htk_{abs(hash(sf_dir)) % 10**8}"
+    _shutil.rmtree(out_dir, ignore_errors=True)
+    _os.makedirs(out_dir, exist_ok=True)
+
+    def add_utt(b: pa.Table) -> pa.Table:
+        v = b.column("vec_id").to_numpy(zero_copy_only=False)
+        return b.append_column("__utt", pa.array(v % 16))
+
+    def write_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id", kind="stable")
+        utt = int(g["__utt"].iloc[0])
+        mat = np.stack(g["embedding"].to_numpy())
+        htk.write_htk(_os.path.join(out_dir, f"{utt:02d}.htk"), mat)
+        return pd.DataFrame({"utt": [utt], "n_frames": [len(g)]})
+
+    (emb.map_batches(add_utt, batch_format="pyarrow")
+        .groupby("__utt")
+        .map_groups(write_group, batch_format="pandas")).materialize()
+
+    ds = htk.read_htk(out_dir)
+
+    def explode(b: pa.Table) -> pa.Table:
+        b = b.combine_chunks()
+        feat = b.column("feat")
+        fc = feat.chunk(0) if feat.num_chunks else pa.array(
+            [], type=pa.list_(pa.float32()))
+        vals = fc.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        lens = np.diff(fc.offsets.to_numpy())
+        cum = np.cumsum(lens) - lens
+        dim = np.arange(len(vals), dtype=np.int64) - np.repeat(cum, lens)
+        return pa.table({
+            "utt": pa.array(np.repeat(
+                b.column("utt").to_numpy(zero_copy_only=False), lens),
+                type=pa.string()),
+            "frame": pa.array(np.repeat(
+                b.column("frame").to_numpy(zero_copy_only=False)
+                .astype(np.int64), lens)),
+            "dim": pa.array(dim),
+            "val": pa.array(vals, type=pa.float64()),
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+SQL_HTK_ROUNDTRIP = """
+WITH base AS (
+  SELECT printf('%02d', CAST(vec_id % 16 AS INTEGER)) AS utt,
+         CAST(ROW_NUMBER() OVER (PARTITION BY vec_id % 16
+                                 ORDER BY vec_id) - 1 AS BIGINT) AS frame,
+         embedding
+  FROM embeddings
+)
+SELECT utt, frame,
+       CAST(UNNEST(range(len(embedding))) AS BIGINT) AS dim,
+       CAST(UNNEST(embedding) AS DOUBLE) AS val
+FROM base
+"""
+
+
 def q_bloom_filtered_revenue(sf_dir: str):
     """Bloom-prefiltered selective join: urgent orders' keys become a
     distributed Bloom bitmap (never a materialized key set); lineitem is
@@ -5103,6 +5179,7 @@ QUERIES = {
     "csv_roundtrip": q_csv_roundtrip,
     "join_lineitem_orders": q_join_lineitem_orders,
     "join_native_tail": q_join_native_tail,
+    "htk_roundtrip": q_htk_roundtrip,
     "skew_join_events": q_skew_join_events,
     "top10_orders": q_top10_orders,
     "global_rank_orders": q_global_rank_orders,
@@ -5332,4 +5409,5 @@ ORACLE_SQL = {
     "lda_project": _lda_project_sql(),
     "multimodal_png": SQL_MULTIMODAL_PNG,
     "join_native_tail": SQL_JOIN_NATIVE_TAIL,
+    "htk_roundtrip": SQL_HTK_ROUNDTRIP,
 }

@@ -755,6 +755,71 @@ def test_drop_empty_blocks_unpoisons_native_join(rd):
     assert drop_empty_blocks(allempty) is allempty
 
 
+def test_htk_roundtrip_lossless(tmp_path):
+    """float32 HTK write→decode is bit-exact; header fields survive."""
+    from featureengineer_ray import htk
+
+    rng = np.random.default_rng(7)
+    mat = rng.standard_normal((13, 5)).astype(np.float32)
+    p = str(tmp_path / "a.htk")
+    htk.write_htk(p, mat, samp_period=625, parm_kind=htk.PARM_MFCC)
+    with open(p, "rb") as f:
+        data, hdr = htk.decode_htk(f.read())
+    assert np.array_equal(data, mat)
+    assert hdr == {"n_samples": 13, "samp_period": 625, "n_features": 5,
+                   "kind": "MFCC", "qualifiers": ""}
+
+
+def test_htk_compressed_and_int16_decode(tmp_path):
+    """_C compressed round-trips within quantization error; WAVEFORM
+    int16 decodes with the 1/32767 scale; _V raises."""
+    import struct
+
+    from featureengineer_ray import htk
+
+    rng = np.random.default_rng(11)
+    mat = (rng.standard_normal((40, 3)) * 10).astype(np.float32)
+    p = str(tmp_path / "c.htk")
+    htk.write_htk_compressed(p, mat)
+    with open(p, "rb") as f:
+        data, hdr = htk.decode_htk(f.read())
+    assert hdr["kind"] == "MFCC" and "C" in hdr["qualifiers"]
+    assert hdr["n_samples"] == 40
+    span = mat.max(axis=0) - mat.min(axis=0)
+    assert np.abs(data - mat).max() <= (span / (2 * 32767)).max() * 1.01
+
+    wav = np.array([[32767], [-32767], [0], [16384]], dtype=np.int16)
+    buf = struct.pack(">iihh", 4, 625, 2, 0) + wav.astype(">i2").tobytes()
+    data, hdr = htk.decode_htk(buf)
+    assert hdr["kind"] == "WAVEFORM" and hdr["n_features"] == 1
+    np.testing.assert_allclose(
+        data.ravel(), wav.ravel() / 32767.0, rtol=1e-6)
+
+    vq = struct.pack(">iihh", 1, 625, 4, 9 | 0o40000) + b"\x00" * 4
+    with pytest.raises(NotImplementedError):
+        htk.decode_htk(vq)
+
+
+def test_read_htk_distributed(rd, tmp_path):
+    """read_htk fans out over files and emits per-frame rows with the
+    utterance id taken from the filename."""
+    from featureengineer_ray import htk
+
+    rng = np.random.default_rng(3)
+    mats = {"utt_a": rng.standard_normal((4, 3)).astype(np.float32),
+            "utt_b": rng.standard_normal((2, 3)).astype(np.float32)}
+    for name, m in mats.items():
+        htk.write_htk(str(tmp_path / f"{name}.htk"), m)
+    rows = htk.read_htk(str(tmp_path)).take_all()
+    assert len(rows) == 6
+    by_utt = {}
+    for r in rows:
+        by_utt.setdefault(r["utt"], {})[r["frame"]] = r["feat"]
+    for name, m in mats.items():
+        got = np.stack([by_utt[name][i] for i in range(m.shape[0])])
+        assert np.array_equal(got.astype(np.float32), m)
+
+
 def test_tfidf_top_term_matches_naive(rd):
     texts = ["apple banana apple cherry", "banana banana date",
              "cherry date egg egg egg", "apple egg"]
