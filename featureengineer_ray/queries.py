@@ -5165,7 +5165,6 @@ QUERIES = {
     "range_join_1h": q_range_join_1h,
     "window_lag_lead": q_window_lag_lead,
     "window_rolling_time_stats": q_window_rolling_time_stats,
-    "window_fill": q_window_fill,
     "sessionize_30m": q_sessionize_30m,
     "session_stats": q_session_stats,
     "dedup_first_event": q_dedup_first_event,
@@ -5190,7 +5189,6 @@ QUERIES = {
     "ts_calendar": q_ts_calendar,
     "doc_stats": q_doc_stats,
     "dedup_docs": q_dedup_docs,
-    "docs_by_lang": q_docs_by_lang,
     "pack_documents": q_pack_documents,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_png": q_multimodal_png,
@@ -5212,8 +5210,11 @@ QUERIES = {
     "gmm_stats": q_gmm_stats,
     "gmm_entity_stats": q_gmm_entity_stats,
     "plda_scores": q_plda_scores,
+    "train_val_split": q_train_val_split,
     # --- SQL-checked tail (gate-verified at sf0.001 + sf0.01) ------
     "asof_tolerance_1h": q_asof_tolerance_1h,
+    "window_fill": q_window_fill,
+    "docs_by_lang": q_docs_by_lang,
     "delta_features": q_delta_features,
     "window_rolling5": q_window_rolling5,
     "window_rolling_time_1h": q_window_rolling_time_1h,
@@ -5265,7 +5266,6 @@ QUERIES = {
     "knn_ivf": q_knn_ivf,
     "knn_ivf_index": q_knn_ivf_index,
     "embedding_near_dup": q_embedding_near_dup,
-    "train_val_split": q_train_val_split,
     "corpus_mixture": q_corpus_mixture,
     "asof_forward": q_asof_forward,
     "approx_distinct_users": q_approx_distinct_users,
