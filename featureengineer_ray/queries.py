@@ -1244,6 +1244,35 @@ GROUP BY doc_id
 """
 
 
+def q_unigram_logprob(sf_dir: str):
+    """Perplexity-proxy quality score: per-doc mean log-probability
+    under the corpus's own unigram LM, plus the stopword ratio (the
+    CCNet-style LM filter + boilerplate detector, each hash-checked
+    against a pure-SQL recomputation of the same LM)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return text.unigram_logprob(docs)
+
+
+def _sql_unigram_logprob() -> str:
+    stoplist = ", ".join(f"'{w}'" for w in text.STOPWORDS_EN)
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+freq AS (SELECT w, count(*)::BIGINT AS c FROM words GROUP BY w),
+tot AS (SELECT sum(c)::DOUBLE AS t FROM freq)
+SELECT doc_id,
+       count(*)::BIGINT AS n_words,
+       ROUND_EVEN(avg(ln(c::DOUBLE / t)), 6) AS logprob,
+       ROUND_EVEN(avg(CASE WHEN w IN ({stoplist}) THEN 1.0 ELSE 0.0 END),
+                  6) AS stop_ratio
+FROM words JOIN freq USING (w) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
+SQL_UNIGRAM_LOGPROB = _sql_unigram_logprob()
+
+
 def q_dedup_docs(sf_dir: str):
     docs = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
     out = dd.exact_dedup(docs, keys=["text"], order=["doc_id"])
@@ -5224,6 +5253,7 @@ QUERIES = {
     "tumbling_hourly": q_tumbling_hourly,
     "json_props": q_json_props,
     "doc_token_entropy": q_doc_token_entropy,
+    "unigram_logprob": q_unigram_logprob,
     "text_clean": q_text_clean,
     "multimodal_frames": q_multimodal_frames,
     "embedding_norms": q_embedding_norms,
@@ -5334,6 +5364,7 @@ ORACLE_SQL = {
     "json_props": SQL_JSON_PROPS,
     "doc_stats": SQL_DOC_STATS,
     "doc_token_entropy": SQL_DOC_ENTROPY,
+    "unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "dedup_docs": SQL_DEDUP_DOCS,
     "docs_by_lang": SQL_DOCS_BY_LANG,
     "text_clean": SQL_TEXT_CLEAN,

@@ -769,3 +769,161 @@ def clean_text_batch(batch: pa.Table, *, text_col: str = "text",
     out = out.append_column("n_redacted", n_redacted.cast(pa.int64()))
     return out.append_column("n_chars_clean",
                              pc.utf8_length(collapsed).cast(pa.int64()))
+
+
+# a small fixed English stopword list, shared verbatim with the SQL
+# oracle (queries.SQL_UNIGRAM_LOGPROB builds its IN-list from this)
+STOPWORDS_EN = ("the", "a", "an", "and", "or", "of", "to", "in", "is",
+                "it", "that", "for", "on", "with", "as", "at", "by")
+
+
+def unigram_logprob(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                    stopwords: tuple[str, ...] = STOPWORDS_EN,
+                    max_broadcast_terms: int = 2_000_000):
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram LM — the classic perplexity-proxy quality score (low mean
+    log-prob = rare-word soup / OCR noise; CCNet-style filtering uses
+    exactly this shape) — plus the stopword ratio (boilerplate / list
+    detector). Tokens are literal-space splits (SQL ``string_split``
+    parity; empties kept, so every doc has ≥1 token).
+
+    Two passes, nothing word-sized ever shuffles:
+
+    1. corpus unigram counts: per-batch ``np.unique`` partials →
+       one O(vocab × batches) exchange (``relational.grouped_agg``).
+    2. score: vocab ≤ ``max_broadcast_terms`` → the (term, ln p) table
+       is broadcast once (``ray.put``, driver-sorted, per-batch
+       searchsorted only); larger vocab → fully distributed: per-batch
+       (doc, term, tf) triples hash-join the count table on term, then
+       one grouped-sum exchange per doc. Same plan-switch stance as
+       :func:`tfidf_top_term`.
+    """
+    import ray
+
+    from . import relational
+    from .partition import hash_shuffle_width
+
+    def _doc_tokens(batch: pa.Table):
+        words = pc.split_pattern(batch.column(text_col), pattern=" ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        lens = np.asarray(pc.list_value_length(words), dtype=np.int64)
+        flat = words.flatten().to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        return flat, doc_idx, lens
+
+    def _count_partial(batch: pa.Table) -> pa.Table:
+        flat, _, _ = _doc_tokens(batch)
+        if len(flat) == 0:
+            return pa.table({"term": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        uniq, counts = np.unique(flat, return_counts=True)
+        return pa.table({"term": pa.array(uniq, type=pa.string()),
+                         "n": pa.array(counts.astype(np.int64))})
+
+    # materialize the vocab-sized count table ONCE: it is consumed up to
+    # three times (count, sum, broadcast/join) and a lazy Dataset would
+    # re-run the whole corpus scan for each
+    freq = relational.grouped_agg(
+        ds.map_batches(_count_partial, batch_format="pyarrow"),
+        ["term"], {"n": ("n", "sum")}).materialize()
+    n_terms = freq.count()
+    total = float(freq.sum("n") or 0)
+    stop_sorted = np.sort(np.array(stopwords, dtype=object))
+
+    def _finish_tbl(ids, n_words, sum_lp, n_stop) -> pa.Table:
+        n = n_words.astype(np.float64)
+        return pa.table({
+            id_col: ids,
+            "n_words": pa.array(n_words.astype(np.int64)),
+            "logprob": pa.array(np.round(sum_lp / n, 6)),
+            "stop_ratio": pa.array(np.round(n_stop / n, 6)),
+        })
+
+    if n_terms <= max_broadcast_terms:
+        # broadcast (term-hash, ln p) sorted by hash ONCE on the driver;
+        # the per-batch lookup is a pure-C int64 searchsorted (object-
+        # array searchsorted would do Python compares per token). Every
+        # token is in the vocab by construction; distinct terms
+        # colliding at 64 bits is negligible and the oracle is the check.
+        from .hashing import hash_str_array
+
+        fp = freq.to_pandas()
+        th = hash_str_array(fp["term"].to_numpy(dtype=object))
+        order = np.argsort(th, kind="stable")
+        logp = np.log(fp["n"].to_numpy(dtype=np.float64) / total)
+        ref = ray.put((th[order], logp[order]))
+
+        def _score(batch: pa.Table) -> pa.Table:
+            th_s, logp_s = ray.get(ref)
+            flat, doc_idx, lens = _doc_tokens(batch)
+            pos = np.searchsorted(th_s, hash_str_array(flat))
+            sum_lp = np.bincount(doc_idx, weights=logp_s[pos],
+                                 minlength=len(lens))
+            is_stop = (np.isin(flat, stop_sorted).astype(np.float64)
+                       if len(stop_sorted)
+                       else np.zeros(len(flat), dtype=np.float64))
+            n_stop = np.bincount(doc_idx, weights=is_stop,
+                                 minlength=len(lens))
+            return _finish_tbl(batch.column(id_col), lens, sum_lp, n_stop)
+
+        return ds.map_batches(_score, batch_format="pyarrow")
+
+    # distributed plan: (doc, term, tf, stop_tf) ⋈ freq on term,
+    # then one grouped-sum exchange per doc_id
+    def _tf_rows(batch: pa.Table) -> pa.Table:
+        flat, doc_idx, _ = _doc_tokens(batch)
+        if len(flat) == 0:
+            return pa.table({
+                id_col: batch.column(id_col).slice(0, 0),
+                "term": pa.array([], type=pa.string()),
+                "tf": pa.array([], type=pa.int64()),
+                "stop_tf": pa.array([], type=pa.int64())})
+        order = np.lexsort((flat, doc_idx))
+        di, ws = doc_idx[order], flat[order]
+        new = np.empty(len(di), dtype=bool)
+        new[0] = True
+        new[1:] = (di[1:] != di[:-1]) | (ws[1:] != ws[:-1])
+        starts = np.flatnonzero(new)
+        tf = np.diff(np.append(starts, len(di))).astype(np.int64)
+        stop = (np.isin(ws[starts], stop_sorted).astype(np.int64) * tf
+                if len(stop_sorted) else np.zeros(len(starts), np.int64))
+        return pa.table({
+            id_col: batch.column(id_col).take(pa.array(di[starts])),
+            "term": pa.array(ws[starts], type=pa.string()),
+            "tf": pa.array(tf),
+            "stop_tf": pa.array(stop),
+        })
+
+    tf_ds = ds.map_batches(_tf_rows, batch_format="pyarrow")
+    n_docs = ds.count()
+    P = hash_shuffle_width(max(n_docs, 1) * 64, 1_000_000)
+    joined = tf_ds.join(freq, join_type="inner", num_partitions=P,
+                        on=("term",))
+
+    def _terms_part(batch: pa.Table) -> pa.Table:
+        tf = batch.column("tf").to_numpy(zero_copy_only=False)
+        c = batch.column("n").to_numpy(zero_copy_only=False)
+        lp = tf.astype(np.float64) * np.log(c.astype(np.float64) / total)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "tf": batch.column("tf"),
+            "stop_tf": batch.column("stop_tf"),
+            "lp": pa.array(lp),
+        })
+
+    per_doc = relational.grouped_agg(
+        joined.map_batches(_terms_part, batch_format="pyarrow"),
+        [id_col],
+        {"n_words": ("tf", "sum"), "sum_lp": ("lp", "sum"),
+         "n_stop": ("stop_tf", "sum")})
+
+    def _fin(batch: pa.Table) -> pa.Table:
+        return _finish_tbl(
+            batch.column(id_col),
+            batch.column("n_words").to_numpy(zero_copy_only=False),
+            batch.column("sum_lp").to_numpy(zero_copy_only=False),
+            batch.column("n_stop").to_numpy(
+                zero_copy_only=False).astype(np.float64))
+
+    return per_doc.map_batches(_fin, batch_format="pyarrow")

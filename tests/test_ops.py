@@ -1600,3 +1600,42 @@ def test_weighted_sample_matches_naive(rd):
     gs = set(map(tuple, got[["source", "doc_id"]].itertuples(index=False)))
     ws = set(map(tuple, want[["source", "doc_id"]].itertuples(index=False)))
     assert gs == ws
+
+
+def _naive_unigram_logprob(texts, stopwords):
+    import math
+    from collections import Counter
+
+    all_words = [w for t in texts for w in t.split(" ")]
+    c = Counter(all_words)
+    total = float(len(all_words))
+    out = {}
+    for i, t in enumerate(texts):
+        ws = t.split(" ")
+        lp = sum(math.log(c[w] / total) for w in ws) / len(ws)
+        sr = sum(1.0 for w in ws if w in stopwords) / len(ws)
+        out[i] = (len(ws), round(lp, 6), round(sr, 6))
+    return out
+
+
+@pytest.mark.parametrize("max_bcast", [2_000_000, 1])
+def test_unigram_logprob_both_plans(rd, max_bcast):
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "a completely different document with rare words",
+        "the the the the repeated boilerplate the the",
+        "x",
+        "",  # empty text → one empty token, still scored
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts)})
+    got = text.unigram_logprob(
+        rd.from_arrow(t).repartition(3),
+        max_broadcast_terms=max_bcast).to_pandas()
+    want = _naive_unigram_logprob(texts, set(text.STOPWORDS_EN))
+    assert len(got) == len(texts)
+    for r in got.itertuples():
+        nw, lp, sr = want[int(r.doc_id)]
+        assert int(r.n_words) == nw
+        assert r.logprob == pytest.approx(lp, abs=1e-9)
+        assert r.stop_ratio == pytest.approx(sr, abs=1e-9)
