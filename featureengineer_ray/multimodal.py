@@ -789,3 +789,263 @@ def media_pipeline(ds, *, text_col: str = "text", id_col: str = "doc_id",
     return ds.map_batches(attach, batch_format="pyarrow").map_batches(
         MediaFeatureExtractor, batch_format="pyarrow",
         batch_size=batch_size, concurrency=concurrency)
+
+
+# ---------------------------------------------------------------------------
+# GIF87a (LZW) — the third REAL image codec (after BMP and PNG), pure
+# stdlib/numpy. GIF's LZW is LOSSLESS, so — unlike JPEG — a hand-written
+# encoder/decoder pair round-trips bit-exactly and the decode query can be
+# hash-checked against a closed-form SQL oracle, the same stance as the
+# reference's hand-parsed HTK binary format (jyh/Utils.py:22-168).
+# ---------------------------------------------------------------------------
+
+
+def encode_gif(img: np.ndarray) -> bytes:
+    """(h, w) uint8 image → genuine GIF87a bytes with a 256-entry
+    grayscale global color table and REAL LZW-compressed image data
+    (variable-width codes 9→12 bits, LSB-first bitstream, CLEAR emitted
+    on table overflow, data chopped into ≤255-byte sub-blocks)."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim != 2:
+        raise ValueError("encode_gif: expect a (h, w) uint8 image")
+    h, w = img.shape
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # GCT: 256 entries
+    pal = np.repeat(np.arange(256, dtype=np.uint8), 3)
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(8)  # LZW minimum code size
+
+    CLEAR, EOI = 256, 257
+    bits = bytearray()
+    acc = n_acc = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, n_acc
+        acc |= code << n_acc
+        n_acc += width
+        while n_acc >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            n_acc -= 8
+
+    table: dict[bytes, int] = {}
+
+    def reset():
+        table.clear()
+        return 258, 9  # next free code, code width
+
+    next_free, width = reset()
+    emit(CLEAR, width)
+    pixels = img.reshape(-1).tobytes()
+    seq = b""
+    for i in range(len(pixels)):
+        cand = seq + pixels[i:i + 1]
+        if cand in table or len(cand) == 1:
+            seq = cand
+            continue
+        emit(table[seq] if len(seq) > 1 else seq[0], width)
+        table[cand] = next_free
+        next_free += 1
+        if next_free == (1 << width):
+            if width < 12:
+                width += 1
+            else:
+                emit(CLEAR, width)
+                next_free, width = reset()
+        seq = pixels[i:i + 1]
+    if seq:
+        emit(table[seq] if len(seq) > 1 else seq[0], width)
+        # phantom add: the residual emit carries no table add, but the
+        # decoder (which adds one entry per data code after the first)
+        # is exactly one entry behind the encoder — advancing next_free
+        # here keeps the width-growth triggers aligned at the EOI read
+        # (enc fires at next_free == 1<<w, dec at next_free == (1<<w)-1;
+        # see the paired condition in decode_gif)
+        next_free += 1
+        if next_free == (1 << width) and width < 12:
+            width += 1
+    emit(EOI, width)
+    if n_acc:
+        bits.append(acc & 0xFF)
+    for off in range(0, len(bits), 255):
+        chunk = bytes(bits[off:off + 255])
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """GIF87a/89a bytes → (h, w, 3) uint8 RGB of the FIRST image.
+    Walks the block stream (extensions skipped), reads the global or
+    local color table, and runs a full variable-width LZW decode
+    (CLEAR/EOI, the KwKwK self-referential case, 9→12-bit growth,
+    deferred clear). Non-interlaced only. The per-code Python loop is
+    per-image setup cost inside an actor pool, like the PNG un-filter."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w_s, h_s, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, dtype=np.uint8, count=3 * n,
+                            offset=pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        b = payload[pos]
+        pos += 1
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        _l, _t, w, h, ipack = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        if ipack & 0x40:
+            raise NotImplementedError("interlaced GIF not supported")
+        pal = gct
+        if ipack & 0x80:
+            n = 2 << (ipack & 0x07)
+            pal = np.frombuffer(payload, dtype=np.uint8, count=3 * n,
+                                offset=pos).reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF image has no color table")
+        min_code = payload[pos]
+        pos += 1
+        data = bytearray()
+        while payload[pos]:
+            ln = payload[pos]
+            data += payload[pos + 1:pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+
+        CLEAR, EOI = 1 << min_code, (1 << min_code) + 1
+        base = [bytes([i]) for i in range(1 << min_code)]
+        table: list[bytes] = []
+        width = min_code + 1
+        acc = n_acc = bit_pos = 0
+        out = bytearray()
+        prev: bytes | None = None
+
+        def next_code() -> int:
+            nonlocal acc, n_acc, bit_pos
+            while n_acc < width:
+                if bit_pos >= len(data):
+                    return EOI  # truncated stream: treat as end
+                acc |= data[bit_pos] << n_acc
+                bit_pos += 1
+                n_acc += 8
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            n_acc -= width
+            return code
+
+        while True:
+            code = next_code()
+            if code == EOI:
+                break
+            if code == CLEAR:
+                table = []
+                width = min_code + 1
+                prev = None
+                continue
+            n_known = (1 << min_code) + 2 + len(table)
+            if code < (1 << min_code):
+                entry = base[code]
+            elif code - (1 << min_code) - 2 < len(table):
+                entry = table[code - (1 << min_code) - 2]
+            elif code == n_known and prev is not None:
+                entry = prev + prev[:1]  # KwKwK
+            else:
+                raise ValueError(f"corrupt LZW stream: code {code}")
+            out += entry
+            if prev is not None:
+                table.append(prev + entry[:1])
+                # one-early trigger: the decoder's table lags the
+                # encoder's by exactly one entry, so it must widen one
+                # position sooner (encoder fires at next_free == 1<<w)
+                if n_known + 1 == (1 << width) - 1 and width < 12:
+                    width += 1
+            prev = entry
+        idx = np.frombuffer(bytes(out[:w * h]), dtype=np.uint8)
+        if len(idx) < w * h:
+            raise ValueError("GIF image data truncated")
+        return pal[idx].reshape(h, w, 3)
+    raise ValueError("GIF payload has no image block")
+
+
+def synthetic_image_gray(media_id: int, h: int = 24,
+                         w: int = 17) -> np.ndarray:
+    """Deterministic grayscale test image with a CLOSED-FORM pixel
+    value: px[r, c] = (3r + 7c + 11·media_id) mod 256 — the SQL oracle
+    recomputes the exact mean and position-weighted checksum of the
+    palette-expanded RGB a correct LZW decode must reproduce."""
+    r = np.arange(h, dtype=np.int64)[:, None]
+    c = np.arange(w, dtype=np.int64)[None, :]
+    return ((3 * r + 7 * c + 11 * int(media_id)) % 256).astype(np.uint8)
+
+
+def attach_gif_payload(batch: pa.Table, *, id_col: str = "doc_id",
+                       h: int = 24, w: int = 17) -> pa.Table:
+    """REAL LZW-compressed image payloads: one deterministic synthetic
+    grayscale GIF87a per row (closed-form pixels,
+    :func:`synthetic_image_gray`)."""
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    payloads = [encode_gif(synthetic_image_gray(int(i), h, w)) for i in ids]
+    pay = pa.array(payloads, type=pa.binary())
+    return pa.table({
+        "media_id": batch.column(id_col).cast(pa.int64()),
+        "payload": pay,
+        "media_type": pa.array(["image"] * len(ids)),
+        "n_bytes": pa.compute.binary_length(pay).cast(pa.int64()),
+    })
+
+
+class GifFeatureExtractor:
+    """Actor-pool stage: REAL GIF/LZW decode + the same
+    position-sensitive features as :class:`PngFeatureExtractor`
+    (px_mean alone is permutation-invariant; px_wsum fails on ANY
+    positional error in the LZW table reconstruction)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        means, wsums, hs, ws, chans = [], [], [], [], []
+        for p in payloads:
+            img = decode_gif(p)
+            flat = img.reshape(-1).astype(np.int64)
+            means.append(float(flat.mean()))
+            wsums.append(int((flat * (np.arange(len(flat),
+                                                dtype=np.int64) + 1)).sum()))
+            hs.append(img.shape[0])
+            ws.append(img.shape[1])
+            chans.append(img.shape[2])
+        out = batch.append_column("px_mean",
+                                  pa.array(means, type=pa.float64()))
+        out = out.append_column("px_wsum", pa.array(wsums, type=pa.int64()))
+        out = out.append_column("height", pa.array(hs, type=pa.int64()))
+        out = out.append_column("width", pa.array(ws, type=pa.int64()))
+        out = out.append_column("n_channels",
+                                pa.array(chans, type=pa.int64()))
+        return out
+
+
+def gif_decode_pipeline(ds, *, id_col: str = "doc_id", h: int = 24,
+                        w: int = 17, batch_size: int = 256,
+                        concurrency=(1, 4)):
+    """documents → real GIF payloads → actor-pool REAL LZW decode +
+    feature extraction."""
+
+    def attach(batch: pa.Table) -> pa.Table:
+        return attach_gif_payload(batch, id_col=id_col, h=h, w=w)
+
+    return ds.map_batches(attach, batch_format="pyarrow").map_batches(
+        GifFeatureExtractor, batch_format="pyarrow",
+        batch_size=batch_size, concurrency=concurrency)

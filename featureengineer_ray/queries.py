@@ -3113,6 +3113,50 @@ FROM px GROUP BY doc_id
 """
 
 
+def q_multimodal_gif(sf_dir: str):
+    """REAL LZW-compressed image decode end to end: one deterministic
+    synthetic grayscale GIF87a per document (closed-form pixels,
+    ``multimodal.synthetic_image_gray``), encoded with genuine
+    variable-width LZW (9→12-bit codes, CLEAR on table overflow),
+    decoded back by the pure-numpy parser in an actor-pool stage and
+    expanded through the color table to RGB. The SQL oracle recomputes
+    the exact pixel mean AND position-weighted checksum of the
+    palette-expanded image arithmetically — a decoder that mis-tracks
+    the LZW code width, table growth, or the KwKwK case fails the
+    hash. Completes the lossless image-codec family (BMP, PNG, GIF)."""
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    out = multimodal.gif_decode_pipeline(docs)
+
+    def final(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "px_mean": pc.round(batch.column("px_mean"), ndigits=6),
+            "px_wsum": batch.column("px_wsum"),
+            "height": batch.column("height"),
+            "width": batch.column("width"),
+            "n_channels": batch.column("n_channels"),
+        })
+
+    return out.map_batches(final, batch_format="pyarrow")
+
+
+SQL_MULTIMODAL_GIF = """
+WITH px AS (
+  SELECT d.doc_id, t.i,
+         ((3 * (t.i // 51) + 7 * ((t.i % 51) // 3) + 11 * d.doc_id)
+          % 256) AS v
+  FROM documents d, range(1224) t(i)  -- 24 rows x 17 cols x 3 channels
+)
+SELECT doc_id AS media_id,
+       round(avg(v), 6) AS px_mean,
+       CAST(sum(v * (i + 1)) AS BIGINT) AS px_wsum,
+       CAST(24 AS BIGINT) AS height,
+       CAST(17 AS BIGINT) AS width,
+       CAST(3 AS BIGINT) AS n_channels
+FROM px GROUP BY doc_id
+"""
+
+
 def q_multimodal_audio(sf_dir: str):
     """REAL audio decode end to end (no stub on this path): one
     deterministic synthetic WAV per document (closed-form samples,
@@ -5256,6 +5300,7 @@ QUERIES = {
     "unigram_logprob": q_unigram_logprob,
     "text_clean": q_text_clean,
     "multimodal_frames": q_multimodal_frames,
+    "multimodal_gif": q_multimodal_gif,
     "embedding_norms": q_embedding_norms,
     "eer_summary": q_eer_summary,
     "bigram_top_terms": q_bigram_top_terms,
@@ -5439,6 +5484,7 @@ ORACLE_SQL = {
     "spectral_norm": _spectral_norm_sql(),
     "lda_project": _lda_project_sql(),
     "multimodal_png": SQL_MULTIMODAL_PNG,
+    "multimodal_gif": SQL_MULTIMODAL_GIF,
     "join_native_tail": SQL_JOIN_NATIVE_TAIL,
     "htk_roundtrip": SQL_HTK_ROUNDTRIP,
 }

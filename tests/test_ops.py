@@ -1639,3 +1639,37 @@ def test_unigram_logprob_both_plans(rd, max_bcast):
         assert int(r.n_words) == nw
         assert r.logprob == pytest.approx(lp, abs=1e-9)
         assert r.stop_ratio == pytest.approx(sr, abs=1e-9)
+
+
+def test_gif_roundtrip_lzw_widths():
+    """Round-trips crossing every LZW code width (9-12 bits), the
+    overflow CLEAR, and the KwKwK self-referential case."""
+    rng = np.random.default_rng(7)
+    cases = [
+        rng.integers(0, 256, (3, 2), dtype=np.uint8),
+        multimodal.synthetic_image_gray(5, 24, 17),
+        np.full((40, 40), 129, dtype=np.uint8),          # KwKwK chains
+        rng.integers(0, 256, (64, 64), dtype=np.uint8),  # 10/11-bit
+        rng.integers(0, 256, (128, 128), dtype=np.uint8),  # 12-bit+CLEAR
+        np.array([[200]], dtype=np.uint8),
+        (np.add.outer(np.arange(90), np.arange(201)) % 256
+         ).astype(np.uint8),
+    ]
+    for img in cases:
+        dec = multimodal.decode_gif(multimodal.encode_gif(img))
+        assert dec.shape == (*img.shape, 3)
+        assert (dec == img[:, :, None]).all()
+
+
+def test_gif_decode_pipeline(rd):
+    t = pa.table({"doc_id": pa.array([0, 3, 11], type=pa.int64())})
+    out = multimodal.gif_decode_pipeline(
+        rd.from_arrow(t), batch_size=2).to_pandas()
+    assert len(out) == 3
+    for r in out.itertuples():
+        img = multimodal.synthetic_image_gray(int(r.media_id), 24, 17)
+        flat = np.repeat(img.reshape(-1), 3).astype(np.int64)
+        assert r.px_mean == pytest.approx(flat.mean())
+        assert int(r.px_wsum) == int(
+            (flat * (np.arange(len(flat)) + 1)).sum())
+        assert (r.height, r.width, r.n_channels) == (24, 17, 3)
