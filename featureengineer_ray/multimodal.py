@@ -533,24 +533,74 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("not a WAV payload")
     pos = 12
     sr: int | None = None
-    samples: np.ndarray | None = None
+    fmt = 1
+    raw: tuple[int, int] | None = None  # (offset, size) of data body
     while pos + 8 <= len(payload):
         cid, sz = struct.unpack_from("<4sI", payload, pos)
         body = pos + 8
         if cid == b"fmt ":
             fmt, channels, sr = struct.unpack_from("<HHI", payload, body)
             (bits,) = struct.unpack_from("<H", payload, body + 14)
-            if fmt != 1 or bits != 16 or channels != 1:
+            if not ((fmt == 1 and bits == 16) or (fmt == 7 and bits == 8)) \
+                    or channels != 1:
                 raise NotImplementedError(
-                    f"only mono 16-bit PCM WAV supported (fmt={fmt}, "
-                    f"channels={channels}, bits={bits})")
+                    "only mono 16-bit PCM or 8-bit mu-law WAV supported "
+                    f"(fmt={fmt}, channels={channels}, bits={bits})")
         elif cid == b"data":
-            samples = np.frombuffer(payload, dtype="<i2", count=sz // 2,
-                                    offset=body)
+            raw = (body, sz)
         pos = body + sz + (sz & 1)  # chunks are word-aligned
-    if sr is None or samples is None:
+    if sr is None or raw is None:
         raise ValueError("WAV payload missing fmt or data chunk")
+    body, sz = raw
+    if fmt == 7:  # G.711 mu-law: companded byte -> int16 expansion
+        codes = np.frombuffer(payload, dtype=np.uint8, count=sz,
+                              offset=body)
+        return mulaw_decode(codes), sr
+    samples = np.frombuffer(payload, dtype="<i2", count=sz // 2,
+                            offset=body)
     return samples, sr
+
+
+def mulaw_decode(codes: np.ndarray) -> np.ndarray:
+    """G.711 mu-law expansion (ITU-T G.711 table 2a, the standard
+    telephony companding): one code byte → int16. Vectorized closed
+    form — u = ~code; t = ((mantissa·8)+132)·2^exponent;
+    value = ±(t−132) — the same arithmetic the SQL oracle recomputes."""
+    u = (255 - np.asarray(codes, dtype=np.int64))
+    exp = (u >> 4) & 0x7
+    mant = u & 0x0F
+    t = ((mant << 3) + 0x84) << exp
+    return np.where(u >= 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+
+
+def mulaw_encode(samples: np.ndarray) -> np.ndarray:
+    """G.711 mu-law compression: int16 → one code byte (clip at 32635,
+    bias 0x84, 3-bit exponent segment + 4-bit mantissa, bits inverted
+    on the wire). Vectorized; exact inverse property tested:
+    mulaw_decode(mulaw_encode(x)) is the standard quantization of x."""
+    x = np.asarray(samples, dtype=np.int32)
+    sign = (x < 0).astype(np.int64)
+    mag = np.minimum(np.abs(x), 32635) + 0x84
+    # mag in [132, 32767] → floor(log2) in [7, 14] → exponent in [0, 7];
+    # log2 is exact at powers of two in IEEE so the floor is safe
+    exp = np.floor(np.log2(mag)).astype(np.int64) - 7
+    mant = (mag >> (exp + 3)) & 0x0F
+    return (~((sign << 7) | (exp << 4) | mant) & 0xFF).astype(np.uint8)
+
+
+def encode_wav_mulaw(codes: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Mono mu-law code bytes → RIFF/WAVE (fmt tag 7, 8-bit) with the
+    spec-required ``fact`` chunk for non-PCM formats."""
+    codes = np.asarray(codes, dtype=np.uint8)
+    data = codes.tobytes()
+    n = len(data)
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sII4sI",
+        b"RIFF", 4 + 24 + 12 + 8 + n + (n & 1), b"WAVE",
+        b"fmt ", 16, 7, 1, sample_rate, sample_rate, 1, 8,
+        b"fact", 4, len(codes),
+        b"data", n)
+    return hdr + data + (b"\x00" if n & 1 else b"")
 
 
 def synthetic_audio(media_id: int, n: int = 1000) -> np.ndarray:
@@ -1048,4 +1098,69 @@ def gif_decode_pipeline(ds, *, id_col: str = "doc_id", h: int = 24,
 
     return ds.map_batches(attach, batch_format="pyarrow").map_batches(
         GifFeatureExtractor, batch_format="pyarrow",
+        batch_size=batch_size, concurrency=concurrency)
+
+
+def synthetic_mulaw_codes(media_id: int, n: int = 1000) -> np.ndarray:
+    """Deterministic mu-law code stream with CLOSED-FORM bytes:
+    c[i] = (7i + 13·media_id) mod 256 — the SQL oracle re-derives the
+    codes AND the G.711 expansion arithmetically."""
+    i = np.arange(n, dtype=np.int64)
+    return ((7 * i + 13 * int(media_id)) % 256).astype(np.uint8)
+
+
+def attach_mulaw_payload(batch: pa.Table, *, id_col: str = "doc_id",
+                         n: int = 1000) -> pa.Table:
+    """REAL companded-audio payloads: one deterministic mu-law WAV
+    (fmt tag 7) per row."""
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    payloads = [encode_wav_mulaw(synthetic_mulaw_codes(int(i), n))
+                for i in ids]
+    pay = pa.array(payloads, type=pa.binary())
+    return pa.table({
+        "media_id": batch.column(id_col).cast(pa.int64()),
+        "payload": pay,
+        "media_type": pa.array(["audio"] * len(ids)),
+        "n_bytes": pa.compute.binary_length(pay).cast(pa.int64()),
+    })
+
+
+class MulawFeatureExtractor:
+    """Actor-pool stage: REAL mu-law WAV decode (chunk walk + G.711
+    expansion) + the same amplitude features as
+    :class:`AudioFeatureExtractor`, computed on the EXPANDED int16."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        ns, srs, means, rmss, zcs = [], [], [], [], []
+        for p in payloads:
+            samples, sr = decode_wav(p)
+            v = samples.astype(np.float64)
+            ns.append(len(samples))
+            srs.append(sr)
+            means.append(float(v.mean()))
+            rmss.append(float(np.sqrt((v * v).mean())))
+            zcs.append(int(np.sum(v[1:] * v[:-1] < 0)))
+        out = batch.append_column("n_samples",
+                                  pa.array(ns, type=pa.int64()))
+        out = out.append_column("sample_rate",
+                                pa.array(srs, type=pa.int64()))
+        out = out.append_column("amp_mean",
+                                pa.array(means, type=pa.float64()))
+        out = out.append_column("amp_rms",
+                                pa.array(rmss, type=pa.float64()))
+        return out.append_column("n_zero_cross",
+                                 pa.array(zcs, type=pa.int64()))
+
+
+def mulaw_decode_pipeline(ds, *, id_col: str = "doc_id", n: int = 1000,
+                          batch_size: int = 256, concurrency=(1, 4)):
+    """documents → real mu-law WAV payloads → actor-pool REAL decode
+    (G.711 expansion) + amplitude features."""
+
+    def attach(batch: pa.Table) -> pa.Table:
+        return attach_mulaw_payload(batch, id_col=id_col, n=n)
+
+    return ds.map_batches(attach, batch_format="pyarrow").map_batches(
+        MulawFeatureExtractor, batch_format="pyarrow",
         batch_size=batch_size, concurrency=concurrency)

@@ -3204,6 +3204,60 @@ FROM z GROUP BY doc_id
 """
 
 
+def q_multimodal_mulaw(sf_dir: str):
+    """REAL companded-audio decode end to end: one deterministic
+    mu-law WAV (RIFF fmt tag 7, closed-form code bytes) per document,
+    decoded by the chunk-walking parser + vectorized G.711 expansion
+    (``multimodal.mulaw_decode``). The SQL oracle re-derives the code
+    stream AND the exact expansion arithmetic (u = 255−c;
+    t = (8·mantissa+132)·2^exponent; v = ±(t−132)) — a decoder that
+    misreads the fmt tag, skips the fact chunk wrong, or gets any bit
+    of the companding law wrong fails the hash."""
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    out = multimodal.mulaw_decode_pipeline(docs)
+
+    def final(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "n_bytes": batch.column("n_bytes"),
+            "n_samples": batch.column("n_samples"),
+            "sample_rate": batch.column("sample_rate"),
+            "amp_mean": pc.round(batch.column("amp_mean"), ndigits=6),
+            "amp_rms": pc.round(batch.column("amp_rms"), ndigits=6),
+            "n_zero_cross": batch.column("n_zero_cross"),
+        })
+
+    return out.map_batches(final, batch_format="pyarrow")
+
+
+SQL_MULTIMODAL_MULAW = """
+WITH c AS (
+  SELECT d.doc_id, t.i,
+         255 - ((7 * t.i + 13 * d.doc_id) % 256) AS u
+  FROM documents d, range(1000) t(i)
+), s AS (
+  SELECT doc_id, i,
+         CASE WHEN u >= 128 THEN 132 - tt ELSE tt - 132 END AS v
+  FROM (SELECT doc_id, i, u,
+               ((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)) AS tt
+        FROM c)
+), z AS (
+  SELECT doc_id, v,
+         lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+  FROM s
+)
+SELECT doc_id AS media_id,
+       CAST(1056 AS BIGINT) AS n_bytes,  -- 56-byte header+fact, 1000 codes
+       CAST(1000 AS BIGINT) AS n_samples,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       round(avg(v), 6) AS amp_mean,
+       round(sqrt(avg(CAST(v * v AS DOUBLE))), 6) AS amp_rms,
+       CAST(sum(CASE WHEN pv * v < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_zero_cross
+FROM z GROUP BY doc_id
+"""
+
+
 def q_multimodal_video(sf_dir: str):
     """REAL video decode end to end (no stub on this path): one
     deterministic synthetic 12-frame 16×16 clip per document
@@ -5301,6 +5355,7 @@ QUERIES = {
     "text_clean": q_text_clean,
     "multimodal_frames": q_multimodal_frames,
     "multimodal_gif": q_multimodal_gif,
+    "multimodal_mulaw": q_multimodal_mulaw,
     "embedding_norms": q_embedding_norms,
     "eer_summary": q_eer_summary,
     "bigram_top_terms": q_bigram_top_terms,
@@ -5485,6 +5540,7 @@ ORACLE_SQL = {
     "lda_project": _lda_project_sql(),
     "multimodal_png": SQL_MULTIMODAL_PNG,
     "multimodal_gif": SQL_MULTIMODAL_GIF,
+    "multimodal_mulaw": SQL_MULTIMODAL_MULAW,
     "join_native_tail": SQL_JOIN_NATIVE_TAIL,
     "htk_roundtrip": SQL_HTK_ROUNDTRIP,
 }

@@ -1673,3 +1673,45 @@ def test_gif_decode_pipeline(rd):
         assert int(r.px_wsum) == int(
             (flat * (np.arange(len(flat)) + 1)).sum())
         assert (r.height, r.width, r.n_channels) == (24, 17, 3)
+
+
+def test_mulaw_codec_properties():
+    rng = np.random.default_rng(11)
+    x = np.concatenate([
+        np.arange(-32768, 32768, 97, dtype=np.int32),
+        rng.integers(-32768, 32768, 500),
+        np.array([0, -1, 1, 32767, -32768, 32635, -32635, 131, -131])],
+    ).astype(np.int16)
+    y = multimodal.mulaw_decode(multimodal.mulaw_encode(x))
+    # error bounded by half the active segment's step (exp<=7 -> 1024/2)
+    xc = np.clip(x, -32635, 32635).astype(np.int64)
+    step = 8 * (2 ** (np.floor(np.log2(np.abs(xc) + 132)) - 7))
+    assert (np.abs(y.astype(np.int64) - xc) <= step).all()
+    # every code except 0x7F (minus zero, re-encoded as plus zero) is a
+    # fixed point of encode(decode(.))
+    codes = np.arange(256, dtype=np.uint8)
+    rt = multimodal.mulaw_encode(multimodal.mulaw_decode(codes))
+    assert (rt[codes != 0x7F] == codes[codes != 0x7F]).all()
+    assert multimodal.mulaw_decode(np.array([0x7F], np.uint8))[0] == 0
+    # expansion is monotone over the negative-code and positive-code halves
+    dec = multimodal.mulaw_decode(codes)
+    assert (np.diff(dec[0x80:][::-1]) >= 0).all()   # positive half
+    assert (np.diff(dec[:0x80][::-1]) <= 0).all()   # negative half
+
+
+def test_mulaw_wav_roundtrip_and_pipeline(rd):
+    codes = multimodal.synthetic_mulaw_codes(3, 1000)
+    payload = multimodal.encode_wav_mulaw(codes)
+    s, sr = multimodal.decode_wav(payload)
+    assert sr == 8000 and len(payload) == 1056
+    assert (s == multimodal.mulaw_decode(codes)).all()
+    t = pa.table({"doc_id": pa.array([0, 3], type=pa.int64())})
+    out = multimodal.mulaw_decode_pipeline(rd.from_arrow(t)).to_pandas()
+    assert len(out) == 2
+    for r in out.itertuples():
+        v = multimodal.mulaw_decode(
+            multimodal.synthetic_mulaw_codes(int(r.media_id), 1000)
+        ).astype(np.float64)
+        assert r.amp_mean == pytest.approx(v.mean())
+        assert r.amp_rms == pytest.approx(np.sqrt((v * v).mean()))
+        assert int(r.n_zero_cross) == int(np.sum(v[1:] * v[:-1] < 0))
