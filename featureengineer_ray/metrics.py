@@ -170,6 +170,32 @@ def write_metrics_artifact(curve: pd.DataFrame, out_dir: str) -> dict:
     return summary
 
 
+def roc_auc(curve: pd.DataFrame) -> pd.DataFrame:
+    """Exact ROC-AUC from the bucketed DET curve (the Mann–Whitney
+    rank-sum form; reference analog: the scoring/summary stage next to
+    the EER pick, ``jyh/result.py:70-88``).
+
+    With buckets swept from the highest score down, every negative in
+    bucket ``b`` is out-ranked by the ``cum_tp_b − n_pos_b`` positives
+    in strictly higher buckets, and ties inside the bucket count half.
+    So ``2·P·N·AUC = Σ_b n_neg_b · (2·cum_tp_b − n_pos_b)`` — an exact
+    int64 sum over the O(buckets) table; AUC is one IEEE division at the
+    end, bit-identical to the SQL oracle at any parallelism."""
+    n_pos = curve["n_pos"].to_numpy(np.int64)
+    n_neg = curve["n_neg"].to_numpy(np.int64)
+    cum_tp = curve["cum_tp"].to_numpy(np.int64)
+    P = int(n_pos.sum())
+    N = int(n_neg.sum())
+    numer2 = int((n_neg * (2 * cum_tp - n_pos)).sum())
+    denom = 2 * max(P, 1) * max(N, 1)
+    return pd.DataFrame({
+        "n_pos": [P],
+        "n_neg": [N],
+        "auc_numer2": [numer2],
+        "auc": [float(np.round(numer2 / denom, 6))],
+    })
+
+
 def eer_summary(curve: pd.DataFrame) -> pd.DataFrame:
     """The curve's argmin-|fnr−fpr| row (reference's EER threshold pick,
     jyh/result.py:70-88): one-row summary (threshold bucket + EER)."""

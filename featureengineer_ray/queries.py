@@ -1583,6 +1583,31 @@ LIMIT 1
 """
 
 
+def q_roc_auc(sf_dir: str):
+    """Exact ROC-AUC of the deterministic trial score (Mann–Whitney
+    rank-sum over the DET score buckets; ``metrics.roc_auc``). The
+    2·P·N·AUC numerator is an exact int64 sum over the O(buckets)
+    table — one grouped aggregate moves, never the rows — so the hash
+    is stable at any parallelism."""
+    from . import metrics
+
+    emb = _read(sf_dir, "embeddings", ["embedding", "label"])
+    return metrics.roc_auc(metrics.det_curve(emb))
+
+
+SQL_ROC_AUC = f"""
+WITH curve AS ({_SQL_DET_CURVE_BODY})
+SELECT CAST((SELECT sum(n_pos) FROM curve) AS BIGINT) AS n_pos,
+       CAST((SELECT sum(n_neg) FROM curve) AS BIGINT) AS n_neg,
+       CAST(sum(n_neg * (2 * cum_tp - n_pos)) AS BIGINT) AS auc_numer2,
+       ROUND_EVEN(CAST(sum(n_neg * (2 * cum_tp - n_pos)) AS DOUBLE)
+             / (2.0 * GREATEST((SELECT sum(n_pos) FROM curve), 1)
+                    * GREATEST((SELECT sum(n_neg) FROM curve), 1)), 6)
+         AS auc
+FROM curve
+"""
+
+
 def q_class_means(sf_dir: str):
     """Per-class per-dim embedding means (LDA/WCCN class-means prep):
     (label, dim) int64 fixed-point partial sums, one tiny shuffle."""
@@ -3825,6 +3850,133 @@ FROM f
 """
 
 
+def q_grouped_linreg(sf_dir: str):
+    """Per-group least-squares trend features (slope / intercept / R²
+    of value-vs-time, the classic "trend of a metric per segment"
+    feature) from the SAME one power-sum exchange as ``grouped_corr``:
+    fixed-point int64 operands (epoch hours re-based to 2024, value in
+    cents) make the five sums exact and order-independent; the finalize
+    is the identical IEEE expression the oracle spells out."""
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        x = ts // 3_600_000_000 - 473000  # epoch hours, 2024 re-base
+        y = np.rint(batch.column("value").to_numpy(zero_copy_only=False)
+                    * 100.0).astype(np.int64)
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "x": pa.array(x), "y": pa.array(y),
+            "xx": pa.array(x * x), "yy": pa.array(y * y),
+            "xy": pa.array(x * y),
+        })
+
+    agg = relational.grouped_agg(
+        ev.map_batches(prep, batch_format="pyarrow"), ["event_type"],
+        {"__sx": ("x", "sum"), "__sy": ("y", "sum"),
+         "__sxx": ("xx", "sum"), "__syy": ("yy", "sum"),
+         "__sxy": ("xy", "sum")},
+        count_alias="n_rows")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        f = np.float64
+        n = batch.column("n_rows").to_numpy(zero_copy_only=False).astype(f)
+        mx = batch.column("__sx").to_numpy(zero_copy_only=False).astype(f) / n
+        my = batch.column("__sy").to_numpy(zero_copy_only=False).astype(f) / n
+        exx = batch.column("__sxx").to_numpy(
+            zero_copy_only=False).astype(f) / n
+        eyy = batch.column("__syy").to_numpy(
+            zero_copy_only=False).astype(f) / n
+        exy = batch.column("__sxy").to_numpy(
+            zero_copy_only=False).astype(f) / n
+        cov = exy - mx * my
+        vx = exx - mx * mx
+        vy = eyy - my * my
+        slope = cov / vx
+        intercept = my - slope * mx
+        r2 = (cov * cov) / (vx * vy)
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "n_rows": batch.column("n_rows").cast(pa.int64()),
+            "slope_cents_per_hour": pa.array(np.round(slope, 6)),
+            "intercept_cents": pa.array(np.round(intercept, 4)),
+            "r2": pa.array(np.round(r2, 6)),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_GROUPED_LINREG = """
+WITH p AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) - 473000 AS x,
+         CAST(ROUND_EVEN(value * 100.0, 0) AS BIGINT) AS y
+  FROM events
+), s AS (
+  SELECT event_type, count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx,
+         sum(y*y) AS syy, sum(x*y) AS sxy
+  FROM p GROUP BY 1
+), f AS (
+  SELECT event_type, n,
+         CAST(sx AS DOUBLE) / n AS mx, CAST(sy AS DOUBLE) / n AS my,
+         CAST(sxx AS DOUBLE) / n AS exx, CAST(syy AS DOUBLE) / n AS eyy,
+         CAST(sxy AS DOUBLE) / n AS exy
+  FROM s
+), g AS (
+  SELECT event_type, n, mx, my,
+         exy - mx * my AS cov,
+         exx - mx * mx AS vx,
+         eyy - my * my AS vy
+  FROM f
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_rows,
+       round(cov / vx, 6) AS slope_cents_per_hour,
+       round(my - (cov / vx) * mx, 4) AS intercept_cents,
+       round((cov * cov) / (vx * vy), 6) AS r2
+FROM g
+"""
+
+
+def q_grouped_mode(sf_dir: str):
+    """Deterministic grouped mode: each user's most frequent event type
+    (ties → lexicographically smallest type). One O(users×types) count
+    exchange (map-side combined), then the per-group argmax rides
+    ``grouped_top_k`` — rows never shuffle, only (user, type, n)."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    counts = relational.grouped_agg(
+        ev, ["user_id", "event_type"], {}, count_alias="n_mode")
+    top = relational.grouped_top_k(
+        counts, ["user_id"], 1, by=["n_mode", "event_type"],
+        descending=[True, False])
+
+    def final(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "mode_event_type": batch.column("event_type"),
+            "n_mode": batch.column("n_mode").cast(pa.int64()),
+        })
+
+    return top.map_batches(final, batch_format="pyarrow")
+
+
+SQL_GROUPED_MODE = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT user_id, event_type, n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY n DESC, event_type) AS rn
+  FROM c
+)
+SELECT user_id, event_type AS mode_event_type,
+       CAST(n AS BIGINT) AS n_mode
+FROM r WHERE rn = 1
+"""
+
+
 def _orders_cents(sf_dir: str):
     """orders with an exact integer-cent price column (float sums would
     drift against the oracle; int64 partials are order-independent)."""
@@ -5358,6 +5510,9 @@ QUERIES = {
     "multimodal_mulaw": q_multimodal_mulaw,
     "embedding_norms": q_embedding_norms,
     "eer_summary": q_eer_summary,
+    "roc_auc": q_roc_auc,
+    "grouped_linreg": q_grouped_linreg,
+    "grouped_mode": q_grouped_mode,
     "bigram_top_terms": q_bigram_top_terms,
     "word_rep_ratio": q_word_rep_ratio,
     "dup_ngram_frac": q_dup_ngram_frac,
@@ -5492,6 +5647,9 @@ ORACLE_SQL = {
     "embedding_norms": SQL_EMB_NORMS,
     "det_curve": SQL_DET_CURVE,
     "eer_summary": SQL_EER,
+    "roc_auc": SQL_ROC_AUC,
+    "grouped_linreg": SQL_GROUPED_LINREG,
+    "grouped_mode": SQL_GROUPED_MODE,
     "whiten_dims": SQL_WHITEN_DIMS,
     "class_means": SQL_CLASS_MEANS,
     "feature_stack_asof": SQL_FEATURE_STACK_ASOF,

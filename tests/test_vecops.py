@@ -93,6 +93,36 @@ def test_det_curve_and_eer(rd):
         np.abs(eer["fnr"].iloc[0] - eer["fpr"].iloc[0]), d.min())
 
 
+def test_roc_auc_matches_pairwise_oracle(rd):
+    """Exact bucketed AUC == the O(P·N) pairwise Mann–Whitney count
+    (ties at equal bucket count half), on a corpus small enough to
+    enumerate every (pos, neg) pair."""
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({"embedding": list(rng.standard_normal((300, 8))),
+                       "label": rng.integers(0, 10, 300).astype("int32")})
+    curve = metrics.det_curve(rd.from_pandas(df).repartition(5))
+    auc = metrics.roc_auc(curve)
+
+    # naive oracle: recompute every row's bucket score on the driver
+    vecs = np.stack(df["embedding"].to_numpy())
+    norm = np.sqrt((vecs * vecs).sum(axis=1))
+    norm[norm == 0] = 1.0
+    bucket = np.floor(vecs[:, 0] / norm * 50.0).astype(np.int64)
+    pos = (df["label"].to_numpy() % 2 == 0)
+    pb, nb = bucket[pos], bucket[~pos]
+    wins = (pb[:, None] > nb[None, :]).sum()
+    ties = (pb[:, None] == nb[None, :]).sum()
+    expect = (wins + 0.5 * ties) / (len(pb) * len(nb))
+    assert auc["n_pos"].iloc[0] == len(pb)
+    assert auc["n_neg"].iloc[0] == len(nb)
+    assert np.isclose(auc["auc"].iloc[0], np.round(expect, 6), atol=5e-7)
+    # degenerate curve: every score identical -> AUC = 0.5
+    one = pd.DataFrame({"bucket": [0], "n_pos": [3], "n_neg": [4],
+                        "cum_tp": [3], "cum_fp": [4],
+                        "fnr": [0.0], "fpr": [1.0]})
+    assert metrics.roc_auc(one)["auc"].iloc[0] == 0.5
+
+
 def test_metrics_artifact_sink(rd, tmp_path):
     rng = np.random.default_rng(2)
     df = pd.DataFrame({"embedding": list(rng.standard_normal((200, 8))),
