@@ -2787,6 +2787,112 @@ ORDER BY n DESC, term LIMIT 50
 """
 
 
+_BM25_TERMS = ["window", "merge", "scan", "batch"]
+
+
+def q_bm25_top_docs(sf_dir: str):
+    """BM25 retrieval (Okapi, Lucene idf) for a fixed 4-term query: the
+    top-20 documents by score (``text.bm25_topk``). Two streaming
+    passes — one single-row stats reduce (N, Σdl, per-term df), then a
+    broadcast vectorized score with per-batch top-k folding. Scores sum
+    the 4 term contributions in query order, so the oracle's identical
+    left-to-right IEEE expression hash-matches."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return text.bm25_topk(docs, _BM25_TERMS, k1=1.2, b=0.75, k=20)
+
+
+def _bm25_sql() -> str:
+    terms = _BM25_TERMS
+    tf_cols = ",\n         ".join(
+        f"coalesce(sum(CASE WHEN term = '{t}' THEN 1 END), 0) AS tf{i}"
+        for i, t in enumerate(terms))
+    idf_cols = ",\n         ".join(
+        f"ln(1.0 + (n_docs - df{i} + 0.5) / (df{i} + 0.5)) AS idf{i}"
+        for i in range(len(terms)))
+    df_cols = ",\n         ".join(
+        f"count(DISTINCT CASE WHEN term = '{t}' THEN doc_id END) AS df{i}"
+        for i, t in enumerate(terms))
+    contrib = " + ".join(
+        f"(st.idf{i} * (CAST(tf{i} AS DOUBLE) * (1.2 + 1.0))"
+        f" / (CAST(tf{i} AS DOUBLE)"
+        f" + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE) / st.avgdl)))"
+        for i in range(len(terms)))
+    any_match = " + ".join(f"tf{i}" for i in range(len(terms)))
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+                                                  '[^a-z0-9]+'),
+                            x -> x <> '')) AS term
+  FROM documents
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM w GROUP BY 1
+), st AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         CAST((SELECT count(*) FROM w) AS DOUBLE)
+           / (SELECT count(*) FROM documents) AS avgdl,
+         {df_cols}
+  FROM w
+), sti AS (
+  SELECT *, {idf_cols} FROM st
+), tfp AS (
+  SELECT doc_id,
+         {tf_cols}
+  FROM w GROUP BY 1
+)
+SELECT tfp.doc_id,
+       round({contrib}, 6) AS bm25
+FROM tfp
+JOIN dl ON tfp.doc_id = dl.doc_id
+CROSS JOIN sti AS st
+WHERE {any_match} > 0
+ORDER BY bm25 DESC, tfp.doc_id
+LIMIT 20
+"""
+
+
+SQL_BM25_TOP_DOCS = _bm25_sql()
+
+
+def q_regex_token_count(sf_dir: str):
+    """BPE-ish regex token counting (the GPT-2 pre-tokenizer shape,
+    ASCII-simplified): per document, the number of pre-tokens
+    (``[a-z]+|[0-9]|[^a-z0-9\\s]`` over the lowered text — letter runs,
+    single digits, punctuation marks), plus the alpha-run and digit
+    counts. Map-only: three RE2 count kernels per batch
+    (``pc.count_substring_regex``), no exchange; DuckDB's RE2
+    ``regexp_extract_all`` counts the identical non-overlapping
+    leftmost matches."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        lowered = pc.utf8_lower(batch.column("text"))
+        n_bpe = pc.count_substring_regex(
+            lowered, pattern=r"[a-z]+|[0-9]|[^a-z0-9\s]")
+        n_alpha = pc.count_substring_regex(lowered, pattern=r"[a-z]+")
+        n_digit = pc.count_substring_regex(lowered, pattern=r"[0-9]")
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_bpe_tokens": n_bpe.cast(pa.int64()),
+            "n_alpha_runs": n_alpha.cast(pa.int64()),
+            "n_digits": n_digit.cast(pa.int64()),
+        })
+
+    return docs.map_batches(counts, batch_format="pyarrow")
+
+
+SQL_REGEX_TOKEN_COUNT = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text),
+                '[a-z]+|[0-9]|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT)
+         AS n_alpha_runs,
+       CAST(len(regexp_extract_all(lower(text), '[0-9]')) AS BIGINT)
+         AS n_digits
+FROM documents
+"""
+
+
 def q_dup_ngram_frac(sf_dir: str):
     """Cross-document duplicate 3-gram fraction per document (the
     Lee-et-al substring-dedup quality signal): one vocab-sized
@@ -5513,6 +5619,8 @@ QUERIES = {
     "roc_auc": q_roc_auc,
     "grouped_linreg": q_grouped_linreg,
     "grouped_mode": q_grouped_mode,
+    "bm25_top_docs": q_bm25_top_docs,
+    "regex_token_count": q_regex_token_count,
     "bigram_top_terms": q_bigram_top_terms,
     "word_rep_ratio": q_word_rep_ratio,
     "dup_ngram_frac": q_dup_ngram_frac,
@@ -5650,6 +5758,8 @@ ORACLE_SQL = {
     "roc_auc": SQL_ROC_AUC,
     "grouped_linreg": SQL_GROUPED_LINREG,
     "grouped_mode": SQL_GROUPED_MODE,
+    "bm25_top_docs": SQL_BM25_TOP_DOCS,
+    "regex_token_count": SQL_REGEX_TOKEN_COUNT,
     "whiten_dims": SQL_WHITEN_DIMS,
     "class_means": SQL_CLASS_MEANS,
     "feature_stack_asof": SQL_FEATURE_STACK_ASOF,

@@ -200,6 +200,86 @@ def term_frequencies(ds, text_col: str = "text",
     return relational.grouped_agg(partials, ["term"], {"n": ("n", "sum")})
 
 
+def bm25_topk(ds, query_terms: list[str], *, id_col: str = "doc_id",
+              text_col: str = "text", pattern: str = "[^a-z0-9]+",
+              k1: float = 1.2, b: float = 0.75, k: int = 20):
+    """BM25 retrieval against a fixed query: the top-k documents by
+    Okapi BM25 score (Robertson–Spärck Jones idf, Lucene's
+    ``ln(1 + (N − df + ½)/(df + ½))`` form).
+
+    Two streaming passes, nothing corpus-sized leaves the cluster:
+
+    1. corpus statistics — one map-side-combined reduce producing a
+       SINGLE row (n_docs, total words, df per query term; df is exact
+       because a document never spans batches);
+    2. scoring — the (tiny) stats row is broadcast and every batch
+       scores vectorized; only documents matching ≥1 query term emit a
+       row, and the global top-k folds per batch before one small sort.
+
+    The per-document score sums the ≤|query| term contributions in
+    QUERY ORDER (fixed left-to-right IEEE adds), so the SQL oracle can
+    spell out the identical expression and hash-match bit-for-bit."""
+    import ray
+
+    from . import relational
+
+    m = len(query_terms)
+    qarr = np.array(query_terms, dtype=object)
+
+    def _stats_partial(batch: pa.Table) -> pa.Table:
+        lowered = pc.utf8_lower(batch.column(text_col))
+        flat, doc_of, _ = _split_words(lowered, pattern)
+        cols = {"n_docs": pa.array([batch.num_rows], type=pa.int64()),
+                "n_words": pa.array([int(len(flat))], type=pa.int64())}
+        for i, t in enumerate(query_terms):
+            hit = doc_of[flat == t]
+            cols[f"df_{i}"] = pa.array([int(len(np.unique(hit)))],
+                                       type=pa.int64())
+        return pa.table(cols)
+
+    aggs = {"n_docs": ("n_docs", "sum"), "n_words": ("n_words", "sum")}
+    aggs.update({f"df_{i}": (f"df_{i}", "sum") for i in range(m)})
+    stats_ds = ds.map_batches(_stats_partial, batch_format="pyarrow")
+
+    def _const(batch: pa.Table) -> pa.Table:
+        return batch.append_column("__k", pa.array([0] * batch.num_rows,
+                                                   type=pa.int32()))
+
+    stats_row = relational.grouped_agg(
+        stats_ds.map_batches(_const, batch_format="pyarrow"),
+        ["__k"], aggs).take_all()[0]
+    n_docs = int(stats_row["n_docs"])
+    avgdl = float(stats_row["n_words"]) / max(n_docs, 1)
+    idf = np.array([np.log(1.0 + (n_docs - stats_row[f"df_{i}"] + 0.5)
+                           / (stats_row[f"df_{i}"] + 0.5))
+                    for i in range(m)], dtype=np.float64)
+    ref = ray.put((qarr, idf, avgdl))
+
+    def _score(batch: pa.Table) -> pa.Table:
+        _q, _idf, _avgdl = ray.get(ref)
+        lowered = pc.utf8_lower(batch.column(text_col))
+        flat, doc_of, _ = _split_words(lowered, pattern)
+        n = batch.num_rows
+        dl = np.bincount(doc_of, minlength=n).astype(np.float64)
+        denom_base = k1 * (1.0 - b + b * dl / _avgdl)
+        score = np.zeros(n, dtype=np.float64)
+        matched = np.zeros(n, dtype=bool)
+        for i in range(len(_q)):  # ≤|query| vectorized passes, in order
+            tf = np.bincount(doc_of[flat == _q[i]],
+                             minlength=n).astype(np.float64)
+            score = score + _idf[i] * (tf * (k1 + 1.0)) / (tf + denom_base)
+            matched |= tf > 0
+        sel = np.flatnonzero(matched)
+        return pa.table({
+            id_col: batch.column(id_col).take(pa.array(sel)),
+            "bm25": pa.array(np.round(score[sel], 6)),
+        })
+
+    scored = ds.map_batches(_score, batch_format="pyarrow")
+    return relational.top_k(scored, k, by=["bm25", id_col],
+                            descending=[True, False])
+
+
 def bigram_frequencies(ds, text_col: str = "text",
                        pattern: str = "[^a-z0-9]+"):
     """Corpus bigram counts (n-gram LM statistics): word explode, join

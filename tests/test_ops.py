@@ -1715,3 +1715,45 @@ def test_mulaw_wav_roundtrip_and_pipeline(rd):
         assert r.amp_mean == pytest.approx(v.mean())
         assert r.amp_rms == pytest.approx(np.sqrt((v * v).mean()))
         assert int(r.n_zero_cross) == int(np.sum(v[1:] * v[:-1] < 0))
+
+
+def test_bm25_topk_matches_naive(rd):
+    """Distributed BM25 == a driver-side reference implementation on a
+    small corpus, including tie order and block-layout invariance."""
+    import re
+
+    from featureengineer_ray import text as T
+
+    rng = np.random.default_rng(23)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    docs = [" ".join(rng.choice(vocab, size=rng.integers(3, 30)))
+            for _ in range(80)]
+    ids = [f"d{i:03d}" for i in range(80)]
+    query = ["alpha", "gamma", "zeta"]
+    k1, b = 1.2, 0.75
+
+    # naive reference
+    toks = [re.findall(r"[a-z0-9]+", d.lower()) for d in docs]
+    n_docs = len(docs)
+    avgdl = sum(len(t) for t in toks) / n_docs
+    scores = {}
+    for i, tk in enumerate(toks):
+        s, matched = 0.0, False
+        for q in query:
+            tf = tk.count(q)
+            df = sum(1 for t2 in toks if q in t2)
+            idf = np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+            s += idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * len(tk) / avgdl))
+            matched |= tf > 0
+        if matched:
+            scores[ids[i]] = round(s, 6)
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+
+    t = pa.table({"doc_id": pa.array(ids), "text": pa.array(docs)})
+    for parts in (1, 7):
+        out = T.bm25_topk(rd.from_arrow(t).repartition(parts), query,
+                          k1=k1, b=b, k=10).to_pandas()
+        got = list(zip(out["doc_id"], out["bm25"]))
+        assert [g[0] for g in got] == [w[0] for w in want]
+        assert np.allclose([g[1] for g in got], [w[1] for w in want],
+                           atol=2e-6)
