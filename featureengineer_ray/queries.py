@@ -1724,6 +1724,98 @@ def q_lda_fit_project(sf_dir: str):
     return _select(out, ["vec_id", "lda_vec"])
 
 
+def _pca_query_model(d: int = 64, out_dim: int = 8,
+                     seed: int = 53) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic (mean, components) for the pca_project query:
+    a seeded synthetic covariance solved by the SAME eigh recipe as the
+    streaming trainer (vecops.pca_solve) — the query hash-checks the
+    distributed centered broadcast-matmul APPLY against bit-identical
+    .17e constants in SQL (the lda_project/gmm_stats pattern), while
+    the fit lifecycle stays covered by pca_fit_project + the numpy
+    oracle in tests/test_vecops.py."""
+    from . import vecops
+
+    rng = np.random.default_rng(seed)
+    A = np.round(rng.normal(0.0, 0.3, size=(d, d)), 4)
+    cov = A @ A.T / d + np.diag(np.round(rng.uniform(0.1, 1.0, d), 4))
+    mean = np.round(rng.normal(0.0, 0.5, size=d), 4)
+    comp, _ = vecops.pca_solve(cov, out_dim)
+    return mean, comp
+
+
+def q_pca_project(sf_dir: str):
+    """PCA apply (M10/M11 family): center every embedding against a
+    fixed trained mean and rotate onto the fixed (64×8) principal
+    components — one BLAS matmul (+ bias add) per batch, (μ, V)
+    broadcast once. Hash-checked: the same columns and the per-column
+    −μ·Vⱼ offsets are embedded in the DuckDB oracle at .17e."""
+    from . import vecops
+
+    mean, comp = _pca_query_model()
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = vecops.project(emb, comp, vec_col="embedding",
+                         out_col="pc_vec", bias=-(mean @ comp))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        v = vecops.vec_matrix(batch.column("pc_vec"), batch.num_rows)
+        m, k = v.shape if v.size else (batch.num_rows, comp.shape[1])
+        idx = np.repeat(np.arange(m, dtype=np.int64), k)
+        return pa.table({
+            "vec_id": batch.column("vec_id").take(pa.array(idx)),
+            "pc_dim": pa.array(np.tile(np.arange(k, dtype=np.int64), m)),
+            "pc_val": pa.array(np.round(v.reshape(-1), 6)),
+        })
+
+    return out.map_batches(explode, batch_format="pyarrow")
+
+
+def _pca_project_sql() -> str:
+    """Oracle for q_pca_project: each component column at .17e plus its
+    scalar bias bⱼ = −μ·Vⱼ; pc_val = round_even(x·Vⱼ + bⱼ, 6) — the
+    same dot-then-one-add IEEE order as the broadcast matmul."""
+    mean, comp = _pca_query_model()
+    bias = -(mean @ comp)
+
+    def lit(x: float) -> str:
+        return f"{x:.17e}"
+
+    def arr(v) -> str:
+        return "[" + ", ".join(lit(float(x)) for x in v) + "]::DOUBLE[]"
+
+    rows = ",\n    ".join(
+        f"({j}, {arr(comp[:, j])}, {lit(float(bias[j]))})"
+        for j in range(comp.shape[1]))
+    return f"""
+WITH m AS (
+  SELECT * FROM (VALUES
+    {rows}
+  ) AS t(j, col, b)
+)
+SELECT vec_id, CAST(m.j AS BIGINT) AS pc_dim,
+       ROUND_EVEN(list_dot_product(CAST(embedding AS DOUBLE[]), m.col)
+                  + m.b, 6) AS pc_val
+FROM embeddings CROSS JOIN m
+"""
+
+
+def q_pca_fit_project(sf_dir: str):
+    """PCA TRAIN lifecycle: fit mean + top-8 principal components from
+    one streaming moments pass (``vecops.pca_fit`` — O(d²) partials
+    through the distributed combine, rows never reach the driver), then
+    broadcast-project every embedding. Rows-only (eig is not
+    SQL-expressible); pca_fit itself is numpy-oracle-checked in
+    tests/test_vecops.py. The APPLY half is hash-checked by
+    q_pca_project."""
+    from . import vecops
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    mean, comp, _ = vecops.pca_fit(emb, vec_col="embedding", out_dim=8)
+    emb2 = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = vecops.project(emb2, comp, vec_col="embedding",
+                         out_col="pc_vec", bias=-(mean @ comp))
+    return _select(out, ["vec_id", "pc_vec"])
+
+
 def q_whiten_dims(sf_dir: str):
     """Per-dimension standardization of the embedding column (M10's
     global-stats-then-apply shape, SQL-checkable diagonal case)."""
@@ -5621,6 +5713,7 @@ QUERIES = {
     "grouped_mode": q_grouped_mode,
     "bm25_top_docs": q_bm25_top_docs,
     "regex_token_count": q_regex_token_count,
+    "pca_project": q_pca_project,
     "bigram_top_terms": q_bigram_top_terms,
     "word_rep_ratio": q_word_rep_ratio,
     "dup_ngram_frac": q_dup_ngram_frac,
@@ -5633,6 +5726,7 @@ QUERIES = {
     # rows-only (no SQL oracle)
     "spectral_norm_fit": q_spectral_norm_fit,
     "lda_fit_project": q_lda_fit_project,
+    "pca_fit_project": q_pca_fit_project,
     "kmeans_embeddings": q_kmeans_embeddings,
     "whiten_embeddings": q_whiten_embeddings,
     "multimodal_thumbs": q_multimodal_thumbs,
@@ -5806,6 +5900,7 @@ ORACLE_SQL = {
     "plda_scores": _plda_sql(),
     "spectral_norm": _spectral_norm_sql(),
     "lda_project": _lda_project_sql(),
+    "pca_project": _pca_project_sql(),
     "multimodal_png": SQL_MULTIMODAL_PNG,
     "multimodal_gif": SQL_MULTIMODAL_GIF,
     "multimodal_mulaw": SQL_MULTIMODAL_MULAW,

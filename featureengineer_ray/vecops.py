@@ -419,3 +419,34 @@ def lda_solve(sw: np.ndarray, sb: np.ndarray, out_dim: int,
                         np.arange(proj.shape[1])])
     sign[sign == 0] = 1.0
     return proj * sign
+
+
+def pca_solve(cov: np.ndarray, out_dim: int
+              ) -> tuple[np.ndarray, np.ndarray]:
+    """Principal components of an assembled covariance: eigh of the
+    symmetrized matrix, columns ordered by descending eigenvalue,
+    eigenvector sign fixed by the max-|component| convention (shared by
+    :func:`pca_fit` and the fixed-model query oracle). Returns
+    (components (d × out_dim), explained variances (out_dim,))."""
+    w, vecs = np.linalg.eigh((cov + cov.T) / 2.0)
+    order = np.argsort(w)[::-1][:out_dim]
+    comp = vecs[:, order]
+    sign = np.sign(comp[np.abs(comp).argmax(axis=0),
+                        np.arange(comp.shape[1])])
+    sign[sign == 0] = 1.0
+    return comp * sign, w[order]
+
+
+def pca_fit(ds, *, vec_col: str, out_dim: int
+            ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """PCA trainer over a vector column in ONE streaming pass (the
+    classic global-stats-then-apply M10 shape, with an eig instead of a
+    Cholesky): :func:`vector_moments` folds (count, Σx, ΣxᵀX) partials
+    through the 32-way distributed combine — the driver sees O(d²)
+    numbers, never rows — then :func:`pca_solve` extracts the top
+    ``out_dim`` components deterministically. Returns
+    (mean (d,), components (d × out_dim), explained variances).
+    Apply with ``project(ds, components, bias=-(mean @ components))``."""
+    _, mean, cov = vector_moments(ds, vec_col=vec_col)
+    comp, var = pca_solve(cov, out_dim)
+    return mean, comp, var

@@ -290,3 +290,28 @@ def test_spectral_norm_matches_numpy_reference(rd):
         x = y / np.linalg.norm(y, axis=1, keepdims=True)
     np.testing.assert_allclose(gm, x, rtol=1e-9, atol=1e-12)
     np.testing.assert_allclose(np.linalg.norm(gm, axis=1), 1.0, rtol=1e-12)
+
+
+def test_pca_fit_matches_numpy_oracle(rd):
+    """Distributed one-pass PCA == direct numpy eig of the sample
+    covariance; components recover the planted high-variance axes."""
+    rng = np.random.RandomState(13)
+    d, n = 10, 600
+    # planted: dims 2 and 7 carry 30x/12x the variance of the rest
+    scales = np.ones(d); scales[2], scales[7] = 30.0, 12.0
+    X = rng.randn(n, d) * scales
+    t = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                      "embedding": list(X)})
+    mean, comp, var = vecops.pca_fit(
+        rd.from_pandas(t).repartition(6), vec_col="embedding", out_dim=3)
+
+    cov = np.cov(X, rowvar=False, ddof=1)
+    comp0, var0 = vecops.pca_solve(cov, 3)
+    assert np.allclose(mean, X.mean(axis=0), atol=1e-9)
+    assert np.allclose(var, var0, rtol=1e-9)
+    assert np.allclose(comp, comp0, atol=1e-9)
+    # top components align with the planted axes
+    assert np.abs(comp[2, 0]) > 0.99
+    assert np.abs(comp[7, 1]) > 0.99
+    # explained variances descend
+    assert var[0] >= var[1] >= var[2]
