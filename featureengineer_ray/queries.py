@@ -2879,6 +2879,28 @@ ORDER BY n DESC, term LIMIT 50
 """
 
 
+def q_fuzzy_part_pairs(sf_dir: str):
+    """Blocked character-level fuzzy matching (record linkage): all
+    same-brand part-name pairs within Levenshtein distance 2
+    (``dedup.levenshtein_pairs`` — one hash exchange on the block key,
+    per-partition length-gap prefilter, then ONE batched numpy DP over
+    every surviving pair). Integer distances → bit-exact hash vs
+    DuckDB's ``levenshtein``."""
+    parts = _read(sf_dir, "part", ["p_partkey", "p_name", "p_brand"])
+    return dd.levenshtein_pairs(parts, key_col="p_partkey",
+                                   text_col="p_name",
+                                   block_cols=["p_brand"], max_dist=2)
+
+
+SQL_FUZZY_PART_PAIRS = """
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+"""
+
+
 _BM25_TERMS = ["window", "merge", "scan", "batch"]
 
 
@@ -5714,6 +5736,7 @@ QUERIES = {
     "bm25_top_docs": q_bm25_top_docs,
     "regex_token_count": q_regex_token_count,
     "pca_project": q_pca_project,
+    "fuzzy_part_pairs": q_fuzzy_part_pairs,
     "bigram_top_terms": q_bigram_top_terms,
     "word_rep_ratio": q_word_rep_ratio,
     "dup_ngram_frac": q_dup_ngram_frac,
@@ -5901,6 +5924,7 @@ ORACLE_SQL = {
     "spectral_norm": _spectral_norm_sql(),
     "lda_project": _lda_project_sql(),
     "pca_project": _pca_project_sql(),
+    "fuzzy_part_pairs": SQL_FUZZY_PART_PAIRS,
     "multimodal_png": SQL_MULTIMODAL_PNG,
     "multimodal_gif": SQL_MULTIMODAL_GIF,
     "multimodal_mulaw": SQL_MULTIMODAL_MULAW,

@@ -1757,3 +1757,72 @@ def test_bm25_topk_matches_naive(rd):
         assert [g[0] for g in got] == [w[0] for w in want]
         assert np.allclose([g[1] for g in got], [w[1] for w in want],
                            atol=2e-6)
+
+
+def _lev_ref(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_levenshtein_many_matches_reference():
+    from featureengineer_ray import dedup
+
+    rng = np.random.default_rng(31)
+    alpha = list("abcde")
+    strs = ["".join(rng.choice(alpha, size=rng.integers(0, 12)))
+            for _ in range(120)]
+    a = np.array(strs[:60], dtype=object)
+    b = np.array(strs[60:], dtype=object)
+    got = dedup.levenshtein_many(a, b)
+    want = np.array([_lev_ref(x, y) for x, y in zip(a, b)])
+    assert (got == want).all()
+    # unicode + empty edge cases
+    a2 = np.array(["", "héllo", "abc", "ab"], dtype=object)
+    b2 = np.array(["xy", "hello", "", "ba"], dtype=object)
+    got2 = dedup.levenshtein_many(a2, b2)
+    assert list(got2) == [2, 1, 3, 2]
+
+
+def test_levenshtein_pairs_matches_bruteforce(rd):
+    from featureengineer_ray import dedup
+
+    rng = np.random.default_rng(37)
+    alpha = list("abcd")
+    n = 90
+    blocks = rng.integers(0, 4, n)
+    strs = ["".join(rng.choice(alpha, size=rng.integers(2, 9)))
+            for _ in range(n)]
+    t = pa.table({"k": pa.array(np.arange(n, dtype=np.int64)),
+                  "txt": pa.array(strs),
+                  "blk": pa.array([f"b{x}" for x in blocks])})
+    out = dedup.levenshtein_pairs(
+        rd.from_arrow(t).repartition(4), key_col="k", text_col="txt",
+        block_cols=["blk"], max_dist=2).to_pandas()
+    got = set(zip(out["key_a"], out["key_b"], out["dist"]))
+    want = set()
+    for i in range(n):
+        for j in range(i + 1, n):
+            if blocks[i] == blocks[j]:
+                d = _lev_ref(strs[i], strs[j])
+                if d <= 2:
+                    want.add((i, j, d))
+    assert got == want
+
+
+def test_levenshtein_pairs_block_cap(rd):
+    from featureengineer_ray import dedup
+
+    t = pa.table({"k": pa.array(np.arange(50, dtype=np.int64)),
+                  "txt": pa.array(["x"] * 50),
+                  "blk": pa.array(["same"] * 50)})
+    ds = dedup.levenshtein_pairs(rd.from_arrow(t), key_col="k",
+                                 text_col="txt", block_cols=["blk"],
+                                 max_dist=1, max_block=10)
+    with pytest.raises(Exception, match="max_block"):
+        ds.materialize()
