@@ -2879,6 +2879,152 @@ ORDER BY n DESC, term LIMIT 50
 """
 
 
+def q_cohort_retention(sf_dir: str):
+    """Cohort retention matrix: users bucketed by their FIRST active
+    epoch-week (the cohort), counted distinct at each later week
+    offset. Three bounded exchanges, all O(users×weeks) — never rows:
+    (user, week) distinct pairs via one grouped aggregate, a
+    user-keyed hash partition where each partition resolves every
+    user's cohort with one vectorized transform('min'), then the tiny
+    (cohort, offset) count."""
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def to_week(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        w = ts // (604800 * 1_000_000)
+        return pa.table({"user_id": batch.column("user_id"),
+                         "w": pa.array(w)})
+
+    uw = relational.grouped_agg(
+        ev.map_batches(to_week, batch_format="pyarrow"),
+        ["user_id", "w"], {},
+        count_alias="__n")  # distinct (user, week) pairs
+
+    from .hashing import hash_str_array, mix64
+    from .partition import hash_shuffle_width
+
+    P = hash_shuffle_width(100_000, 500_000)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        vals = batch.column("user_id").to_numpy(zero_copy_only=False)
+        h = mix64(np.zeros(batch.num_rows, dtype=np.uint64),
+                  hash_str_array(vals))
+        return batch.append_column(
+            "__part", pa.array((h % np.uint64(P)).astype(np.int32)))
+
+    def offsets_part(g: pd.DataFrame) -> pd.DataFrame:
+        cw = g.groupby("user_id")["w"].transform("min")
+        return pd.DataFrame({"cohort_week": cw.to_numpy(),
+                             "week_offset": (g["w"] - cw).to_numpy()})
+
+    tagged = uw.map_batches(assign, batch_format="pyarrow")
+    pairs = tagged.groupby("__part").map_groups(offsets_part,
+                                                batch_format="pandas")
+    return relational.grouped_agg(pairs, ["cohort_week", "week_offset"],
+                                  {}, count_alias="n_users")
+
+
+SQL_COHORT_RETENTION = """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts) / 604800) AS BIGINT) AS w
+  FROM events
+), f AS (
+  SELECT user_id, min(w) AS cw FROM uw GROUP BY 1
+)
+SELECT f.cw AS cohort_week, uw.w - f.cw AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM uw JOIN f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+def q_event_gap_stats(sf_dir: str):
+    """Inter-event gap distribution per event type (the
+    inter-arrival-time feature family): gaps between consecutive
+    same-user events, labeled by the later event's type; per type the
+    count, exact mean, and exact p50/p90 (quantile_disc semantics).
+
+    Two bounded exchanges: one user-keyed hash partition (each
+    partition lexsorts all its users at once and diffs — no per-user
+    Python), then the gap VALUE HISTOGRAM (whole seconds, so
+    O(types × distinct gaps) partials — never rows) from which count,
+    mean (exact int sums) and the quantiles all read off."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type",
+                                  "ts"])
+
+    from .hashing import hash_str_array, mix64
+    from .partition import hash_shuffle_width
+
+    P = hash_shuffle_width(100_000, 500_000)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        vals = batch.column("user_id").to_numpy(zero_copy_only=False)
+        h = mix64(np.zeros(batch.num_rows, dtype=np.uint64),
+                  hash_str_array(vals))
+        return batch.append_column(
+            "__part", pa.array((h % np.uint64(P)).astype(np.int32)))
+
+    def gaps_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="stable").reset_index(drop=True)
+        ts = g["ts"].astype("int64").to_numpy()
+        uid = g["user_id"].to_numpy()
+        same = np.r_[False, uid[1:] == uid[:-1]]
+        gap_s = np.zeros(len(g), dtype=np.int64)
+        gap_s[1:] = (ts[1:] - ts[:-1]) // 1_000_000
+        sel = np.flatnonzero(same)
+        return pd.DataFrame({
+            "event_type": g["event_type"].to_numpy()[sel],
+            "gap_s": gap_s[sel]})
+
+    tagged = ev.map_batches(assign, batch_format="pyarrow")
+    gaps = tagged.groupby("__part").map_groups(gaps_part,
+                                               batch_format="pandas")
+    hist = relational.grouped_agg(gaps, ["event_type", "gap_s"], {},
+                                  count_alias="__n")
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for et, sub in g.groupby("event_type", sort=False):
+            sub = sub.sort_values("gap_s", kind="stable")
+            n = sub["__n"].to_numpy().astype(np.int64)
+            vals = sub["gap_s"].to_numpy().astype(np.int64)
+            cum = n.cumsum()
+            total = int(cum[-1])
+            row = {"event_type": et, "n_gaps": total,
+                   "mean_gap_s": float(np.round(
+                       float((vals * n).sum()) / total, 6))}
+            for q, name in [(0.5, "p50_gap_s"), (0.9, "p90_gap_s")]:
+                rank = max(int(np.ceil(q * total)), 1)
+                row[name] = int(vals[np.searchsorted(cum, rank)])
+            outs.append(row)
+        return pd.DataFrame(outs)
+
+    return hist.groupby("event_type").map_groups(finish,
+                                                 batch_format="pandas")
+
+
+SQL_EVENT_GAP_STATS = """
+WITH o AS (
+  SELECT event_type, epoch_us(ts) AS tus,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS pus
+  FROM events
+), g AS (
+  SELECT event_type, (tus - pus) // 1000000 AS gap_s
+  FROM o WHERE pus IS NOT NULL
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       round(CAST(sum(gap_s) AS DOUBLE) / count(*), 6) AS mean_gap_s,
+       CAST(quantile_disc(gap_s, 0.5) AS BIGINT) AS p50_gap_s,
+       CAST(quantile_disc(gap_s, 0.9) AS BIGINT) AS p90_gap_s
+FROM g GROUP BY 1
+"""
+
+
 def q_fuzzy_part_pairs(sf_dir: str):
     """Blocked character-level fuzzy matching (record linkage): all
     same-brand part-name pairs within Levenshtein distance 2
@@ -5737,6 +5883,8 @@ QUERIES = {
     "regex_token_count": q_regex_token_count,
     "pca_project": q_pca_project,
     "fuzzy_part_pairs": q_fuzzy_part_pairs,
+    "cohort_retention": q_cohort_retention,
+    "event_gap_stats": q_event_gap_stats,
     "bigram_top_terms": q_bigram_top_terms,
     "word_rep_ratio": q_word_rep_ratio,
     "dup_ngram_frac": q_dup_ngram_frac,
@@ -5925,6 +6073,8 @@ ORACLE_SQL = {
     "lda_project": _lda_project_sql(),
     "pca_project": _pca_project_sql(),
     "fuzzy_part_pairs": SQL_FUZZY_PART_PAIRS,
+    "cohort_retention": SQL_COHORT_RETENTION,
+    "event_gap_stats": SQL_EVENT_GAP_STATS,
     "multimodal_png": SQL_MULTIMODAL_PNG,
     "multimodal_gif": SQL_MULTIMODAL_GIF,
     "multimodal_mulaw": SQL_MULTIMODAL_MULAW,
