@@ -2879,6 +2879,100 @@ ORDER BY n DESC, term LIMIT 50
 """
 
 
+def q_profile_lineitem(sf_dir: str):
+    """One-pass numeric data profiling (``validate.profile_columns``):
+    per column, row/null counts and exact min/max from O(columns)
+    per-batch partials + one tiny grouped reduce. Selection-only stats
+    (no float arithmetic) → bit-exact hash at any parallelism."""
+    from . import validate
+
+    li = _read(sf_dir, "lineitem",
+               ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+    return validate.profile_columns(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+
+
+SQL_PROFILE_LINEITEM = """
+SELECT t.column, t.n_rows, t.n_null, t.min_val, t.max_val FROM (
+  SELECT 'l_quantity' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(*) - count(l_quantity) AS BIGINT) AS n_null,
+         CAST(min(l_quantity) AS DOUBLE) AS min_val,
+         CAST(max(l_quantity) AS DOUBLE) AS max_val FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice', count(*), count(*) - count(l_extendedprice),
+         min(l_extendedprice), max(l_extendedprice) FROM lineitem
+  UNION ALL
+  SELECT 'l_discount', count(*), count(*) - count(l_discount),
+         min(l_discount), max(l_discount) FROM lineitem
+  UNION ALL
+  SELECT 'l_tax', count(*), count(*) - count(l_tax),
+         min(l_tax), max(l_tax) FROM lineitem
+) t
+"""
+
+
+def q_ohlc_hourly(sf_dir: str):
+    """Time-series resampling to hourly OHLC bars per event type
+    (open/high/low/close + count — the downsampling shape every
+    monitoring/market pipeline needs): one hash exchange on the
+    (type, hour) composite key; each partition lexsorts once and reads
+    opens/closes off segment boundaries, highs/lows via
+    minimum/maximum.reduceat — no per-bar Python. Selection-only
+    outputs (no arithmetic) → bit-exact hash."""
+    ev = _read(sf_dir, "events", ["event_id", "ts", "event_type",
+                                  "value"])
+
+    def mk_key(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64())
+        hour = pc.divide(ts, 3_600_000_000)
+        g = pc.binary_join_element_wise(
+            batch.column("event_type"), pc.cast(hour, pa.string()), "\x1f")
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "ts": ts,
+            "event_type": batch.column("event_type"),
+            "hour_bucket": hour,
+            "value": batch.column("value"),
+            "__g": g,
+        })
+
+    def ohlc_part(part: pa.Table) -> pa.Table:
+        g = part.column("__g").to_numpy(zero_copy_only=False)
+        ts = part.column("ts").to_numpy(zero_copy_only=False)
+        eid = part.column("event_id").to_numpy(zero_copy_only=False)
+        val = part.column("value").to_numpy(zero_copy_only=False)
+        uc, inv = np.unique(g, return_inverse=True)
+        order = np.lexsort((eid, ts, inv))
+        inv_s, val_s = inv[order], val[order]
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(inv_s)) + 1))
+        bounds = np.concatenate((starts, [len(inv_s)]))
+        take = pa.array(order[starts])
+        return pa.table({
+            "event_type": part.column("event_type").take(take),
+            "hour_bucket": part.column("hour_bucket").take(take),
+            "open": pa.array(val_s[starts]),
+            "high": pa.array(np.maximum.reduceat(val_s, starts)),
+            "low": pa.array(np.minimum.reduceat(val_s, starts)),
+            "close": pa.array(val_s[bounds[1:] - 1]),
+            "n": pa.array(np.diff(bounds).astype(np.int64)),
+        })
+
+    keyed = ev.map_batches(mk_key, batch_format="pyarrow")
+    return _by_entity_partitions(keyed, "__g", ohlc_part)
+
+
+SQL_OHLC_HOURLY = """
+SELECT event_type,
+       epoch_us(ts) // 3600000000 AS hour_bucket,
+       first(value ORDER BY ts, event_id) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       last(value ORDER BY ts, event_id) AS close,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_cohort_retention(sf_dir: str):
     """Cohort retention matrix: users bucketed by their FIRST active
     epoch-week (the cohort), counted distinct at each later week
@@ -5885,6 +5979,8 @@ QUERIES = {
     "fuzzy_part_pairs": q_fuzzy_part_pairs,
     "cohort_retention": q_cohort_retention,
     "event_gap_stats": q_event_gap_stats,
+    "profile_lineitem": q_profile_lineitem,
+    "ohlc_hourly": q_ohlc_hourly,
     "bigram_top_terms": q_bigram_top_terms,
     "word_rep_ratio": q_word_rep_ratio,
     "dup_ngram_frac": q_dup_ngram_frac,
@@ -6075,6 +6171,8 @@ ORACLE_SQL = {
     "fuzzy_part_pairs": SQL_FUZZY_PART_PAIRS,
     "cohort_retention": SQL_COHORT_RETENTION,
     "event_gap_stats": SQL_EVENT_GAP_STATS,
+    "profile_lineitem": SQL_PROFILE_LINEITEM,
+    "ohlc_hourly": SQL_OHLC_HOURLY,
     "multimodal_png": SQL_MULTIMODAL_PNG,
     "multimodal_gif": SQL_MULTIMODAL_GIF,
     "multimodal_mulaw": SQL_MULTIMODAL_MULAW,

@@ -99,3 +99,43 @@ def validate_rules(ds, rules: list[tuple]) -> pa.Table:
         "col": pa.array([r[1] for r in rules], type=pa.string()),
         "violations": pa.array(counts),
     })
+
+
+def profile_columns(ds, columns: list[str]) -> "object":
+    """One-pass numeric data profiling: per column, row/null counts and
+    exact min/max (the dataset-summary half of the reference's
+    validate() guards, computed streaming instead of via a driver
+    re-scan). Each batch emits one O(columns) partial row set; one tiny
+    grouped reduce merges them — the scan reads exactly ``columns``.
+    Returns a Dataset of (column, n_rows, n_null, min_val, max_val)
+    with values cast to float64 (selection-only stats: no arithmetic,
+    so the doubles are bit-exact vs any SQL oracle)."""
+    from . import relational
+
+    def partial(batch: pa.Table) -> pa.Table:
+        names, ns, nulls, mns, mxs = [], [], [], [], []
+        for c in columns:
+            arr = batch.column(c)
+            names.append(c)
+            ns.append(batch.num_rows)
+            nulls.append(arr.null_count)
+            if batch.num_rows > arr.null_count:
+                mm = pc.min_max(arr)
+                mns.append(float(mm["min"].as_py()))
+                mxs.append(float(mm["max"].as_py()))
+            else:
+                mns.append(None)
+                mxs.append(None)
+        return pa.table({
+            "column": pa.array(names, type=pa.string()),
+            "n_rows": pa.array(ns, type=pa.int64()),
+            "n_null": pa.array(nulls, type=pa.int64()),
+            "min_val": pa.array(mns, type=pa.float64()),
+            "max_val": pa.array(mxs, type=pa.float64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return relational.grouped_agg(
+        partials, ["column"],
+        {"n_rows": ("n_rows", "sum"), "n_null": ("n_null", "sum"),
+         "min_val": ("min_val", "min"), "max_val": ("max_val", "max")})
