@@ -2879,6 +2879,156 @@ ORDER BY n DESC, term LIMIT 50
 """
 
 
+def q_event_seq_string(sf_dir: str):
+    """Per-user ordered event-type sequence as one delimited string
+    (grouped ordered string_agg — the session-as-text feature that
+    behavioral models consume). One hash exchange; per partition ONE
+    lexsort, then the concatenation itself is a single Arrow C++
+    kernel: segment boundaries become ListArray offsets and
+    ``pc.binary_join`` joins every user's list at once — no per-user
+    Python string work."""
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"])
+
+    def seq_part(part: pa.Table) -> pa.Table:
+        users = part.column("user_id").to_numpy(zero_copy_only=False)
+        ts = part.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        eid = part.column("event_id").to_numpy(zero_copy_only=False)
+        uc, inv = np.unique(users, return_inverse=True)
+        order = np.lexsort((eid, ts, inv))
+        inv_s = inv[order]
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(inv_s)) + 1))
+        offsets = np.concatenate((starts, [len(inv_s)])).astype(np.int32)
+        vals = part.column("event_type").take(pa.array(order))
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        lists = pa.ListArray.from_arrays(pa.array(offsets), vals)
+        joined = pc.binary_join(lists, ",")
+        return pa.table({
+            "user_id": pa.array(uc,
+                                type=part.schema.field("user_id").type),
+            "event_seq": joined,
+            "n_events": pa.array(np.diff(offsets).astype(np.int64)),
+        })
+
+    return _by_entity_partitions(ev, "user_id", seq_part)
+
+
+SQL_EVENT_SEQ_STRING = """
+SELECT user_id,
+       string_agg(event_type, ',' ORDER BY ts, event_id) AS event_seq,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
+def q_event_transitions(sf_dir: str):
+    """First-order Markov transition counts between consecutive
+    same-user event types (the behavioral-sequence statistic): one
+    user-keyed hash exchange, per-partition lexsort + shift, then a
+    tiny O(types²) count reduce."""
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"])
+
+    from .hashing import hash_str_array, mix64
+    from .partition import hash_shuffle_width
+
+    P = hash_shuffle_width(100_000, 500_000)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        vals = batch.column("user_id").to_numpy(zero_copy_only=False)
+        h = mix64(np.zeros(batch.num_rows, dtype=np.uint64),
+                  hash_str_array(vals))
+        return batch.append_column(
+            "__part", pa.array((h % np.uint64(P)).astype(np.int32)))
+
+    def trans_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="stable").reset_index(drop=True)
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        same = np.r_[False, uid[1:] == uid[:-1]]
+        sel = np.flatnonzero(same)
+        return pd.DataFrame({"prev_type": et[sel - 1],
+                             "next_type": et[sel]})
+
+    tagged = ev.map_batches(assign, batch_format="pyarrow")
+    pairs = tagged.groupby("__part").map_groups(trans_part,
+                                                batch_format="pandas")
+    return relational.grouped_agg(pairs, ["prev_type", "next_type"], {},
+                                  count_alias="n")
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH o AS (
+  SELECT event_type AS next_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+FROM o WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+def q_rfm_features(sf_dir: str):
+    """Classic RFM (recency / frequency / monetary) per user over
+    purchase events: hours since last purchase relative to the corpus
+    max timestamp, purchase count, and exact integer-cent spend. One
+    narrow predicate-pushed scan + one O(users) grouped aggregate; the
+    recency anchor is a second tiny aggregate broadcast into the
+    finalize."""
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"],
+               filter=(pc.field("event_type") == "purchase"))
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(batch.column("value"),
+                                             100.0)), pa.int64())
+        return pa.table({"user_id": batch.column("user_id"),
+                         "tus": ts, "cents": cents})
+
+    prepped = ev.map_batches(prep, batch_format="pyarrow")
+    agg = relational.grouped_agg(
+        prepped, ["user_id"],
+        {"last_tus": ("tus", "max"), "monetary_cents": ("cents", "sum")},
+        count_alias="frequency")
+    anchor = int(prepped.max("tus"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        last = batch.column("last_tus").to_numpy(zero_copy_only=False)
+        rec = (anchor - last) // 3_600_000_000
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "recency_hours": pa.array(rec.astype(np.int64)),
+            "frequency": batch.column("frequency").cast(pa.int64()),
+            "monetary_cents": batch.column("monetary_cents").cast(
+                pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_RFM_FEATURES = """
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS tus,
+         CAST(ROUND_EVEN(value * 100.0, 0) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+), a AS (
+  SELECT max(tus) AS anchor FROM p
+)
+SELECT user_id,
+       CAST((a.anchor - max(p.tus)) // 3600000000 AS BIGINT)
+         AS recency_hours,
+       CAST(count(*) AS BIGINT) AS frequency,
+       CAST(sum(cents) AS BIGINT) AS monetary_cents
+FROM p CROSS JOIN a
+GROUP BY user_id, a.anchor
+"""
+
+
 def q_profile_lineitem(sf_dir: str):
     """One-pass numeric data profiling (``validate.profile_columns``):
     per column, row/null counts and exact min/max from O(columns)
@@ -5981,6 +6131,9 @@ QUERIES = {
     "event_gap_stats": q_event_gap_stats,
     "profile_lineitem": q_profile_lineitem,
     "ohlc_hourly": q_ohlc_hourly,
+    "event_seq_string": q_event_seq_string,
+    "event_transitions": q_event_transitions,
+    "rfm_features": q_rfm_features,
     "bigram_top_terms": q_bigram_top_terms,
     "word_rep_ratio": q_word_rep_ratio,
     "dup_ngram_frac": q_dup_ngram_frac,
@@ -6173,6 +6326,9 @@ ORACLE_SQL = {
     "event_gap_stats": SQL_EVENT_GAP_STATS,
     "profile_lineitem": SQL_PROFILE_LINEITEM,
     "ohlc_hourly": SQL_OHLC_HOURLY,
+    "event_seq_string": SQL_EVENT_SEQ_STRING,
+    "event_transitions": SQL_EVENT_TRANSITIONS,
+    "rfm_features": SQL_RFM_FEATURES,
     "multimodal_png": SQL_MULTIMODAL_PNG,
     "multimodal_gif": SQL_MULTIMODAL_GIF,
     "multimodal_mulaw": SQL_MULTIMODAL_MULAW,
