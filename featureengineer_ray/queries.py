@@ -1138,6 +1138,64 @@ SELECT n_nationkey, n_name, n_regionkey FROM nation
 """
 
 
+def q_orc_roundtrip(sf_dir: str):
+    """ORC source/sink coverage (S9 pluggable formats): supplier
+    written to multi-file ORC by the distributed block sink
+    (``formats.write_orc_dataset``), read back with the
+    ``read_binary_files`` fan-out + pyarrow ORC C++ decode with
+    stripe-level ``columns=`` pruning; oracle reads the parquet view
+    (lossless roundtrip)."""
+    from . import formats
+
+    sup = _read(sf_dir, "supplier",
+                ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"])
+    out_dir = f"/tmp/fe_orc_{abs(hash(sf_dir)) % 10**8}_supplier"
+    paths = formats.write_orc_dataset(sup.repartition(3), out_dir)
+    ds = formats.read_orc(paths,
+                          columns=["s_suppkey", "s_name", "s_nationkey",
+                                   "s_acctbal"])
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "s_suppkey": batch.column("s_suppkey").cast(pa.int64()),
+            "s_name": batch.column("s_name"),
+            "s_nationkey": batch.column("s_nationkey").cast(pa.int32()),
+            "s_acctbal": batch.column("s_acctbal"),
+        })
+
+    return ds.map_batches(cast, batch_format="pyarrow")
+
+
+SQL_ORC_ROUNDTRIP = """
+SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+"""
+
+
+def q_feather_roundtrip(sf_dir: str):
+    """Feather-v2 / Arrow-IPC source/sink coverage (S9): region written
+    to zstd IPC files by the distributed block sink, read back with the
+    fan-out + pyarrow IPC decode; oracle reads the parquet view."""
+    from . import formats
+
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"])
+    out_dir = f"/tmp/fe_feather_{abs(hash(sf_dir)) % 10**8}_region"
+    paths = formats.write_feather_dataset(reg, out_dir)
+    ds = formats.read_feather(paths, columns=["r_regionkey", "r_name"])
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "r_regionkey": batch.column("r_regionkey").cast(pa.int32()),
+            "r_name": batch.column("r_name"),
+        })
+
+    return ds.map_batches(cast, batch_format="pyarrow")
+
+
+SQL_FEATHER_ROUNDTRIP = """
+SELECT r_regionkey, r_name FROM region
+"""
+
+
 def q_json_roundtrip(sf_dir: str):
     """JSON-lines source coverage (S9 pluggable formats): nation exported
     to NDJSON, read back with ray.data.read_json; oracle reads the
@@ -6134,6 +6192,8 @@ QUERIES = {
     "event_seq_string": q_event_seq_string,
     "event_transitions": q_event_transitions,
     "rfm_features": q_rfm_features,
+    "orc_roundtrip": q_orc_roundtrip,
+    "feather_roundtrip": q_feather_roundtrip,
     "bigram_top_terms": q_bigram_top_terms,
     "word_rep_ratio": q_word_rep_ratio,
     "dup_ngram_frac": q_dup_ngram_frac,
@@ -6329,6 +6389,8 @@ ORACLE_SQL = {
     "event_seq_string": SQL_EVENT_SEQ_STRING,
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "rfm_features": SQL_RFM_FEATURES,
+    "orc_roundtrip": SQL_ORC_ROUNDTRIP,
+    "feather_roundtrip": SQL_FEATHER_ROUNDTRIP,
     "multimodal_png": SQL_MULTIMODAL_PNG,
     "multimodal_gif": SQL_MULTIMODAL_GIF,
     "multimodal_mulaw": SQL_MULTIMODAL_MULAW,

@@ -1826,3 +1826,33 @@ def test_levenshtein_pairs_block_cap(rd):
                                  max_dist=1, max_block=10)
     with pytest.raises(Exception, match="max_block"):
         ds.materialize()
+
+
+def test_orc_feather_roundtrip_distributed(rd, tmp_path):
+    """formats.py sinks write one idempotent content-hashed file per
+    block; readers fan out and reproduce the exact table, with column
+    pruning."""
+    from featureengineer_ray import formats
+
+    rng = np.random.default_rng(41)
+    t = pa.table({"k": pa.array(np.arange(1000, dtype=np.int64)),
+                  "v": pa.array(rng.standard_normal(1000)),
+                  "s": pa.array([f"s{i%7}" for i in range(1000)])})
+    ds = rd.from_arrow(t).repartition(4)
+
+    orc_paths = formats.write_orc_dataset(ds, str(tmp_path / "orc"))
+    assert len(orc_paths) >= 2  # one file per block
+    back = formats.read_orc(orc_paths).to_pandas().sort_values("k")
+    assert (back["k"].to_numpy() == np.arange(1000)).all()
+    assert np.allclose(back["v"].to_numpy(), t.column("v").to_numpy())
+    pruned = formats.read_orc(orc_paths, columns=["k"]).schema().names
+    assert pruned == ["k"]
+    # idempotent sink: second write of identical blocks adds no files
+    again = formats.write_orc_dataset(rd.from_arrow(t).repartition(4),
+                                      str(tmp_path / "orc"))
+    assert sorted(again) == sorted(orc_paths)
+
+    fe_paths = formats.write_feather_dataset(ds, str(tmp_path / "fe"))
+    back2 = formats.read_feather(fe_paths).to_pandas().sort_values("k")
+    assert (back2["k"].to_numpy() == np.arange(1000)).all()
+    assert list(back2["s"]) == [f"s{i%7}" for i in range(1000)]
