@@ -6119,7 +6119,7 @@ QUERIES = {
     "q1_pricing": q_q1_pricing,
     "grouped_covar": q_grouped_covar,
     "revenue_by_nation": q_revenue_by_nation,
-    "top2_orders_per_cust": q_top2_orders_per_cust,
+    "bm25_top_docs": q_bm25_top_docs,
     "cumsum_per_user": q_cumsum_per_user,
     "sample_per_user": q_sample_per_user,
     "csv_roundtrip": q_csv_roundtrip,
@@ -6128,12 +6128,11 @@ QUERIES = {
     "htk_roundtrip": q_htk_roundtrip,
     "skew_join_events": q_skew_join_events,
     "top10_orders": q_top10_orders,
-    "global_rank_orders": q_global_rank_orders,
     "semi_join_customers": q_semi_join_customers,
     "anti_join_customers": q_anti_join_customers,
     "distinct_users_per_type": q_distinct_users_per_type,
     "string_ops_part": q_string_ops_part,
-    "ts_calendar": q_ts_calendar,
+    "fuzzy_part_pairs": q_fuzzy_part_pairs,
     "doc_stats": q_doc_stats,
     "dedup_docs": q_dedup_docs,
     "pack_documents": q_pack_documents,
@@ -6143,6 +6142,7 @@ QUERIES = {
     "det_curve": q_det_curve,
     "whiten_dims": q_whiten_dims,
     "spectral_norm": q_spectral_norm,
+    "pca_project": q_pca_project,
     "lda_project": q_lda_project,
     "class_means": q_class_means,
     "feature_stack_asof": q_feature_stack_asof,
@@ -6159,6 +6159,9 @@ QUERIES = {
     "plda_scores": q_plda_scores,
     "train_val_split": q_train_val_split,
     # --- SQL-checked tail (gate-verified at sf0.001 + sf0.01) ------
+    "global_rank_orders": q_global_rank_orders,
+    "top2_orders_per_cust": q_top2_orders_per_cust,
+    "ts_calendar": q_ts_calendar,
     "asof_tolerance_1h": q_asof_tolerance_1h,
     "window_fill": q_window_fill,
     "docs_by_lang": q_docs_by_lang,
@@ -6181,10 +6184,7 @@ QUERIES = {
     "roc_auc": q_roc_auc,
     "grouped_linreg": q_grouped_linreg,
     "grouped_mode": q_grouped_mode,
-    "bm25_top_docs": q_bm25_top_docs,
     "regex_token_count": q_regex_token_count,
-    "pca_project": q_pca_project,
-    "fuzzy_part_pairs": q_fuzzy_part_pairs,
     "cohort_retention": q_cohort_retention,
     "event_gap_stats": q_event_gap_stats,
     "profile_lineitem": q_profile_lineitem,
