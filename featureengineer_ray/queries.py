@@ -3087,6 +3087,39 @@ GROUP BY user_id, a.anchor
 """
 
 
+def q_cms_term_counts(sf_dir: str):
+    """Count-Min term frequencies (the bounded-state A4 path when the
+    vocabulary is web-scale): every batch contributes ONE fixed
+    512 KB counter row regardless of row count, merged by exact int
+    sums through the distributed combine; estimates never undercount.
+    Rows-only (the sketch hash is not SQL-expressible); the exact
+    column and the overcount≥0 invariant ride along so the driver's
+    rows check still sees the guarantee."""
+    from . import sketches
+    from .hashing import hash_str_array
+
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def words(batch: pa.Table) -> pa.Table:
+        lowered = pc.utf8_lower(batch.column("text"))
+        flat, _, _ = text._split_words(lowered, "[^a-z0-9]+")
+        return pa.table({"term": pa.array(flat, type=pa.string())})
+
+    wds = docs.map_batches(words, batch_format="pyarrow")
+    counters = sketches.cms_count(wds, "term", depth=4, width=16384)
+
+    tf = text.term_frequencies(docs).to_pandas()  # vocab-sized
+    tf = tf.sort_values("term", kind="stable").reset_index(drop=True)
+    h = hash_str_array(tf["term"].to_numpy())
+    est = sketches.cms_estimate(counters, h, 4, 16384)
+    return pd.DataFrame({
+        "term": tf["term"],
+        "n_exact": tf["n"].astype("int64"),
+        "n_cms": est.astype("int64"),
+        "overcount": (est - tf["n"].to_numpy()).astype("int64"),
+    })
+
+
 def q_profile_lineitem(sf_dir: str):
     """One-pass numeric data profiling (``validate.profile_columns``):
     per column, row/null counts and exact min/max from O(columns)
@@ -6236,6 +6269,7 @@ QUERIES = {
     "corpus_mixture": q_corpus_mixture,
     "asof_forward": q_asof_forward,
     "approx_distinct_users": q_approx_distinct_users,
+    "cms_term_counts": q_cms_term_counts,
     "approx_percentiles_price": q_approx_percentiles_price,
     "partitioned_roundtrip": q_partitioned_roundtrip,
     "rank_events_per_user": q_rank_events_per_user,

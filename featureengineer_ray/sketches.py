@@ -325,3 +325,56 @@ def approx_quantiles(ds, col: str, qs: list[float], *, k: int = 1024):
     return pa.table({"q": pa.array([float(q) for q in qs],
                                    type=pa.float64()),
                      "value": pa.array(vals, type=pa.float64())})
+
+
+# --- Count-Min sketch -------------------------------------------------------
+
+CMS_SEEDS = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+             0x165667B19E3779F9, 0x27D4EB2F165667C5)
+
+
+def cms_partial(h: np.ndarray, depth: int, width: int) -> np.ndarray:
+    """Count-Min counters for one batch of value hashes: a (depth×width)
+    int64 array flattened row-major. Counters are pure sums, so merge =
+    element-wise add — exactly associative/commutative int64 arithmetic,
+    layout-independent at any parallelism (Cormode & Muthukrishnan
+    2005)."""
+    c = np.zeros(depth * width, dtype=np.int64)
+    for r in range(depth):
+        idx = (hashing.mix64(h, np.uint64(CMS_SEEDS[r]))
+               % np.uint64(width)).astype(np.int64)
+        np.add.at(c, r * width + idx, 1)
+    return c
+
+
+def cms_estimate(counters: np.ndarray, h: np.ndarray, depth: int,
+                 width: int) -> np.ndarray:
+    """Point-frequency estimates: min over the depth rows. Never
+    undercounts; overcount ≤ ⌈e·N/width⌉ per query with probability
+    ≥ 1 − e^(−depth) over the seed choice."""
+    est = np.full(len(h), np.iinfo(np.int64).max, dtype=np.int64)
+    for r in range(depth):
+        idx = (hashing.mix64(h, np.uint64(CMS_SEEDS[r]))
+               % np.uint64(width)).astype(np.int64)
+        est = np.minimum(est, counters[r * width + idx])
+    return est
+
+
+def cms_count(ds, value_col: str, *, depth: int = 4, width: int = 16384):
+    """Distributed Count-Min build over a value column: each batch emits
+    ONE fixed-size (depth×width×8 B) counter row — independent of row
+    count, the bounded-state frequency path when the distinct set is
+    web-scale — reduced by the 32-way distributed combine (driver pulls
+    O(32) rows). Returns the merged int64 counter vector."""
+    from .combine import combine_sum
+    from .hashing import hash_str_array
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch.column(value_col).to_numpy(zero_copy_only=False)
+        h = hash_str_array(vals)
+        c = cms_partial(h, depth, width)
+        return pa.table({"c": pa.array([c.astype(np.float64)])})
+
+    out = combine_sum(ds.map_batches(partial, batch_format="pyarrow"),
+                      ["c"], zeros={"c": np.zeros(depth * width)})
+    return np.rint(out["c"]).astype(np.int64)

@@ -158,3 +158,36 @@ def test_approx_quantiles_dataset(ray_session):
     for q, v in zip(out["q"], out["value"]):
         r = np.searchsorted(srt, v, side="right")
         assert abs(r - q * len(vals)) <= 0.02 * len(vals)
+
+
+def test_cms_never_undercounts_and_bounds(rd):
+    """Count-Min: est >= true always; overcount bounded; exact when the
+    width kills collisions; merge is block-layout invariant."""
+    import pandas as pd
+
+    from featureengineer_ray import sketches
+    from featureengineer_ray.hashing import hash_str_array
+
+    rng = np.random.default_rng(47)
+    vocab = [f"t{i:04d}" for i in range(300)]
+    freq = rng.zipf(1.5, 20000) % 300
+    vals = np.array(vocab, dtype=object)[freq]
+    t = pa.table({"v": pa.array(list(vals), type=pa.string())})
+    true = pd.Series(vals).value_counts()
+
+    depth, width = 4, 256  # narrow -> collisions guaranteed
+    c1 = sketches.cms_count(rd.from_arrow(t).repartition(3), "v",
+                            depth=depth, width=width)
+    c2 = sketches.cms_count(rd.from_arrow(t).repartition(11), "v",
+                            depth=depth, width=width)
+    assert (c1 == c2).all()  # exact int merge: layout invariant
+    qs = np.array(sorted(true.index), dtype=object)
+    est = sketches.cms_estimate(c1, hash_str_array(qs), depth, width)
+    tv = true.loc[qs].to_numpy()
+    assert (est >= tv).all()  # never undercounts
+    # standard eps = e/width bound (holds deterministically here)
+    assert (est - tv).max() <= int(np.ceil(np.e * len(vals) / width))
+    # wide sketch: no collisions -> exact
+    cw = sketches.cms_count(rd.from_arrow(t), "v", depth=4, width=65536)
+    estw = sketches.cms_estimate(cw, hash_str_array(qs), 4, 65536)
+    assert (estw == tv).all()
