@@ -3087,6 +3087,91 @@ GROUP BY user_id, a.anchor
 """
 
 
+def q_scd2_intervals(sf_dir: str):
+    """Slowly-changing-dimension (SCD type-2) snapshot build: each
+    user's event stream becomes validity intervals — value effective
+    from its event until the next event (open-ended tail as NULL).
+    One user-keyed hash exchange; per partition one lexsort and one
+    shifted compare — the warehouse dimension-history op."""
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def scd_part(part: pa.Table) -> pa.Table:
+        users = part.column("user_id").to_numpy(zero_copy_only=False)
+        ts = part.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        eid = part.column("event_id").to_numpy(zero_copy_only=False)
+        uc, inv = np.unique(users, return_inverse=True)
+        order = np.lexsort((eid, ts, inv))
+        inv_s, ts_s = inv[order], ts[order]
+        last = np.r_[inv_s[1:] != inv_s[:-1], True]
+        valid_to = np.zeros(len(ts_s), dtype=np.int64)
+        valid_to[:-1] = ts_s[1:]
+        take = pa.array(order)
+        return pa.table({
+            "user_id": part.column("user_id").take(take),
+            "event_id": part.column("event_id").take(take),
+            "value": part.column("value").take(take),
+            "valid_from": pa.array(ts_s),
+            "valid_to": pa.array(valid_to, mask=last),
+        })
+
+    return _by_entity_partitions(ev, "user_id", scd_part)
+
+
+SQL_SCD2_INTERVALS = """
+SELECT user_id, event_id, value,
+       epoch_us(ts) AS valid_from,
+       lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS valid_to
+FROM events
+"""
+
+
+def q_revenue_share(sf_dir: str):
+    """Ratio-to-report: each nation's revenue share of the total — the
+    grouped aggregate plus ONE O(1) broadcast total (no second pass
+    over rows); exact integer-cent sums so the single share division
+    is bit-stable."""
+    rev = q_revenue_by_nation(sf_dir)
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(batch.column("revenue"),
+                                         100.0)), pa.int64())
+        return pa.table({"n_name": batch.column("n_name"),
+                         "cents": c})
+
+    cents = rev.map_batches(to_cents, batch_format="pyarrow")
+    total = int(cents.sum("cents"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        c = batch.column("cents").to_numpy(zero_copy_only=False)
+        share = np.round(c.astype(np.float64) / float(total), 6)
+        return pa.table({
+            "n_name": batch.column("n_name"),
+            "revenue_cents": pa.array(c.astype(np.int64)),
+            "share": pa.array(share),
+        })
+
+    return cents.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_REVENUE_SHARE = """
+WITH r AS (
+  SELECT n_name,
+         sum(CAST(ROUND_EVEN(o_totalprice * 100.0, 0) AS BIGINT)) AS cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+), t AS (
+  SELECT sum(cents) AS total FROM r
+)
+SELECT n_name, CAST(cents AS BIGINT) AS revenue_cents,
+       round(CAST(cents AS DOUBLE) / CAST(t.total AS DOUBLE), 6) AS share
+FROM r CROSS JOIN t
+"""
+
+
 def q_cms_term_counts(sf_dir: str):
     """Count-Min term frequencies (the bounded-state A4 path when the
     vocabulary is web-scale): every batch contributes ONE fixed
@@ -6227,6 +6312,8 @@ QUERIES = {
     "rfm_features": q_rfm_features,
     "orc_roundtrip": q_orc_roundtrip,
     "feather_roundtrip": q_feather_roundtrip,
+    "scd2_intervals": q_scd2_intervals,
+    "revenue_share": q_revenue_share,
     "bigram_top_terms": q_bigram_top_terms,
     "word_rep_ratio": q_word_rep_ratio,
     "dup_ngram_frac": q_dup_ngram_frac,
@@ -6425,6 +6512,8 @@ ORACLE_SQL = {
     "rfm_features": SQL_RFM_FEATURES,
     "orc_roundtrip": SQL_ORC_ROUNDTRIP,
     "feather_roundtrip": SQL_FEATHER_ROUNDTRIP,
+    "scd2_intervals": SQL_SCD2_INTERVALS,
+    "revenue_share": SQL_REVENUE_SHARE,
     "multimodal_png": SQL_MULTIMODAL_PNG,
     "multimodal_gif": SQL_MULTIMODAL_GIF,
     "multimodal_mulaw": SQL_MULTIMODAL_MULAW,
