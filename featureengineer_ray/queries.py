@@ -3087,6 +3087,31 @@ GROUP BY user_id, a.anchor
 """
 
 
+def q_chunk_documents(sf_dir: str):
+    """RAG-style overlapping chunk explode (``text.chunk_documents``):
+    32-word chunks every 24 words, map-only, one binary_join per
+    batch. The oracle re-derives the identical slicing with
+    list_slice + array_to_string."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return text.chunk_documents(docs, chunk_words=32, stride=24)
+
+
+SQL_CHUNK_DOCUMENTS = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS ws
+  FROM documents
+)
+SELECT doc_id,
+       CAST(i // 24 AS BIGINT) AS chunk_idx,
+       array_to_string(list_slice(ws, i + 1, i + 32), ' ') AS chunk_text,
+       CAST(least(32, len(ws) - i) AS BIGINT) AS n_words
+FROM w, UNNEST(range(0, len(ws), 24)) AS t(i)
+WHERE len(ws) > 0
+"""
+
+
 def q_scd2_intervals(sf_dir: str):
     """Slowly-changing-dimension (SCD type-2) snapshot build: each
     user's event stream becomes validity intervals — value effective
@@ -6314,6 +6339,7 @@ QUERIES = {
     "feather_roundtrip": q_feather_roundtrip,
     "scd2_intervals": q_scd2_intervals,
     "revenue_share": q_revenue_share,
+    "chunk_documents": q_chunk_documents,
     "bigram_top_terms": q_bigram_top_terms,
     "word_rep_ratio": q_word_rep_ratio,
     "dup_ngram_frac": q_dup_ngram_frac,
@@ -6514,6 +6540,7 @@ ORACLE_SQL = {
     "feather_roundtrip": SQL_FEATHER_ROUNDTRIP,
     "scd2_intervals": SQL_SCD2_INTERVALS,
     "revenue_share": SQL_REVENUE_SHARE,
+    "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "multimodal_png": SQL_MULTIMODAL_PNG,
     "multimodal_gif": SQL_MULTIMODAL_GIF,
     "multimodal_mulaw": SQL_MULTIMODAL_MULAW,

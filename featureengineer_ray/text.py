@@ -200,6 +200,66 @@ def term_frequencies(ds, text_col: str = "text",
     return relational.grouped_agg(partials, ["term"], {"n": ("n", "sum")})
 
 
+def chunk_documents(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                    chunk_words: int = 32, stride: int = 24,
+                    pattern: str = "[^a-z0-9]+"):
+    """RAG-style overlapping word-window chunking: each document
+    explodes into chunks of ``chunk_words`` words starting every
+    ``stride`` words (starts = 0, S, 2S, … < n; the M9 crop+pad shape
+    applied to retrieval corpora). Map-only — no exchange; documents
+    with zero words emit no chunks.
+
+    Fully vectorized per batch: one Arrow regex split, chunk counts
+    ``ceil(n/stride)`` per doc, every chunk's word indices built with
+    two repeat/arange folds, then ONE ``pc.binary_join`` re-joins all
+    chunk texts at once — no per-document Python."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        lowered = pc.utf8_lower(batch.column(text_col))
+        flat, doc_of, _ = _split_words(lowered, pattern)
+        empty = pa.table({
+            id_col: batch.column(id_col).slice(0, 0),
+            "chunk_idx": pa.array([], type=pa.int64()),
+            "chunk_text": pa.array([], type=pa.string()),
+            "n_words": pa.array([], type=pa.int64())})
+        if len(flat) == 0:
+            return empty
+        n_per_doc = np.bincount(doc_of, minlength=batch.num_rows)
+        doc_base = np.concatenate(([0], np.cumsum(n_per_doc)[:-1]))
+        docs_nz = np.flatnonzero(n_per_doc)
+        n_nz = n_per_doc[docs_nz]
+        n_chunks = -(-n_nz // stride)  # ceil
+        total = int(n_chunks.sum())
+        if total == 0:
+            return empty
+        chunk_doc = np.repeat(docs_nz, n_chunks)  # doc row per chunk
+        cum_ex = np.concatenate(([0], np.cumsum(n_chunks)[:-1]))
+        chunk_idx = np.arange(total, dtype=np.int64) - np.repeat(
+            cum_ex, n_chunks)
+        start = chunk_idx * stride
+        clen = np.minimum(chunk_words,
+                          n_per_doc[chunk_doc] - start).astype(np.int64)
+        # word indices for every chunk: repeat each chunk's first index,
+        # add an arange reset at chunk boundaries
+        first = doc_base[chunk_doc] + start
+        coff = np.concatenate(([0], np.cumsum(clen)))
+        widx = (np.repeat(first, clen)
+                + (np.arange(coff[-1], dtype=np.int64)
+                   - np.repeat(coff[:-1], clen)))
+        words = pa.array(flat, type=pa.string()).take(pa.array(widx))
+        lists = pa.ListArray.from_arrays(
+            pa.array(coff.astype(np.int32)), words)
+        joined = pc.binary_join(lists, " ")
+        return pa.table({
+            id_col: batch.column(id_col).take(pa.array(chunk_doc)),
+            "chunk_idx": pa.array(chunk_idx),
+            "chunk_text": joined,
+            "n_words": pa.array(clen),
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
 def bm25_topk(ds, query_terms: list[str], *, id_col: str = "doc_id",
               text_col: str = "text", pattern: str = "[^a-z0-9]+",
               k1: float = 1.2, b: float = 0.75, k: int = 20):

@@ -1856,3 +1856,30 @@ def test_orc_feather_roundtrip_distributed(rd, tmp_path):
     back2 = formats.read_feather(fe_paths).to_pandas().sort_values("k")
     assert (back2["k"].to_numpy() == np.arange(1000)).all()
     assert list(back2["s"]) == [f"s{i%7}" for i in range(1000)]
+
+
+def test_chunk_documents_matches_naive(rd):
+    """Vectorized chunk explode == a per-doc Python reference, incl.
+    short docs (one chunk), stride boundaries, and empty docs."""
+    import re
+
+    from featureengineer_ray import text as T
+
+    rng = np.random.default_rng(43)
+    vocab = ["aa", "bb", "cc", "dd"]
+    docs = [" ".join(rng.choice(vocab, size=n))
+            for n in [0, 1, 23, 24, 25, 32, 33, 70, 100]]
+    ids = [f"d{i}" for i in range(len(docs))]
+    t = pa.table({"doc_id": pa.array(ids), "text": pa.array(docs)})
+    out = T.chunk_documents(rd.from_arrow(t).repartition(3),
+                            chunk_words=32, stride=24).to_pandas()
+    got = {(r.doc_id, r.chunk_idx): (r.chunk_text, r.n_words)
+           for r in out.itertuples()}
+
+    want = {}
+    for i, d in enumerate(docs):
+        ws = re.findall(r"[a-z0-9]+", d.lower())
+        for ci, s in enumerate(range(0, len(ws), 24)):
+            ch = ws[s:s + 32]
+            want[(ids[i], ci)] = (" ".join(ch), len(ch))
+    assert got == want
