@@ -122,3 +122,56 @@ def read_feather(paths: list[str] | str, *,
         return pa.concat_tables(tables) if tables else pa.table({})
 
     return ds.map_batches(parse, batch_format="pyarrow")
+
+
+def read_parquet_evolved(paths: list[str] | str, *,
+                         columns: list[str] | None = None):
+    """Schema-evolution parquet reader: files written at different
+    schema versions (columns added over time) read as ONE dataset on
+    the UNION schema — missing columns surface as typed nulls, the
+    lakehouse read contract Ray's stock reader refuses (it samples one
+    footer and chokes on heterogeneous blocks).
+
+    The union schema comes from O(files) footer reads on the driver
+    (metadata only — no data bytes); the data itself streams through
+    the same ``read_binary_files`` fan-out as the other codecs here,
+    each task decoding + aligning its files with the pyarrow C++
+    reader. First-writer wins on a column's type; a file whose column
+    type conflicts raises in the task rather than silently casting."""
+    import glob
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    files: list[str] = []
+    for p in (paths if isinstance(paths, list) else [paths]):
+        if os.path.isdir(p):
+            files += sorted(glob.glob(os.path.join(p, "*.parquet")))
+        else:
+            files.append(p)
+    fields: dict[str, pa.DataType] = {}
+    for f in files:
+        for fld in pq.read_schema(f):
+            if fld.name in fields and fields[fld.name] != fld.type:
+                raise TypeError(
+                    f"column {fld.name!r} changes type across files: "
+                    f"{fields[fld.name]} vs {fld.type} ({f})")
+            fields.setdefault(fld.name, fld.type)
+    names = [n for n in fields if columns is None or n in columns]
+
+    ds = rd.read_binary_files(files, include_paths=True)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        tables = []
+        for buf in batch.column("bytes").to_pylist():
+            t = pq.read_table(pa.BufferReader(buf))
+            cols = {}
+            for n in names:
+                if n in t.column_names:
+                    cols[n] = t.column(n)
+                else:
+                    cols[n] = pa.nulls(t.num_rows, type=fields[n])
+            tables.append(pa.table(cols))
+        return pa.concat_tables(tables) if tables else pa.table({})
+
+    return ds.map_batches(parse, batch_format="pyarrow")

@@ -414,3 +414,33 @@ def assign_partition_ids(
             bnds = np.asarray(plan.hot_splits[u], dtype=np.int64)
             pid[m] = plan.hot[u] + np.searchsorted(bnds, ts[m], side="left")
     return pid
+
+
+# --- Z-order (Morton) locality keys ----------------------------------------
+
+def _spread_bits32(x: np.ndarray) -> np.ndarray:
+    """Spread each of the low 32 bits of x to even bit positions of a
+    uint64 (the classic magic-number Morton fold, 5 shift/mask stages)."""
+    x = x.astype(np.uint64) & np.uint64(0xFFFFFFFF)
+    x = (x | (x << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+    x = (x | (x << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+    x = (x | (x << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    x = (x | (x << np.uint64(2))) & np.uint64(0x3333333333333333)
+    x = (x | (x << np.uint64(1))) & np.uint64(0x5555555555555555)
+    return x
+
+
+def zorder_key(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Interleaved 64-bit Z-order (Morton) key of two non-negative
+    32-bit dimensions — the lakehouse data-layout trick: sorting or
+    range-partitioning by this key keeps rows close in BOTH dimensions
+    co-located, so min/max pruning works for predicates on either
+    column (the multi-dimensional analog of the single-key range
+    partition the flagship already plans). Returned as int64 (the sign
+    bit is never set: 2×32 interleaved bits fill exactly bits 0..63,
+    but the TOP bit comes from b's bit 31 — inputs are masked to 31
+    bits to keep the key non-negative and SQL-comparable)."""
+    a = a.astype(np.uint64) & np.uint64(0x7FFFFFFF)
+    b = b.astype(np.uint64) & np.uint64(0x7FFFFFFF)
+    return (_spread_bits32(a) | (_spread_bits32(b) << np.uint64(1))
+            ).astype(np.int64)

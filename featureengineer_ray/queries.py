@@ -3087,6 +3087,89 @@ GROUP BY user_id, a.anchor
 """
 
 
+def q_schema_evolution(sf_dir: str):
+    """Schema-evolution read (S-family lakehouse contract): two parquet
+    'versions' of nation — v1 without n_regionkey, v2 with it — read as
+    ONE dataset on the union schema via
+    ``formats.read_parquet_evolved`` (footer-only union on the driver,
+    fan-out decode+align in tasks; v1 rows surface typed nulls)."""
+    import pyarrow.parquet as pq
+
+    from . import formats
+
+    tbl = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name", "n_regionkey"])
+    import os
+
+    base = f"/tmp/fe_evolve_{abs(hash(sf_dir)) % 10**8}"
+    os.makedirs(base, exist_ok=True)
+    pq.write_table(tbl.select(["n_nationkey", "n_name"]),
+                   f"{base}/v1.parquet")
+    pq.write_table(tbl, f"{base}/v2.parquet")
+    ds = formats.read_parquet_evolved(base)
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_nationkey": batch.column("n_nationkey").cast(pa.int32()),
+            "n_name": batch.column("n_name"),
+            "n_regionkey": batch.column("n_regionkey").cast(pa.int32()),
+        })
+
+    return ds.map_batches(cast, batch_format="pyarrow")
+
+
+SQL_SCHEMA_EVOLUTION = """
+SELECT n_nationkey, n_name, CAST(NULL AS INTEGER) AS n_regionkey
+FROM nation
+UNION ALL
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+"""
+
+
+def q_zorder_events(sf_dir: str):
+    """Z-order (Morton) layout keys over (user_id, event-hour) — the
+    lakehouse data-layout op: range-partitioning by this key co-locates
+    rows in BOTH dimensions so min/max pruning serves predicates on
+    either column (``partition.zorder_key``, 5 magic-number shift/mask
+    stages, fully vectorized). The oracle replays the identical staged
+    fold in BIGINT bit ops — bit-exact hash."""
+    from .partition import zorder_key
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def zk(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        hour = ts // 3_600_000_000 - 473000  # epoch hours, 2024 re-base
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "zkey": pa.array(zorder_key(uid, hour)),
+        })
+
+    return ev.map_batches(zk, batch_format="pyarrow")
+
+
+def _zorder_sql() -> str:
+    stages = [(16, 0x0000FFFF0000FFFF), (8, 0x00FF00FF00FF00FF),
+              (4, 0x0F0F0F0F0F0F0F0F), (2, 0x3333333333333333),
+              (1, 0x5555555555555555)]
+    ctes = ["s0 AS (SELECT event_id, (user_id & 2147483647) AS a,\n"
+            "  ((epoch_us(ts) // 3600000000 - 473000) & 2147483647) AS b\n"
+            "  FROM events)"]
+    for i, (sh, m) in enumerate(stages, 1):
+        ctes.append(
+            f"s{i} AS (SELECT event_id,\n"
+            f"  ((a | (a << {sh})) & {m}) AS a,\n"
+            f"  ((b | (b << {sh})) & {m}) AS b FROM s{i - 1})")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT event_id, CAST(a | (b << 1) AS BIGINT) AS zkey"
+              f" FROM s{len(stages)}")
+
+
+SQL_ZORDER_EVENTS = _zorder_sql()
+
+
 def q_chunk_documents(sf_dir: str):
     """RAG-style overlapping chunk explode (``text.chunk_documents``):
     32-word chunks every 24 words, map-only, one binary_join per
@@ -6340,6 +6423,8 @@ QUERIES = {
     "scd2_intervals": q_scd2_intervals,
     "revenue_share": q_revenue_share,
     "chunk_documents": q_chunk_documents,
+    "zorder_events": q_zorder_events,
+    "schema_evolution": q_schema_evolution,
     "bigram_top_terms": q_bigram_top_terms,
     "word_rep_ratio": q_word_rep_ratio,
     "dup_ngram_frac": q_dup_ngram_frac,
@@ -6541,6 +6626,8 @@ ORACLE_SQL = {
     "scd2_intervals": SQL_SCD2_INTERVALS,
     "revenue_share": SQL_REVENUE_SHARE,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
+    "zorder_events": SQL_ZORDER_EVENTS,
+    "schema_evolution": SQL_SCHEMA_EVOLUTION,
     "multimodal_png": SQL_MULTIMODAL_PNG,
     "multimodal_gif": SQL_MULTIMODAL_GIF,
     "multimodal_mulaw": SQL_MULTIMODAL_MULAW,

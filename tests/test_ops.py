@@ -1883,3 +1883,24 @@ def test_chunk_documents_matches_naive(rd):
             ch = ws[s:s + 32]
             want[(ids[i], ci)] = (" ".join(ch), len(ch))
     assert got == want
+
+
+def test_read_parquet_evolved_union_and_conflict(rd, tmp_path):
+    import pyarrow.parquet as pq
+
+    from featureengineer_ray import formats
+
+    pq.write_table(pa.table({"a": pa.array([1, 2], type=pa.int64())}),
+                   str(tmp_path / "v1.parquet"))
+    pq.write_table(pa.table({"a": pa.array([3], type=pa.int64()),
+                             "b": pa.array(["x"], type=pa.string())}),
+                   str(tmp_path / "v2.parquet"))
+    out = formats.read_parquet_evolved(str(tmp_path)).to_pandas()
+    out = out.sort_values("a").reset_index(drop=True)
+    assert list(out["a"]) == [1, 2, 3]
+    assert out["b"].isna().tolist() == [True, True, False]
+    # a type conflict raises on the driver, not silently casts
+    pq.write_table(pa.table({"a": pa.array([1.5])}),
+                   str(tmp_path / "v3.parquet"))
+    with pytest.raises(TypeError, match="changes type"):
+        formats.read_parquet_evolved(str(tmp_path))

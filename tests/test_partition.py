@@ -65,3 +65,29 @@ def test_merge_sample_partials_exact():
             np.int64).view(np.uint64)
         assert len(got_ts) == len(e["pairs"])
         assert set(zip(got_h.tolist(), got_ts.tolist())) == e["pairs"]
+
+
+def test_zorder_key_interleaves_bits():
+    """Morton fold == the naive per-bit interleave on random inputs;
+    keys are non-negative and monotone in each dimension within a
+    fixed other-dimension prefix."""
+    import numpy as np
+
+    from featureengineer_ray.partition import zorder_key
+
+    rng = np.random.default_rng(53)
+    a = rng.integers(0, 2**31, 200, dtype=np.int64)
+    b = rng.integers(0, 2**31, 200, dtype=np.int64)
+    got = zorder_key(a, b)
+    assert (got >= 0).all()
+    for i in range(200):
+        want = 0
+        for bit in range(31):
+            want |= ((int(a[i]) >> bit) & 1) << (2 * bit)
+            want |= ((int(b[i]) >> bit) & 1) << (2 * bit + 1)
+        assert int(got[i]) == want
+    # locality: equal high bits of both dims -> equal key prefix
+    k1 = zorder_key(np.array([0b1010 << 20]), np.array([0b1100 << 20]))
+    k2 = zorder_key(np.array([(0b1010 << 20) + 7]),
+                    np.array([(0b1100 << 20) + 3]))
+    assert (int(k1[0]) >> 48) == (int(k2[0]) >> 48)
