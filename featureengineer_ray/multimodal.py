@@ -1164,3 +1164,112 @@ def mulaw_decode_pipeline(ds, *, id_col: str = "doc_id", n: int = 1000,
     return ds.map_batches(attach, batch_format="pyarrow").map_batches(
         MulawFeatureExtractor, batch_format="pyarrow",
         batch_size=batch_size, concurrency=concurrency)
+
+
+# --------------------------------------------------------------------------
+# framed log-mel filterbank features (the FeaturesServer analog)
+# --------------------------------------------------------------------------
+
+def mel_filterbank(n_filters: int, n_fft: int, sample_rate: int
+                   ) -> np.ndarray:
+    """Triangular mel filterbank (n_filters × (n_fft//2 + 1)), HTK mel
+    scale 2595·log10(1 + f/700) — the public filterbank construction the
+    reference's feature extraction delegates to sidekit's FeaturesServer
+    (IVector.py:256-266). Deterministic closed-form numpy."""
+    def hz_to_mel(f):
+        return 2595.0 * np.log10(1.0 + np.asarray(f, dtype=np.float64)
+                                 / 700.0)
+
+    def mel_to_hz(m):
+        return 700.0 * (10.0 ** (np.asarray(m, dtype=np.float64)
+                                 / 2595.0) - 1.0)
+
+    n_bins = n_fft // 2 + 1
+    mels = np.linspace(hz_to_mel(0.0), hz_to_mel(sample_rate / 2.0),
+                       n_filters + 2)
+    pts = mel_to_hz(mels) / sample_rate * n_fft  # fractional fft bins
+    fb = np.zeros((n_filters, n_bins), dtype=np.float64)
+    bins = np.arange(n_bins, dtype=np.float64)
+    for i in range(n_filters):
+        lo, mid, hi = pts[i], pts[i + 1], pts[i + 2]
+        up = (bins - lo) / max(mid - lo, 1e-12)
+        down = (hi - bins) / max(hi - mid, 1e-12)
+        fb[i] = np.clip(np.minimum(up, down), 0.0, None)
+    return fb
+
+
+def fbank(sig: np.ndarray, sample_rate: int, *, n_filters: int = 20,
+          frame_ms: float = 25.0, hop_ms: float = 10.0,
+          eps: float = 1e-10) -> np.ndarray:
+    """Framed log-mel filterbank energies: 25 ms Hamming frames every
+    10 ms → |rfft|² → mel filterbank → log. Returns
+    (n_frames × n_filters) float64; empty (0 × n_filters) when the
+    signal is shorter than one frame. All frames process as ONE
+    strided matrix (no per-frame Python)."""
+    frame_len = int(round(sample_rate * frame_ms / 1000.0))
+    hop = max(int(round(sample_rate * hop_ms / 1000.0)), 1)
+    n_fft = 1 << max(frame_len - 1, 1).bit_length()
+    fb = mel_filterbank(n_filters, n_fft, sample_rate)
+    x = np.asarray(sig, dtype=np.float64)
+    if len(x) < frame_len:
+        return np.zeros((0, n_filters), dtype=np.float64)
+    n_frames = 1 + (len(x) - frame_len) // hop
+    idx = (np.arange(frame_len)[None, :]
+           + hop * np.arange(n_frames)[:, None])
+    frames = x[idx] * np.hamming(frame_len)[None, :]
+    spec = np.abs(np.fft.rfft(frames, n=n_fft, axis=1)) ** 2
+    return np.log(spec @ fb.T + eps)
+
+
+class FbankExtractor:
+    """Actor-pool featurizer (T1/M1 shape): the filterbank matrix and
+    window build ONCE per actor in ``__init__``; each batch decodes its
+    WAV payloads and emits per-record fbank summaries (frame count +
+    per-filter time means) — the feature layout the reference writes
+    per utterance (S2) without shipping frame matrices through the
+    exchange."""
+
+    def __init__(self, *, n_filters: int = 20,
+                 payload_col: str = "payload"):
+        self.n_filters = n_filters
+        self.payload_col = payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, n_frames, means = [], [], []
+        id_np = batch.column("media_id").to_numpy(zero_copy_only=False)
+        payloads = batch.column(self.payload_col).to_pylist()
+        for mid, buf in zip(id_np, payloads):
+            sig, sr = decode_wav(buf)
+            f = fbank(sig, sr, n_filters=self.n_filters)
+            ids.append(int(mid))
+            n_frames.append(f.shape[0])
+            means.append(f.mean(axis=0) if f.shape[0]
+                         else np.zeros(self.n_filters))
+        flat = (np.concatenate([m for m in means])
+                if means else np.zeros(0))
+        offsets = np.arange(0, (len(means) + 1) * self.n_filters,
+                            self.n_filters, dtype=np.int32)
+        return pa.table({
+            "media_id": pa.array(ids, type=pa.int64()),
+            "n_frames": pa.array(n_frames, type=pa.int64()),
+            "fbank_mean": pa.ListArray.from_arrays(
+                pa.array(offsets),
+                pa.array(flat, type=pa.float64())),
+        })
+
+
+def fbank_pipeline(ds, *, id_col: str = "doc_id", n: int = 1000,
+                   sample_rate: int = 16000, n_filters: int = 20,
+                   batch_size: int = 256, concurrency=(1, 4)):
+    """documents → real WAV payloads → actor-pool framed log-mel fbank
+    (decode + FFT + filterbank per actor; the full FeaturesServer-style
+    M1 featurizer on genuine bytes)."""
+
+    def attach(batch: pa.Table) -> pa.Table:
+        return attach_wav_payload(batch, id_col=id_col, n=n,
+                                  sample_rate=sample_rate)
+
+    return ds.map_batches(attach, batch_format="pyarrow").map_batches(
+        FbankExtractor, fn_constructor_kwargs={"n_filters": n_filters},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)

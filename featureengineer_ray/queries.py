@@ -3087,6 +3087,19 @@ GROUP BY user_id, a.anchor
 """
 
 
+def q_multimodal_fbank(sf_dir: str):
+    """Framed log-mel filterbank features over REAL decoded WAV bytes
+    (the reference's FeaturesServer featurizer, M1/T1, on genuine
+    audio): 25 ms Hamming frames → |rfft|² → 20 triangular mel filters
+    → log, per-utterance time means through an actor-pool stage.
+    Rows-only (FFT is not SQL-expressible); fbank itself is
+    numpy-reference-checked in tests/test_ops.py."""
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    out = multimodal.fbank_pipeline(docs)
+
+    return _select(out, ["media_id", "n_frames", "fbank_mean"])
+
+
 def q_schema_evolution(sf_dir: str):
     """Schema-evolution read (S-family lakehouse contract): two parquet
     'versions' of nation — v1 without n_regionkey, v2 with it — read as
@@ -6451,6 +6464,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_audio": q_multimodal_audio,
+    "multimodal_fbank": q_multimodal_fbank,
     "multimodal_video": q_multimodal_video,
     "weighted_sample": q_weighted_sample,
     "grouped_skew_kurt": q_grouped_skew_kurt,

@@ -1904,3 +1904,45 @@ def test_read_parquet_evolved_union_and_conflict(rd, tmp_path):
                    str(tmp_path / "v3.parquet"))
     with pytest.raises(TypeError, match="changes type"):
         formats.read_parquet_evolved(str(tmp_path))
+
+
+def test_fbank_matches_per_frame_reference():
+    """Vectorized strided fbank == an independent per-frame loop
+    (window, rfft, filterbank, log applied one frame at a time)."""
+    rng = np.random.default_rng(59)
+    sr = 16000
+    sig = (rng.standard_normal(4000) * 3000).astype(np.int16)
+    got = multimodal.fbank(sig, sr, n_filters=20)
+
+    frame_len = int(round(sr * 0.025))
+    hop = int(round(sr * 0.010))
+    n_fft = 512
+    fb = multimodal.mel_filterbank(20, n_fft, sr)
+    win = np.hamming(frame_len)
+    x = sig.astype(np.float64)
+    rows = []
+    s = 0
+    while s + frame_len <= len(x):
+        fr = x[s:s + frame_len] * win
+        p = np.abs(np.fft.rfft(fr, n=n_fft)) ** 2
+        rows.append(np.log(p @ fb.T + 1e-10))
+        s += hop
+    want = np.vstack(rows)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+    # filterbank sanity: rows non-negative, each filter peaks at 1-ish
+    assert (fb >= 0).all() and fb.max() <= 1.0 + 1e-12
+    # too-short signal -> empty matrix, right width
+    assert multimodal.fbank(sig[:10], sr).shape == (0, 20)
+
+
+def test_fbank_pipeline_actor_pool(rd):
+    t = pa.table({"doc_id": pa.array([0, 5], type=pa.int64())})
+    out = multimodal.fbank_pipeline(rd.from_arrow(t), n=2000).to_pandas()
+    assert len(out) == 2
+    for r in out.itertuples():
+        sig = multimodal.synthetic_audio(int(r.media_id), 2000)
+        f = multimodal.fbank(sig.astype(np.float64), 16000)
+        assert r.n_frames == f.shape[0]
+        np.testing.assert_allclose(np.asarray(r.fbank_mean),
+                                   f.mean(axis=0), rtol=1e-9)
