@@ -3087,6 +3087,156 @@ GROUP BY user_id, a.anchor
 """
 
 
+def q_histogram_price(sf_dir: str):
+    """Fixed-width histogram (the plotting/profiling staple): 20
+    equal-width bins of o_totalprice between the global min/max.
+    Two narrow passes — a (min, max) profile reduce, then integer-cent
+    bin assignment + one O(bins) count aggregate; bin edges derive from
+    exact cent bounds so both sides compute identical bins."""
+    ods = _orders_cents(sf_dir)
+    from . import validate
+
+    prof = validate.profile_columns(ods, ["cents"]).take_all()[0]
+    lo, hi = int(prof["min_val"]), int(prof["max_val"])
+    nbins = 20
+    span = hi - lo
+
+    def binify(batch: pa.Table) -> pa.Table:
+        c = batch.column("cents").to_numpy(zero_copy_only=False)
+        b = ((c - lo) * nbins) // max(span, 1)
+        b = np.minimum(b, nbins - 1).astype(np.int64)
+        return pa.table({"bin": pa.array(b)})
+
+    binned = ods.map_batches(binify, batch_format="pyarrow")
+    agg = relational.grouped_agg(binned, ["bin"], {}, count_alias="n")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        b = batch.column("bin").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bin": pa.array(b.astype(np.int64)),
+            "lo_cents": pa.array(lo + b * span // nbins),
+            "n": batch.column("n").cast(pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_HISTOGRAM_PRICE = """
+WITH p AS (
+  SELECT CAST(ROUND_EVEN(o_totalprice * 100.0, 0) AS BIGINT) AS cents
+  FROM orders
+), s AS (
+  SELECT min(cents) AS lo, max(cents) AS hi FROM p
+), b AS (
+  SELECT least(((cents - s.lo) * 20) // greatest(hi - lo, 1), 19) AS bin,
+         s.lo AS lo, s.hi - s.lo AS span
+  FROM p CROSS JOIN s
+)
+SELECT bin, lo + bin * span // 20 AS lo_cents,
+       CAST(count(*) AS BIGINT) AS n
+FROM b GROUP BY bin, lo, span
+"""
+
+
+_CORR_COLS = [("l_quantity", "qty", 1.0), ("l_extendedprice", "price", 100.0),
+              ("l_discount", "disc", 10000.0), ("l_tax", "tax", 10000.0)]
+
+
+def q_corr_matrix_lineitem(sf_dir: str):
+    """Global pairwise Pearson correlation matrix over four lineitem
+    measures (the profiling heat-map): ONE power-sum exchange of 14
+    int64-exact fixed-point sums (each column scaled to integer units)
+    → all 6 pairs finalize with the identical IEEE expression the
+    oracle spells out; corr is scale-invariant so the units drop out."""
+    cols = [c for c, _, _ in _CORR_COLS]
+    li = _read(sf_dir, "lineitem", cols)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        out = {"__k": pa.array(np.zeros(batch.num_rows, dtype=np.int32))}
+        vals = {}
+        for c, name, scale in _CORR_COLS:
+            v = np.rint(batch.column(c).to_numpy(zero_copy_only=False)
+                        * scale).astype(np.int64)
+            vals[name] = v
+            out[f"s_{name}"] = pa.array(v)
+            out[f"ss_{name}"] = pa.array(v * v)
+        names = [n for _, n, _ in _CORR_COLS]
+        for i in range(len(names)):
+            for j in range(i + 1, len(names)):
+                out[f"x_{names[i]}_{names[j]}"] = pa.array(
+                    vals[names[i]] * vals[names[j]])
+        return pa.table(out)
+
+    names = [n for _, n, _ in _CORR_COLS]
+    aggs = {}
+    for n in names:
+        aggs[f"s_{n}"] = (f"s_{n}", "sum")
+        aggs[f"ss_{n}"] = (f"ss_{n}", "sum")
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            k = f"x_{names[i]}_{names[j]}"
+            aggs[k] = (k, "sum")
+    agg = relational.grouped_agg(
+        li.map_batches(prep, batch_format="pyarrow"), ["__k"], aggs,
+        count_alias="n_rows")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        f = np.float64
+        n = f(batch.column("n_rows")[0].as_py())
+        m, e2 = {}, {}
+        for nm in names:
+            m[nm] = f(batch.column(f"s_{nm}")[0].as_py()) / n
+            e2[nm] = f(batch.column(f"ss_{nm}")[0].as_py()) / n
+        ca, cb, cc = [], [], []
+        for i in range(len(names)):
+            for j in range(i + 1, len(names)):
+                a, b = names[i], names[j]
+                exy = f(batch.column(f"x_{a}_{b}")[0].as_py()) / n
+                cov = exy - m[a] * m[b]
+                va = e2[a] - m[a] * m[a]
+                vb = e2[b] - m[b] * m[b]
+                ca.append(a)
+                cb.append(b)
+                cc.append(np.round(cov / np.sqrt(va * vb), 6))
+        return pa.table({"col_a": pa.array(ca, type=pa.string()),
+                         "col_b": pa.array(cb, type=pa.string()),
+                         "corr": pa.array(np.array(cc, dtype=np.float64))})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _corr_matrix_sql() -> str:
+    names = [n for _, n, _ in _CORR_COLS]
+    exprs = [f"CAST(ROUND_EVEN({c} * {scale:.1f}, 0) AS BIGINT) AS {n}"
+             for c, n, scale in _CORR_COLS]
+    sums = [f"count(*) AS n"]
+    for n in names:
+        sums.append(f"sum({n}) AS s_{n}")
+        sums.append(f"sum({n}*{n}) AS ss_{n}")
+    pairs = [(names[i], names[j]) for i in range(len(names))
+             for j in range(i + 1, len(names))]
+    for a, b in pairs:
+        sums.append(f"sum({a}*{b}) AS x_{a}_{b}")
+    rows = []
+    for a, b in pairs:
+        rows.append(
+            f"SELECT '{a}' AS col_a, '{b}' AS col_b,\n"
+            f"  round((CAST(x_{a}_{b} AS DOUBLE) / n"
+            f" - (CAST(s_{a} AS DOUBLE) / n) * (CAST(s_{b} AS DOUBLE) / n))"
+            f" / sqrt((CAST(ss_{a} AS DOUBLE) / n"
+            f" - (CAST(s_{a} AS DOUBLE) / n) * (CAST(s_{a} AS DOUBLE) / n))"
+            f" * (CAST(ss_{b} AS DOUBLE) / n"
+            f" - (CAST(s_{b} AS DOUBLE) / n) * (CAST(s_{b} AS DOUBLE) / n))"
+            f"), 6) AS corr FROM s")
+    return ("WITH p AS (\n  SELECT " + ",\n         ".join(exprs)
+            + "\n  FROM lineitem\n), s AS (\n  SELECT "
+            + ",\n         ".join(sums) + "\n  FROM p\n)\n"
+            + "\nUNION ALL\n".join(rows))
+
+
+SQL_CORR_MATRIX = _corr_matrix_sql()
+
+
 def q_multimodal_fbank(sf_dir: str):
     """Framed log-mel filterbank features over REAL decoded WAV bytes
     (the reference's FeaturesServer featurizer, M1/T1, on genuine
@@ -6438,6 +6588,8 @@ QUERIES = {
     "chunk_documents": q_chunk_documents,
     "zorder_events": q_zorder_events,
     "schema_evolution": q_schema_evolution,
+    "histogram_price": q_histogram_price,
+    "corr_matrix_lineitem": q_corr_matrix_lineitem,
     "bigram_top_terms": q_bigram_top_terms,
     "word_rep_ratio": q_word_rep_ratio,
     "dup_ngram_frac": q_dup_ngram_frac,
@@ -6642,6 +6794,8 @@ ORACLE_SQL = {
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "zorder_events": SQL_ZORDER_EVENTS,
     "schema_evolution": SQL_SCHEMA_EVOLUTION,
+    "histogram_price": SQL_HISTOGRAM_PRICE,
+    "corr_matrix_lineitem": SQL_CORR_MATRIX,
     "multimodal_png": SQL_MULTIMODAL_PNG,
     "multimodal_gif": SQL_MULTIMODAL_GIF,
     "multimodal_mulaw": SQL_MULTIMODAL_MULAW,
