@@ -11,11 +11,15 @@ numpy/struct) with per-clip features (RMS, zero crossings) checked
 against an arithmetic SQL oracle. Video decode is REAL for YUV4MPEG2
 mono (:func:`decode_y4m` / :func:`encode_y4m` — tagged-header stream
 parser) with frame-sampled per-frame means likewise oracle-checked.
-Compressed formats (JPEG/PNG/MP3/H.264/...)
-still require codec libraries absent from this environment and raise
-NotImplementedError with a clear message; the deterministic fake-decode
-stub remains available (``use_stub_decode=True``) for payloads that are
-not images at all (the text-bytes shim).
+COMPRESSED formats are real where losslessness allows an exact oracle:
+PNG (stdlib zlib + vectorized un-filtering, all 5 filter types), GIF87a
+(hand-written variable-width LZW) and FLAC (``flac.py`` — Rice-coded
+fixed predictor, CRC'd frames). Lossy formats (JPEG/MP3/H.264) would
+need codec libraries absent from this environment AND have no exact
+oracle; they raise NotImplementedError with a clear message. The
+deterministic fake-decode stub remains available
+(``use_stub_decode=True``) for payloads that are not images at all
+(the text-bytes shim).
 """
 
 from __future__ import annotations
@@ -1273,3 +1277,72 @@ def fbank_pipeline(ds, *, id_col: str = "doc_id", n: int = 1000,
         FbankExtractor, fn_constructor_kwargs={"n_filters": n_filters},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency)
+
+
+# --------------------------------------------------------------------------
+# FLAC (compressed lossless) pipeline
+# --------------------------------------------------------------------------
+
+def attach_flac_payload(batch: pa.Table, *, id_col: str = "doc_id",
+                        n: int = 1000,
+                        sample_rate: int = 16000) -> pa.Table:
+    """REAL compressed-audio payloads: one deterministic synthetic
+    signal per row, encoded to genuine FLAC bytes (Rice-coded fixed
+    predictor, CRC'd frames — ``flac.encode_flac``)."""
+    from .flac import encode_flac
+
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    payloads = [encode_flac(synthetic_audio(int(i), n), sample_rate)
+                for i in ids]
+    return pa.table({
+        "media_id": batch.column(id_col).cast(pa.int64()),
+        "payload": pa.array(payloads, type=pa.binary()),
+        "media_type": pa.array(["audio/flac"] * len(ids)),
+    })
+
+
+class FlacFeatureExtractor:
+    """Actor-pool stage: REAL FLAC decode (bit-level Rice + CRC
+    verification, ``flac.decode_flac``) → the same amplitude features
+    as the WAV path, so a decoder bug anywhere in the bitstream walk
+    fails the arithmetic SQL oracle."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .flac import decode_flac
+
+        payloads = batch.column("payload").to_pylist()
+        n_s, n_b, means, rmss, zcs = [], [], [], [], []
+        for p in payloads:
+            s16, _sr = decode_flac(p)
+            s = s16.astype(np.int64)
+            n = len(s)
+            n_s.append(n)
+            n_b.append(len(p))
+            means.append(float(s.mean()) if n else 0.0)
+            rmss.append(float(np.sqrt((s * s).mean())) if n else 0.0)
+            zcs.append(int(np.count_nonzero(s[:-1] * s[1:] < 0)))
+        out = batch.append_column("n_samples",
+                                  pa.array(n_s, type=pa.int64()))
+        out = out.append_column("n_bytes", pa.array(n_b, type=pa.int64()))
+        out = out.append_column("amp_mean",
+                                pa.array(means, type=pa.float64()))
+        out = out.append_column("amp_rms",
+                                pa.array(rmss, type=pa.float64()))
+        return out.append_column("n_zero_cross",
+                                 pa.array(zcs, type=pa.int64()))
+
+
+def flac_decode_pipeline(ds, *, id_col: str = "doc_id", n: int = 1000,
+                         sample_rate: int = 16000, batch_size: int = 256,
+                         concurrency=(1, 4)):
+    """documents → real FLAC payloads → actor-pool REAL decode +
+    features (the compressed-lossless counterpart of
+    :func:`wav_decode_pipeline`)."""
+
+    def attach(batch: pa.Table) -> pa.Table:
+        return attach_flac_payload(batch, id_col=id_col, n=n,
+                                   sample_rate=sample_rate)
+
+    return ds.map_batches(attach, batch_format="pyarrow").map_batches(
+        FlacFeatureExtractor, batch_format="pyarrow",
+        batch_size=batch_size, concurrency=concurrency)

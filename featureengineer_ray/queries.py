@@ -4286,6 +4286,52 @@ FROM z GROUP BY doc_id
 """
 
 
+def q_multimodal_flac(sf_dir: str):
+    """REAL compressed-LOSSLESS audio decode end to end: one
+    deterministic synthetic signal per document encoded to genuine
+    FLAC bytes (Rice-coded fixed-order-2 predictor, CRC-8/CRC-16
+    framing — ``flac.encode_flac``), decoded back by the bit-level
+    pure-numpy parser (``flac.decode_flac``) in an actor-pool stage.
+    Because FLAC is lossless, the SQL oracle recomputes the exact
+    amplitude stats arithmetically from the closed-form signal — any
+    bug in the Rice walk, zigzag, warmup, recurrence, or CRC handling
+    fails the hash. (Compressed size is content-dependent, so n_bytes
+    intentionally stays out of the hashed columns.)"""
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    out = multimodal.flac_decode_pipeline(docs)
+
+    def final(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "n_samples": batch.column("n_samples"),
+            "amp_mean": pc.round(batch.column("amp_mean"), ndigits=6),
+            "amp_rms": pc.round(batch.column("amp_rms"), ndigits=6),
+            "n_zero_cross": batch.column("n_zero_cross"),
+        })
+
+    return out.map_batches(final, batch_format="pyarrow")
+
+
+SQL_MULTIMODAL_FLAC = """
+WITH s AS (
+  SELECT d.doc_id, t.i,
+         ((13 * t.i + 17 * d.doc_id) % 4001) - 2000 AS v
+  FROM documents d, range(1000) t(i)
+), z AS (
+  SELECT doc_id, v,
+         lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+  FROM s
+)
+SELECT doc_id AS media_id,
+       CAST(1000 AS BIGINT) AS n_samples,
+       round(avg(v), 6) AS amp_mean,
+       round(sqrt(avg(CAST(v * v AS DOUBLE))), 6) AS amp_rms,
+       CAST(sum(CASE WHEN pv * v < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_zero_cross
+FROM z GROUP BY doc_id
+"""
+
+
 def q_multimodal_mulaw(sf_dir: str):
     """REAL companded-audio decode end to end: one deterministic
     mu-law WAV (RIFF fmt tag 7, closed-form code bytes) per document,
@@ -6568,6 +6614,7 @@ QUERIES = {
     "multimodal_frames": q_multimodal_frames,
     "multimodal_gif": q_multimodal_gif,
     "multimodal_mulaw": q_multimodal_mulaw,
+    "multimodal_flac": q_multimodal_flac,
     "embedding_norms": q_embedding_norms,
     "eer_summary": q_eer_summary,
     "roc_auc": q_roc_auc,
@@ -6799,6 +6846,7 @@ ORACLE_SQL = {
     "multimodal_png": SQL_MULTIMODAL_PNG,
     "multimodal_gif": SQL_MULTIMODAL_GIF,
     "multimodal_mulaw": SQL_MULTIMODAL_MULAW,
+    "multimodal_flac": SQL_MULTIMODAL_FLAC,
     "join_native_tail": SQL_JOIN_NATIVE_TAIL,
     "htk_roundtrip": SQL_HTK_ROUNDTRIP,
 }

@@ -1946,3 +1946,46 @@ def test_fbank_pipeline_actor_pool(rd):
         assert r.n_frames == f.shape[0]
         np.testing.assert_allclose(np.asarray(r.fbank_mean),
                                    f.mean(axis=0), rtol=1e-9)
+
+
+def test_flac_roundtrip_all_subframe_types():
+    """Bit-exact encode/decode across constant, verbatim (short),
+    multi-frame, ramp (perfect prediction), and noisy signals; CRC
+    corruption is detected, not returned as audio."""
+    from featureengineer_ray import flac
+
+    rng = np.random.default_rng(61)
+    cases = [
+        np.zeros(0, np.int16),
+        np.array([7], np.int16),
+        np.array([-5, 5], np.int16),
+        np.full(4096, -123, np.int16),                    # constant
+        np.arange(-2000, 2000, dtype=np.int16),           # ramp
+        (rng.standard_normal(9000) * 3000).astype(np.int16),  # 3 frames
+        np.array([32767, -32768, 0, -1, 1] * 100, np.int16),
+    ]
+    for s in cases:
+        buf = flac.encode_flac(s, 8000)
+        d, sr = flac.decode_flac(buf)
+        assert sr == 8000 and len(d) == len(s) and (d == s).all()
+    # flipping one payload byte must trip a CRC / parse error
+    buf = bytearray(flac.encode_flac(cases[5], 8000))
+    buf[len(buf) // 2] ^= 0x40
+    with pytest.raises(ValueError):
+        flac.decode_flac(bytes(buf))
+
+
+def test_flac_pipeline_actor_pool(rd):
+    from featureengineer_ray import flac
+
+    t = pa.table({"doc_id": pa.array([2, 9], type=pa.int64())})
+    out = multimodal.flac_decode_pipeline(rd.from_arrow(t)).to_pandas()
+    assert len(out) == 2
+    for r in out.itertuples():
+        sig = multimodal.synthetic_audio(int(r.media_id), 1000)
+        s = sig.astype(np.int64)
+        assert r.n_samples == 1000
+        assert r.amp_mean == pytest.approx(s.mean())
+        assert r.amp_rms == pytest.approx(np.sqrt((s * s).mean()))
+        # the compressed payload is genuinely smaller than raw PCM16
+        assert r.n_bytes < 2 * 1000
