@@ -5855,6 +5855,144 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 """
 
 
+def q_interpolate_fill(sf_dir: str):
+    """Time-weighted LINEAR interpolation of missing values (the
+    resample/repair upgrade over window_fill's ffill/bfill): values at
+    deterministically masked rows (event_id % 5 == 0) re-estimated
+    from the nearest non-null neighbors in event time,
+    v = pv + (nv − pv)·(t − pt)/(nt − pt); leading/trailing gaps stay
+    null. One user-keyed exchange; per partition everything is
+    accumulate/take kernels over the lexsorted frame — no per-user
+    Python."""
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def interp_part(part: pa.Table) -> pa.Table:
+        users = part.column("user_id").to_numpy(zero_copy_only=False)
+        ts = part.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        eid = part.column("event_id").to_numpy(zero_copy_only=False)
+        val = part.column("value").to_numpy(zero_copy_only=False)
+        uc, inv = np.unique(users, return_inverse=True)
+        order = np.lexsort((eid, ts, inv))
+        inv_s, ts_s = inv[order], ts[order]
+        eid_s, val_s = eid[order], val[order]
+        n = len(order)
+        valid = (eid_s % 5) != 0
+        idx = np.arange(n, dtype=np.int64)
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(inv_s)) + 1))
+        counts = np.diff(np.concatenate((starts, [n])))
+        seg_start = np.repeat(starts, counts)
+        seg_end = np.repeat(starts + counts, counts)  # exclusive
+        prev = np.maximum.accumulate(np.where(valid, idx, -1))
+        has_prev = prev >= seg_start
+        nxt_rev = np.maximum.accumulate(
+            np.where(valid[::-1], idx[::-1] * -1 + n - 1, -1))
+        nxt = (n - 1) - nxt_rev[::-1]
+        has_next = (nxt_rev[::-1] >= 0) & (nxt < seg_end)
+        both = (~valid) & has_prev & has_next
+        out = np.where(valid, val_s, np.nan)
+        pv, nv = val_s[prev], val_s[np.clip(nxt, 0, n - 1)]
+        pt, nt = ts_s[prev].astype(np.float64), ts_s[
+            np.clip(nxt, 0, n - 1)].astype(np.float64)
+        t = ts_s.astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            interp = pv + (nv - pv) * (t - pt) / (nt - pt)
+        out[both] = interp[both]
+        return pa.table({
+            "event_id": pa.array(eid_s),
+            "user_id": pa.array(uc,
+                                type=part.schema.field("user_id").type
+                                ).take(pa.array(inv_s)),
+            "was_null": pa.array((~valid).astype(np.int64)),
+            "value_interp": pa.array(
+                np.round(out, 6), mask=np.isnan(out)),
+        })
+
+    return _by_entity_partitions(ev, "user_id", interp_part)
+
+
+SQL_INTERPOLATE_FILL = """
+WITH m AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+  FROM events
+), w AS (
+  SELECT event_id, user_id, ts, v,
+         last_value(v IGNORE NULLS) OVER pre AS pv,
+         last_value(CASE WHEN v IS NOT NULL THEN ts END IGNORE NULLS)
+           OVER pre AS pt,
+         first_value(v IGNORE NULLS) OVER post AS nv,
+         first_value(CASE WHEN v IS NOT NULL THEN ts END IGNORE NULLS)
+           OVER post AS nt
+  FROM m
+  WINDOW pre AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         post AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_id, user_id,
+       CAST(CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS was_null,
+       round(CASE
+         WHEN v IS NOT NULL THEN v
+         WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+           pv + (nv - pv) * (CAST(epoch_us(ts) AS DOUBLE)
+                             - CAST(epoch_us(pt) AS DOUBLE))
+                / (CAST(epoch_us(nt) AS DOUBLE)
+                   - CAST(epoch_us(pt) AS DOUBLE))
+         ELSE NULL END, 6) AS value_interp
+FROM w
+"""
+
+
+def q_full_outer_join(sf_dir: str):
+    """Ray's native FULL OUTER hash join, hash-attested with nulls
+    engineered on BOTH sides: per-customer order stats (left) ⋈ the
+    customers of nations 0–19 (right) — customers with no orders have
+    a null left side, orders of nation-20+ customers a null right
+    side. Completes the attested join-type family (inner / left /
+    semi / anti / asof×3 / range / skew / native / full outer)."""
+    left = relational.grouped_agg(
+        _orders_cents(sf_dir), ["o_custkey"],
+        {"cents_sum": ("cents", "sum")}, count_alias="n_orders")
+    right = _read(sf_dir, "customer",
+                  ["c_custkey", "c_name", "c_nationkey"],
+                  filter=(pc.field("c_nationkey") < 20)).drop_columns(
+                      ["c_nationkey"])
+    j = relational.drop_empty_blocks(left).join(
+        relational.drop_empty_blocks(right), join_type="full_outer",
+        num_partitions=8, on=("o_custkey",), right_on=("c_custkey",))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        # Ray's join coalesces the right key into the left key column
+        return pa.table({
+            "custkey": batch.column("o_custkey").cast(pa.int64()),
+            "n_orders": batch.column("n_orders").cast(pa.int64()),
+            "cents_sum": batch.column("cents_sum").cast(pa.int64()),
+            "c_name": batch.column("c_name"),
+        })
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_FULL_OUTER_JOIN = """
+WITH l AS (
+  SELECT o_custkey,
+         sum(CAST(ROUND_EVEN(o_totalprice * 100.0, 0) AS BIGINT))
+           AS cents_sum,
+         count(*) AS n_orders
+  FROM orders GROUP BY 1
+), r AS (
+  SELECT c_custkey, c_name FROM customer WHERE c_nationkey < 20
+)
+SELECT coalesce(l.o_custkey, r.c_custkey) AS custkey,
+       CAST(n_orders AS BIGINT) AS n_orders,
+       CAST(cents_sum AS BIGINT) AS cents_sum,
+       c_name
+FROM l FULL OUTER JOIN r ON l.o_custkey = r.c_custkey
+"""
+
+
 def q_htk_roundtrip(sf_dir: str):
     """S9 true binary feature-file source/sink (the reference's one real
     hand-written binary format — HTK, jyh/Utils.py:22-168): embeddings
@@ -6637,6 +6775,8 @@ QUERIES = {
     "schema_evolution": q_schema_evolution,
     "histogram_price": q_histogram_price,
     "corr_matrix_lineitem": q_corr_matrix_lineitem,
+    "full_outer_join": q_full_outer_join,
+    "interpolate_fill": q_interpolate_fill,
     "bigram_top_terms": q_bigram_top_terms,
     "word_rep_ratio": q_word_rep_ratio,
     "dup_ngram_frac": q_dup_ngram_frac,
@@ -6843,6 +6983,8 @@ ORACLE_SQL = {
     "schema_evolution": SQL_SCHEMA_EVOLUTION,
     "histogram_price": SQL_HISTOGRAM_PRICE,
     "corr_matrix_lineitem": SQL_CORR_MATRIX,
+    "full_outer_join": SQL_FULL_OUTER_JOIN,
+    "interpolate_fill": SQL_INTERPOLATE_FILL,
     "multimodal_png": SQL_MULTIMODAL_PNG,
     "multimodal_gif": SQL_MULTIMODAL_GIF,
     "multimodal_mulaw": SQL_MULTIMODAL_MULAW,
