@@ -5855,6 +5855,105 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 """
 
 
+def q_mutual_info_type_value(sf_dir: str):
+    """Dependence statistics between event type and a 10-bin value
+    discretization (feature-selection profiling): mutual information
+    (nats), χ² via n·(Σ n²ᵢⱼ/(nᵢ·nⱼ) − 1) — exact over observed cells —
+    and Cramér's V. Two bounded passes: a (min, max) profile reduce,
+    then ONE O(types×bins) count exchange; the driver folds the ≤50-cell
+    contingency table. All counts exact ints; the float finalize is the
+    same expression the oracle spells out."""
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(batch.column("value"), 100.0)),
+                    pa.int64())
+        return pa.table({"event_type": batch.column("event_type"),
+                         "cents": c})
+
+    cds = ev.map_batches(cents, batch_format="pyarrow")
+    from . import validate
+
+    prof = validate.profile_columns(cds, ["cents"]).take_all()[0]
+    lo, hi = int(prof["min_val"]), int(prof["max_val"])
+    span = hi - lo
+
+    def binify(batch: pa.Table) -> pa.Table:
+        c = batch.column("cents").to_numpy(zero_copy_only=False)
+        b = np.minimum((c - lo) * 10 // max(span, 1), 9).astype(np.int64)
+        return pa.table({"event_type": batch.column("event_type"),
+                         "bin": pa.array(b)})
+
+    cells = relational.grouped_agg(
+        cds.map_batches(binify, batch_format="pyarrow"),
+        ["event_type", "bin"], {}, count_alias="nij").take_all()
+
+    import collections
+
+    ni: dict = collections.defaultdict(int)
+    nj: dict = collections.defaultdict(int)
+    n = 0
+    for r in cells:
+        ni[r["event_type"]] += r["nij"]
+        nj[r["bin"]] += r["nij"]
+        n += r["nij"]
+    mi = 0.0
+    s = 0.0
+    for r in sorted(cells, key=lambda r: (r["event_type"], r["bin"])):
+        nij = float(r["nij"])
+        a = float(ni[r["event_type"]])
+        b = float(nj[r["bin"]])
+        mi += (nij / n) * np.log(nij * n / (a * b))
+        s += nij * nij / (a * b)
+    chi2 = n * s - n
+    v = np.sqrt(chi2 / (n * (min(len(ni), len(nj)) - 1)))
+    return pd.DataFrame({
+        "n": [int(n)],
+        "mi_nats": [float(np.round(mi, 6))],
+        "chi2": [float(np.round(chi2, 4))],
+        "cramers_v": [float(np.round(v, 6))],
+    })
+
+
+SQL_MUTUAL_INFO = """
+WITH p AS (
+  SELECT event_type,
+         CAST(ROUND_EVEN(value * 100.0, 0) AS BIGINT) AS cents
+  FROM events
+), s AS (
+  SELECT min(cents) AS lo, max(cents) AS hi FROM p
+), b AS (
+  SELECT event_type,
+         least((cents - s.lo) * 10 // greatest(s.hi - s.lo, 1), 9) AS bin
+  FROM p CROSS JOIN s
+), c AS (
+  SELECT event_type, bin, count(*) AS nij FROM b GROUP BY 1, 2
+), m AS (
+  SELECT c.event_type, c.bin, c.nij,
+         sum(c.nij) OVER (PARTITION BY c.event_type) AS ni,
+         sum(c.nij) OVER (PARTITION BY c.bin) AS nj,
+         sum(c.nij) OVER () AS n
+  FROM c
+), agg AS (
+  SELECT max(n) AS n,
+         sum((CAST(nij AS DOUBLE) / n)
+             * ln(CAST(nij AS DOUBLE) * n
+                  / (CAST(ni AS DOUBLE) * CAST(nj AS DOUBLE)))) AS mi,
+         sum(CAST(nij AS DOUBLE) * CAST(nij AS DOUBLE)
+             / (CAST(ni AS DOUBLE) * CAST(nj AS DOUBLE))) AS s,
+         count(DISTINCT event_type) AS r,
+         count(DISTINCT bin) AS cc
+  FROM m
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(mi, 6) AS mi_nats,
+       round(n * s - n, 4) AS chi2,
+       round(sqrt((n * s - n) / (n * (least(r, cc) - 1))), 6)
+         AS cramers_v
+FROM agg
+"""
+
+
 def q_interpolate_fill(sf_dir: str):
     """Time-weighted LINEAR interpolation of missing values (the
     resample/repair upgrade over window_fill's ffill/bfill): values at
@@ -6777,6 +6876,7 @@ QUERIES = {
     "corr_matrix_lineitem": q_corr_matrix_lineitem,
     "full_outer_join": q_full_outer_join,
     "interpolate_fill": q_interpolate_fill,
+    "mutual_info_type_value": q_mutual_info_type_value,
     "bigram_top_terms": q_bigram_top_terms,
     "word_rep_ratio": q_word_rep_ratio,
     "dup_ngram_frac": q_dup_ngram_frac,
@@ -6985,6 +7085,7 @@ ORACLE_SQL = {
     "corr_matrix_lineitem": SQL_CORR_MATRIX,
     "full_outer_join": SQL_FULL_OUTER_JOIN,
     "interpolate_fill": SQL_INTERPOLATE_FILL,
+    "mutual_info_type_value": SQL_MUTUAL_INFO,
     "multimodal_png": SQL_MULTIMODAL_PNG,
     "multimodal_gif": SQL_MULTIMODAL_GIF,
     "multimodal_mulaw": SQL_MULTIMODAL_MULAW,
