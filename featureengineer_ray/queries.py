@@ -5855,6 +5855,74 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 """
 
 
+def q_bounce_rate(sf_dir: str):
+    """Per-user session bounce rate (single-event sessions ÷ sessions —
+    the classic engagement metric) on top of the same fused sessionize
+    exchange as q_sessionize_30m: session rows reduce to one
+    (user, session, n) grouped aggregate, then an O(users) summary;
+    the single division is over exact int counts."""
+    spec = engine.WindowSpec(
+        key="user_id", ts="ts", tiebreak="event_id",
+        session_gap_us=MIN30_US)
+    out = engine.window_features(_events(sf_dir), spec)
+    per_sess = relational.grouped_agg(
+        _select(out, ["user_id", "session_idx"]),
+        ["user_id", "session_idx"], {}, count_alias="n")
+
+    def flag(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "one": pa.array(np.ones(len(n), dtype=np.int64)),
+            "bounce": pa.array((n == 1).astype(np.int64)),
+        })
+
+    agg = relational.grouped_agg(
+        per_sess.map_batches(flag, batch_format="pyarrow"), ["user_id"],
+        {"n_sessions": ("one", "sum"), "n_bounces": ("bounce", "sum")})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ns = batch.column("n_sessions").to_numpy(zero_copy_only=False)
+        nb = batch.column("n_bounces").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "n_sessions": pa.array(ns.astype(np.int64)),
+            "n_bounces": pa.array(nb.astype(np.int64)),
+            "bounce_rate": pa.array(
+                np.round(nb.astype(np.float64) / ns.astype(np.float64),
+                         6)),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_BOUNCE_RATE = """
+WITH g AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+  FROM g
+), c AS (
+  SELECT user_id, session_idx, count(*) AS n
+  FROM s GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounces,
+       round(CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS bounce_rate
+FROM c GROUP BY 1
+"""
+
+
 def q_mutual_info_type_value(sf_dir: str):
     """Dependence statistics between event type and a 10-bin value
     discretization (feature-selection profiling): mutual information
@@ -6877,6 +6945,7 @@ QUERIES = {
     "full_outer_join": q_full_outer_join,
     "interpolate_fill": q_interpolate_fill,
     "mutual_info_type_value": q_mutual_info_type_value,
+    "bounce_rate": q_bounce_rate,
     "bigram_top_terms": q_bigram_top_terms,
     "word_rep_ratio": q_word_rep_ratio,
     "dup_ngram_frac": q_dup_ngram_frac,
@@ -7086,6 +7155,7 @@ ORACLE_SQL = {
     "full_outer_join": SQL_FULL_OUTER_JOIN,
     "interpolate_fill": SQL_INTERPOLATE_FILL,
     "mutual_info_type_value": SQL_MUTUAL_INFO,
+    "bounce_rate": SQL_BOUNCE_RATE,
     "multimodal_png": SQL_MULTIMODAL_PNG,
     "multimodal_gif": SQL_MULTIMODAL_GIF,
     "multimodal_mulaw": SQL_MULTIMODAL_MULAW,
